@@ -1,0 +1,481 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Core relational query surface (SURVEY.md §2 + §2.6 analytics layer).
+  *
+  * Every query here is paired with a DuckDB oracle in [[oracleSql]]; the
+  * driver hash-compares values, so cross-engine float determinism is a
+  * design constraint, solved as follows:
+  *
+  *   - money columns in the fixtures are exact 2-decimal doubles, so sums
+  *     are computed over `DECIMAL(18,2)` casts in BOTH engines — decimal
+  *     arithmetic is exact, making sums bit-identical regardless of
+  *     aggregation order (a double sum would differ in the last ULP
+  *     between Spark's partial-agg tree and DuckDB's sequential fold);
+  *   - averages stay double but are rounded to 4 decimals (absolute fp
+  *     error ~1e-12 vs a 5e-5 rounding boundary — no flip risk);
+  *   - min/max pass input values through untouched (no arithmetic), so
+  *     they compare exactly without rounding;
+  *   - every query ends in a total-order `ORDER BY` (metric + unique key)
+  *     so row order and LIMIT frontiers are deterministic in both engines.
+  *
+  * Scale notes (100 TB): every aggregate here is a hash aggregate with
+  * map-side partial combine; the dimension joins (nation/region/customer)
+  * broadcast; fact-fact joins shuffle on their join key only after
+  * filters are pushed to the parquet scan. Verified via `explain` in
+  * `RelationalSpec`.
+  */
+object Relational {
+
+  /** Exact 2-decimal money cast — see class doc. */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Per-item revenue `extendedprice * (1 - discount)` in exact decimal
+    * arithmetic (reference analogue: the analytics layer SURVEY.md §2.6).
+    */
+  private def revenue: Column =
+    dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
+
+  private val REV_SQL =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation / grouping (SURVEY.md §2.6) --------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec2(col("l_quantity"))).as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
+          sum(revenue).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_topk_order_revenue" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(revenue).as("order_revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("order_revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q03_segment_revenue" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+      val li = Tables(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(revenue).as("segment_revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- dim join + rename/project/drop (J1/P1-P3 parity,
+    //      weather_data_fetcher.py:352-359) ---------------------------
+    "q04_dim_join" -> ((s, dir) => {
+      val nation = Tables(s, dir, "nation")
+      val region = Tables(s, dir, "region")
+        .withColumnRenamed("r_name", "region_name")
+        .select("r_regionkey", "region_name")
+      nation
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
+        .drop("r_regionkey")
+        .select("n_nationkey", "n_name", "region_name")
+        .orderBy("n_nationkey")
+    }),
+
+    // ---- filter + projection pushdown (F/P parity) ------------------
+    "q05_filter_project" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+          col("l_returnflag") === "A" && col("l_quantity") >= 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- ranking window: latest-per-key (§2.6 latest-observation) ---
+    "q06_latest_order_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // ---- running aggregate window ------------------------------------
+    "q07_running_customer_spend" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec2(col("o_totalprice"))).over(w).as("running_spend"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // ---- symmetric difference (J2 change-detection parity,
+    //      weather_data_fetcher.py:384-387) ---------------------------
+    "q08_symmetric_diff" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      def keys(y: Int) =
+        ord.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+      val a = keys(1995)
+      val b = keys(1996)
+      a.exceptAll(b).withColumn("side", lit("only_1995"))
+        .union(b.exceptAll(a).withColumn("side", lit("only_1996")))
+        .orderBy("o_custkey", "side")
+    }),
+
+    // ---- distinct counting (§2.6) ------------------------------------
+    "q09_nation_order_stats" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      Tables(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_active_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).as("total_spend"))
+        .orderBy("n_name")
+    }),
+
+    // ---- rollup (grouping sets, §2.6) --------------------------------
+    "q10_rollup_acctbal" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region")
+      Tables(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sum(dec2(col("c_acctbal"))).as("sum_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy("region_name", "nation_name")
+    }),
+
+    // ---- anti join (J3 miss-audit parity, weather_data_fetcher.py:292)
+    "q11_customers_without_orders" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders").select("o_custkey")
+      Tables(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // ---- semi join ----------------------------------------------------
+    "q12_suppliers_shipping_2000q1" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-04-01").cast("timestamp"))
+        .select("l_suppkey")
+      Tables(s, dir, "supplier")
+        .join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // ---- event-time tumbling window (§2.10 streaming analytics, batch
+    //      form; streaming form covered in streaming/EventStreamsSpec) --
+    "q13_events_hourly" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).as("sum_value"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .select(
+          col("window.start").as("hour_start"),
+          col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- conditional aggregation (case/when pivot) --------------------
+    "q14_priority_by_year" -> ((s, dir) => {
+      def isPrio(p: String) = when(col("o_orderpriority") === p, 1).otherwise(0)
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(isPrio("1-URGENT")).as("n_urgent"),
+          sum(isPrio("2-HIGH")).as("n_high"),
+          count(lit(1)).as("n_total"))
+        .orderBy("o_year")
+    }),
+
+    // ---- string functions (C1-C3 parity) ------------------------------
+    "q15_part_type_stats" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .groupBy(upper(element_at(split(col("p_type"), " "), 1)).as("type_head"))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          round(avg(col("p_size")), 4).as("avg_size"),
+          min(col("p_name")).as("min_name"),
+          max(col("p_name")).as("max_name"))
+        .orderBy("type_head")
+    }),
+
+    // ---- JSON extraction (S4 shred parity, weather_data_fetcher.py:267-281)
+    "q16_json_extract" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") > 50, 1).otherwise(0)).as("n_over_50"))
+        .orderBy("event_type")
+    }),
+
+    // ---- date part extraction (C5/C6 parity) ---------------------------
+    "q17_orders_by_quarter" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).as("o_year"),
+          quarter(col("o_orderdate")).as("o_quarter"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("sum_price"))
+        .orderBy("o_year", "o_quarter")
+    }),
+
+    // ---- intersect -----------------------------------------------------
+    "q18_intersect" -> ((s, dir) => {
+      val building = Tables(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val active95 = Tables(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(active95).orderBy("c_custkey")
+    }),
+
+    // ---- union + exact distinct (dedup-exact relational form) ----------
+    "q19_union_distinct" -> ((s, dir) => {
+      val rich = Tables(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      val active = Tables(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 2000)
+        .select(col("o_custkey").as("c_custkey"))
+      rich.union(active).distinct().orderBy("c_custkey")
+    }),
+
+    // ---- min/max passthrough (no-arithmetic float compare) -------------
+    "q20_brand_price_range" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          min(col("p_retailprice")).as("min_price"),
+          max(col("p_retailprice")).as("max_price"),
+          count(lit(1)).as("n_parts"))
+        .orderBy("p_brand")
+    }),
+
+    // ---- sessionization (gap-based session windows; batch twin of the
+    //      streaming flatMapGroupsWithState op) --------------------------
+    "s01_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 15L * 60L * 1000000L
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapUs, 1).otherwise(0))
+        .withColumn("session_seq",
+          sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+          sum(dec2(col("value"))).as("sum_value"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // ---- keep-first dedup (batch twin of dropDuplicatesWithinWatermark,
+    //      SURVEY.md §2.10 dedup row) -------------------------------------
+    "s02_dedup_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         | sum($REV_SQL) AS sum_disc_price,
+         | round(avg(l_quantity), 4) AS avg_qty,
+         | round(avg(l_discount), 4) AS avg_disc,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_topk_order_revenue" ->
+      s"""SELECT l_orderkey, sum($REV_SQL) AS order_revenue, count(*) AS n_items
+         |FROM lineitem GROUP BY 1
+         |ORDER BY order_revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q03_segment_revenue" ->
+      s"""SELECT c_mktsegment, sum($REV_SQL) AS segment_revenue,
+         | count(DISTINCT o_orderkey) AS n_orders,
+         | count(DISTINCT c_custkey) AS n_customers
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey AND CAST(year(o_orderdate) AS INT) = 1995
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_dim_join" ->
+      """SELECT n_nationkey, n_name, region_name
+        |FROM nation LEFT JOIN (SELECT r_regionkey, r_name AS region_name FROM region)
+        | ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q05_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'A' AND l_quantity >= 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q06_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q07_running_customer_spend" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q08_symmetric_diff" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1996)
+        |SELECT o_custkey, 'only_1995' AS side FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1996' AS side FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        |ORDER BY o_custkey, side""".stripMargin,
+
+    "q09_nation_order_stats" ->
+      """SELECT n_name, count(DISTINCT o_custkey) AS n_active_customers,
+        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_rollup_acctbal" ->
+      """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
+        | count(*) AS n_customers, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q11_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_suppliers_shipping_2000q1" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q13_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_priority_by_year" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | count(*) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_part_type_stats" ->
+      """SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
+        | count(*) AS n_parts, round(avg(p_size), 4) AS avg_size,
+        | min(p_name) AS min_name, max(p_name) AS max_name
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        | CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_over_50
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_orders_by_quarter" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q18_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 1995
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_union_distinct" ->
+      """SELECT DISTINCT c_custkey FROM (
+        | SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        | UNION ALL
+        | SELECT o_custkey AS c_custkey FROM orders WHERE CAST(year(o_orderdate) AS INT) = 2000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q20_brand_price_range" ->
+      """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
+        | count(*) AS n_parts
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "s01_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('microsecond', lag(ts) OVER w, ts) > 900000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+        | sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s02_dedup_keep_first" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+  )
+}
