@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-data-pipeline operators (SURVEY.md §7.4):
+  * tokenization, shingling, portable hashing, MinHash, SimHash, stopword
+  * scoring. Everything is built from Spark higher-order functions — no
+  * UDFs — so expressions stay inside Catalyst and serialize into the
+  * plan (codegen-fallback for HOF lambdas, but no JVM closure shipping,
+  * no Python).
+  *
+  * Cross-engine determinism: the polynomial hash [[charFp]] is defined
+  * over Unicode code points with BIGINT arithmetic mod 2^31-1, an
+  * expression the DuckDB oracle reproduces verbatim (see the paired SQL
+  * in graft.queries.*). Spark's murmur3 `hash()` is NOT used anywhere an
+  * oracle compares values, because its seed/implementation is
+  * engine-private.
+  */
+object Text {
+
+  /** 2^31 - 1 (Mersenne prime) — modulus for all portable hashes. */
+  val P = 2147483647L
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Word n-gram shingles joined with single spaces; empty array when the
+    * document is shorter than n (guards `sequence`'s descending-range
+    * behavior for start > stop).
+    */
+  def shingles(tk: Column, n: Int = 3): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)), i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  // -- hash kernels ---------------------------------------------------
+  // These run as compiled-Scala UDFs, not Catalyst higher-order
+  // functions: HOF lambdas evaluate interpreted (HigherOrderFunction is
+  // CodegenFallback) and profiled ~25-50x slower than compiled loops on
+  // the minhash inner loop (200s+ cold for 500 docs). Semantics are the
+  // portability contract above — same fold order, same constants — so
+  // the DuckDB oracle SQL is unchanged.
+
+  /** JVM kernel of [[charFp]]. UTF-16 code units == code points for BMP
+    * text (fixtures are ASCII), matching DuckDB's `ascii()`.
+    */
+  def charFpStr(s: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) { a = (a * 31 + s.charAt(i)) % P; i += 1 }
+    a
+  }
+
+  private def minhashOf(fps: Array[Long], k: Int): Array[Long] =
+    Array.tabulate(k) { i =>
+      val A = 37L + 101L * i
+      val B = 17L + 1009L * i
+      var m = Long.MaxValue
+      var j = 0
+      while (j < fps.length) {
+        val h = (fps(j) * A + B) % P
+        if (h < m) m = h
+        j += 1
+      }
+      m
+    }
+
+  private def simhashOf(fps: Array[Long]): Long = {
+    val counts = new Array[Int](32)
+    var j = 0
+    while (j < fps.length) {
+      val fp = fps(j)
+      var b = 0
+      while (b < 32) {
+        if (((fp >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** JVM kernel of tokens→distinct-shingles (ASCII semantics identical
+    * to `array_distinct(shingles(tokens(text)))`): lowercase, split on
+    * single spaces, drop empties, join n-grams with one space, distinct
+    * preserving first occurrence.
+    */
+  def distinctShinglesStr(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      seen.toArray(new Array[String](seen.size))
+    }
+  }
+
+  /** Distinct word-3-gram shingles of a raw text column (compiled
+    * kernel; the hot first stage of every dedup query).
+    */
+  def distinctShingles(text: Column, n: Int = 3): Column =
+    udf((s: String) => if (s == null) null else distinctShinglesStr(s, n)).apply(text)
+
+  /** Portable polynomial rolling hash: fold over code points,
+    * `acc = (acc * 31 + codepoint) mod P`, acc0 = 0. Equivalent DuckDB:
+    * `list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
+    * string_split(s,'') if c <> '']), (a,b) -> (a*31+b) % 2147483647)`.
+    */
+  def charFp(s: Column): Column =
+    udf((x: String) => if (x == null) null else java.lang.Long.valueOf(charFpStr(x))).apply(s)
+
+  /** Fingerprints of an array of shingles — one kernel call per row. */
+  def fps(sh: Column): Column =
+    udf((xs: Seq[String]) => if (xs == null) null else xs.map(charFpStr).toArray).apply(sh)
+
+  /** MinHash signature over an array of shingle fingerprints: k universal
+    * permutations `h_i(x) = (A_i x + B_i) mod P` with A_i = 37 + 101 i,
+    * B_i = 17 + 1009 i. Returns array<bigint> of length k. Empty input →
+    * null (array_min-over-empty semantics).
+    */
+  def minhashSig(fpsCol: Column, k: Int = 16): Column =
+    udf((xs: Seq[Long]) =>
+      if (xs == null || xs.isEmpty) null else minhashOf(xs.toArray, k)).apply(fpsCol)
+
+  /** 32-bit SimHash over an array of feature fingerprints: bit b is set
+    * iff the count of features with bit b set exceeds those without.
+    */
+  def simhash32(fpsCol: Column): Column =
+    udf((xs: Seq[Long]) =>
+      if (xs == null) null else java.lang.Long.valueOf(simhashOf(xs.toArray))).apply(fpsCol)
+
+  /** Tiny function-word lists for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "un"))
+
+  /** Number of tokens that are function words of `lang`. */
+  def stopHits(tk: Column, lang: String): Column =
+    size(filter(tk, t => t.isInCollection(stopwords(lang))))
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<double>` columns (embeddings are
+  * stored float; cast first with [[toDoubleVec]]).
+  *
+  * Determinism: [[dot]] is a strict LEFT fold over the element products
+  * in array order — the DuckDB oracle reproduces the identical IEEE-754
+  * operation sequence (`list_reduce(list_prepend(0.0, [a[i]*b[i] ...]),
+  * (s,v) -> s+v)`), making cosine values bit-identical cross-engine with
+  * no rounding tolerance needed.
+  *
+  * Scale: these are per-row expressions (no shuffle). Brute-force top-k
+  * broadcasts the query set; the IVF variant in queries/Similarity.scala
+  * is the 100 TB path (centroid assignment prunes the candidate set to
+  * nprobe/nlist of the data).
+  */
+object Vectors {
+
+  /** float[] → double[] so all arithmetic is double-precision IEEE. */
+  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** JVM kernel: Σ aᵢ·bᵢ, one rounding per multiply and per add, left to
+    * right — the same IEEE operation sequence as the oracle's
+    * `list_reduce(list_prepend(0.0, [a[i]*b[i] …]), (s,v) -> s+v)`.
+    */
+  def dotKernel(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Sequential left-fold dot product as a compiled-Scala UDF (Catalyst
+    * HOF lambdas evaluate interpreted — see Text.scala kernel note).
+    */
+  def dot(a: Column, b: Column): Column =
+    udf((x: Seq[Double], y: Seq[Double]) =>
+      if (x == null || y == null) null else java.lang.Double.valueOf(dotKernel(x, y))).apply(a, b)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import OracleDialect._
+
+/** Deduplication operators over the `documents` table (SURVEY.md §7.4
+  * extension tier): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a hash groupBy on md5(text) — one shuffle on the
+  *    digest, map-side partial agg; never groups on the raw text bytes.
+  *  - Jaccard avoids the O(n²) cross join: an inverted-index self-join
+  *    on distinct shingles yields |A∩B| directly as `count(*)` per pair
+  *    (no pairwise array intersection), |A∪B| = |A|+|B|-|A∩B| from
+  *    per-doc sizes. Work is Σ_shingle df(s)², bounded by banding in the
+  *    MinHash variant when posting lists explode.
+  *  - MinHash/LSH: 16-perm signature per doc (one pass), 4 bands × 4
+  *    rows; candidates = band-bucket join (shuffle on the 4-long band
+  *    key, NOT all-pairs), then exact-Jaccard verification of the
+  *    candidates only. This is the standard sub-quadratic near-dup path.
+  *  - SimHash: 32-bit signature, 4 × 8-bit bands. By pigeonhole, any
+  *    pair within Hamming distance 3 agrees on ≥1 band, so the band join
+  *    is EXACT (no recall loss) for the ≤3 predicate.
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-gram shingle set. */
+  private def shingleDocs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+
+  /** Exact Jaccard for every pair sharing ≥1 shingle, via inverted index.
+    * Columns: a_id, b_id, jaccard.
+    */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    }),
+
+    "d02_jaccard_pairs" -> ((s, dir) => {
+      jaccardPairs(shingleDocs(s, dir))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "d03_minhash_sig" -> ((s, dir) => {
+      shingleDocs(s, dir)
+        .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
+        .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    "d04_minhash_lsh_dedup" -> ((s, dir) => {
+      val docs = shingleDocs(s, dir)
+      val sig = docs
+        .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
+        .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
+      val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), slice(col("sig"), j * 4 + 1, 4).as("bkey"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.j").as("j"), col("b.bkey").as("bkey"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+      cand.join(jaccardPairs(docs).filter(col("jaccard") >= 0.5), Seq("a_id", "b_id"))
+        .groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
+    "d05_simhash_neardup" -> ((s, dir) => {
+      val sig = shingleDocs(s, dir)
+        .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
+        .select(col("doc_id"), Text.simhash32(col("fps")).as("simhash"))
+      val bands = sig.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"), shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("b"))
+        .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.byte").as("byte"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.j") === col("y.j") && col("x.byte") === col("y.byte") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sig"),
+          col("y.doc_id").as("b_id"), col("y.simhash").as("b_sig"))
+        .distinct()
+      cand.filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 3)
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int").as("hamming"))
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  private val DOCS = s"SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM documents"
+  private val JACCARD_PAIRS =
+    s"""docs AS ($DOCS),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+       |jp AS (SELECT a_id, b_id,
+       |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+       |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "d02_jaccard_pairs" ->
+      s"""WITH $JACCARD_PAIRS
+         |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    "d03_minhash_sig" ->
+      s"""WITH docs AS ($DOCS),
+         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs)
+         |SELECT doc_id, ${minhashSig("fps")} AS sig FROM f ORDER BY doc_id""".stripMargin,
+
+    "d04_minhash_lsh_dedup" ->
+      s"""WITH $JACCARD_PAIRS,
+         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs),
+         |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
+         |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ver AS (SELECT cand.a_id, cand.b_id FROM cand
+         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)
+         |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM ver GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d05_simhash_neardup" ->
+      s"""WITH docs AS ($DOCS),
+         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs),
+         |sig AS (SELECT doc_id, ${simhash32("fps")} AS simhash FROM f),
+         |bands AS (SELECT doc_id, simhash, j, (simhash >> (j * 8)) & 255 AS byte
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, x.simhash AS a_sig,
+         |    y.doc_id AS b_id, y.simhash AS b_sig
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.byte = y.byte AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3 ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Vectors._
+import OracleDialect.{cosine => cosSql}
+
+/** Similarity search over the `embeddings` table (SURVEY.md §7.4):
+  * brute-force cosine top-k, IVF-style ANN, and blocked near-dup pairs.
+  *
+  * Scale design:
+  *  - v01 brute force: the query set (20 vectors) broadcasts; each
+  *    partition of the base table scores its rows locally and the top-k
+  *    frontier is taken with one ranking window partitioned by query —
+  *    no all-pairs shuffle. Baseline/ground truth for ANN variants.
+  *  - v02 IVF: nlist=16 centroids, nprobe=2. Assignment is a broadcast
+  *    nested-loop against 16 rows (cheap); at 100 TB the candidate scan
+  *    per query drops to ~nprobe/nlist of the data, and the `assign`
+  *    relation would be written bucketed by c_id so probes prune
+  *    partitions. Deterministic (fixed centroid ids, fixed tie-breaks),
+  *    hence oracle-checkable — unusual for ANN, deliberate here.
+  *  - v03 near-dup: label is the blocking key (the realistic shape:
+  *    cluster-id / shard blocking); pairs form within blocks only, one
+  *    shuffle on label, never a global cross join.
+  */
+object Similarity {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+
+    "v02_knn_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val c = e.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val assignW = Window.partitionBy(col("vec_id"))
+        .orderBy(cosine(col("v"), col("cv")).desc, col("c_id"))
+      val assign = e.crossJoin(broadcast(c))
+        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), col("v"))
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val probeW = Window.partitionBy(col("q_id"))
+        .orderBy(cosine(col("qv"), col("cv")).desc, col("c_id"))
+      val probes = q.crossJoin(broadcast(c))
+        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+        .select(col("q_id"), col("c_id"))
+      val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      q.join(probes, "q_id").join(assign, "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+
+    "v03_neardup_blocked" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("vb"))
+      a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+        .select(col("label"), col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("label", "a_id", "b_id")
+    })
+  )
+
+  private val EMB =
+    "SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings"
+
+  def oracleSql: Map[String, String] = Map(
+    "v01_knn_exact" ->
+      s"""WITH e AS ($EMB), q AS (SELECT * FROM e WHERE vec_id < 20),
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, ${cosSql("q.v", "e.v")} AS cosine
+         |  FROM q, e WHERE e.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
+         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "v02_knn_ivf" ->
+      s"""WITH e AS ($EMB), c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+         |probes AS (SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM q, c) WHERE rn <= 2),
+         |cand AS (SELECT q.q_id, a.vec_id AS neighbor_id, q.qv, a.v
+         |  FROM q JOIN probes p ON q.q_id = p.q_id JOIN assign a ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> q.q_id),
+         |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "v03_neardup_blocked" ->
+      s"""WITH e AS ($EMB),
+         |p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cosine
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, a_id, b_id, cosine FROM p WHERE cosine >= 0.4 ORDER BY label, a_id, b_id""".stripMargin
+  )
+}

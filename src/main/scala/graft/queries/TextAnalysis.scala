@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Text
+import OracleDialect._
+
+/** Text-analysis operators over `documents` (SURVEY.md §7.4): token
+  * statistics, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * All per-document scores are pure per-row expressions (no shuffle);
+  * the per-source aggregates shuffle once on the group key with map-side
+  * partial aggregation. Double-valued scores aggregate through
+  * DECIMAL(18,6) casts so sums are order-independent (same pattern as
+  * Relational — see its class doc).
+  */
+object TextAnalysis {
+
+  private def tk = Text.tokens(col("text"))
+
+  /** Quality score in [0,1]; op order mirrors the oracle exactly (same
+    * IEEE double sequence): 0.25·min(1, n/80) + 0.25·TTR
+    * + 0.25·(1 − min(1, |avgLen − 5|/10)) + 0.25·min(1, 10·stop/n).
+    */
+  private def score(tkc: Column): Column = {
+    val n = size(tkc)
+    val sumLen = aggregate(transform(tkc, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    lit(0.25) * least(lit(1.0), n.cast("double") / lit(80)) +
+      lit(0.25) * (size(array_distinct(tkc)).cast("double") / n) +
+      lit(0.25) * (lit(1.0) - least(lit(1.0), abs(sumLen.cast("double") / n - lit(5.0)) / lit(10))) +
+      lit(0.25) * least(lit(1.0), lit(10.0) * Text.stopHits(tkc, "en") / n)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_distinct"),
+          (aggregate(transform(col("tk"), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+            .cast("double") / size(col("tk"))).as("avg_token_len"),
+          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("type_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "t02_lang_id" -> ((s, dir) => {
+      val h = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), tk.as("tk"))
+        .select(col("doc_id"), col("lang"),
+          Text.stopHits(col("tk"), "en").as("h_en"),
+          Text.stopHits(col("tk"), "es").as("h_es"),
+          Text.stopHits(col("tk"), "de").as("h_de"),
+          Text.stopHits(col("tk"), "fr").as("h_fr"))
+      h.select(col("lang"),
+          when(col("h_en") === 0 && col("h_es") === 0 && col("h_de") === 0 && col("h_fr") === 0, "und")
+            .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de") && col("h_en") >= col("h_fr"), "en")
+            .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr"), "es")
+            .when(col("h_de") >= col("h_fr"), "de")
+            .otherwise("fr").as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    "t03_quality_score" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"), tk.as("tk"))
+        .select(col("source"), score(col("tk")).as("score"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("score") < 0.5, 1L).otherwise(0L)).as("n_low_quality"),
+          // floor(score·1e6) is bit-exact on identical doubles, unlike a
+          // double→decimal cast whose rounding differs across engines.
+          sum(floor(col("score") * lit(1000000.0)).cast("long")).as("sum_score_micros"))
+        .orderBy("source")
+    }),
+
+    "t04_doc_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          Text.distinctShingles(col("text")).as("sh"))
+        .select(col("doc_id"),
+          Text.charFp(col("text")).as("full_hash"),
+          array_min(Text.fps(col("sh"))).as("min_shingle_fp"),
+          size(col("sh")).as("n_shingles"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val SCORE =
+    s"0.25 * least(1.0, CAST(len(tk) AS DOUBLE) / 80) " +
+      s"+ 0.25 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) " +
+      s"+ 0.25 * (1.0 - least(1.0, abs(CAST(list_sum([CAST(len(t) AS BIGINT) for t in tk]) AS DOUBLE) / len(tk) - 5.0) / 10)) " +
+      s"+ 0.25 * least(1.0, 10.0 * ${stopHits("tk", "en")} / len(tk))"
+
+  def oracleSql: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents)
+         |SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+         |  CAST(list_sum([CAST(len(t) AS BIGINT) for t in tk]) AS DOUBLE) / len(tk) AS avg_token_len,
+         |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS type_token_ratio
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t02_lang_id" ->
+      s"""WITH d AS (SELECT doc_id, lang, $TOKS AS tk FROM documents),
+         |h AS (SELECT doc_id, lang, ${stopHits("tk", "en")} AS h_en, ${stopHits("tk", "es")} AS h_es,
+         |  ${stopHits("tk", "de")} AS h_de, ${stopHits("tk", "fr")} AS h_fr FROM d),
+         |p AS (SELECT doc_id, lang,
+         |  CASE WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'und'
+         |       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+         |       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+         |       WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS lang_pred FROM h)
+         |SELECT lang, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t03_quality_score" ->
+      s"""WITH d AS (SELECT source, $TOKS AS tk FROM documents),
+         |sc AS (SELECT source, $SCORE AS score FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_score_micros
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t04_doc_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, text, list_distinct(${shingles(TOKS)}) AS sh FROM documents)
+         |SELECT doc_id, ${fp("text")} AS full_hash,
+         |  list_min([${fp("s")} for s in sh]) AS min_shingle_fp,
+         |  len(sh) AS n_shingles
+         |FROM d ORDER BY doc_id""".stripMargin
+  )
+}

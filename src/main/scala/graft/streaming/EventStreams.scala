@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event row (the driver's `events` fixture schema). */
+case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Closed gap-session emitted by [[EventStreams.sessionize]]. */
+case class SessionAgg(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, sum_value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+/** Structured Streaming operators over event streams (SURVEY.md §2.10).
+  * The reference's "streaming" is an external scheduler re-running a
+  * batch (`README.md:25`); these are the real streaming twins of the
+  * analytics layer, built on event time + watermarks. Batch equivalents
+  * are oracle-checked as q13 / s01 / s02; these transforms also run on
+  * batch DataFrames unchanged (tested in EventStreamsSpec, which also
+  * checks streaming-vs-batch agreement).
+  *
+  * Scale: state lives in the state store keyed by group — partitioned by
+  * user_id/group key across executors; watermarks bound state size.
+  */
+object EventStreams {
+
+  /** Tumbling window aggregate with watermark — streaming twin of q13. */
+  def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Keep-first dedup bounded by the watermark — streaming twin of s02;
+    * the fix-forward for the reference's re-run duplicate inserts
+    * (SURVEY.md §2.10 dedup row).
+    */
+  def dedupKeepFirst(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Gap-based sessionization with custom state — streaming twin of s01.
+    * Sessions close when `gap` passes with no event (event-time timeout);
+    * Append mode emits only closed sessions.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 15,
+      watermark: String = "2 hours"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(uid: Long, st: SessionState): SessionAgg =
+      SessionAgg(uid, new Timestamp(st.start), new Timestamp(st.end), st.n, st.sum)
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            var closed = List.empty[SessionAgg]
+            var cur = state.getOption
+            for (e <- batch.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(st) if t - st.end <= gapMs =>
+                  Some(SessionState(st.start, math.max(st.end, t), st.n + 1, st.sum + e.value))
+                case Some(st) =>
+                  closed ::= close(uid, st)
+                  Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.end + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Structured Streaming operators via MemoryStream replay (SURVEY.md §5
+  * item 5): watermark windowing, watermark dedup, stateful sessionization
+  * (including streaming-vs-batch agreement for the session op).
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsH(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  private def ev(id: Long, t: Timestamp, uid: Long, typ: String, v: Double) =
+    Event(id, t, uid, typ, v, "{}")
+
+  test("hourlyByType aggregates tumbling windows (streaming twin of q13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, tsH(10, 5), 1, "click", 1.0), ev(2, tsH(10, 55), 2, "click", 2.0),
+      ev(3, tsH(11, 5), 1, "view", 5.0))
+    val q = EventStreams.hourlyByType(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(4, tsH(14, 0), 1, "click", 1.0)) // advances watermark past 11:xx
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT hour_start, event_type, n_events, sum_value FROM hourly ORDER BY 1, 2")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((tsH(10, 0), "click", 2L, 3.0)))
+      assert(rows.contains((tsH(11, 0), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("dedupKeepFirst drops repeats of (user_id, event_type) within watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, ts(0), 1, "click", 1.0), ev(2, ts(1), 1, "click", 9.0),
+      ev(3, ts(2), 2, "click", 2.0), ev(4, ts(3), 1, "view", 3.0))
+    val q = EventStreams.dedupKeepFirst(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap timeout; agrees with batch logic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: events at 10:00, 10:05 (one session), then 10:40 (new session)
+    // user 2: single event 10:02
+    mem.addData(
+      ev(1, ts(0), 1, "c", 1.0), ev(2, ts(5), 1, "c", 2.0),
+      ev(3, ts(2), 2, "c", 4.0))
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 15)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(4, ts(40), 1, "c", 8.0))
+      q.processAllAvailable()
+      // push watermark far ahead so all sessions time out and emit
+      mem.addData(ev(5, tsH(14, 0), 9, "c", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(6, tsH(18, 0), 9, "c", 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.sql(
+        """SELECT user_id, session_start, n_events, sum_value
+          |FROM sessions WHERE user_id IN (1, 2) ORDER BY user_id, session_start""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSeq === Seq(
+        (1L, ts(0), 2L, 3.0),
+        (1L, ts(40), 1L, 8.0),
+        (2L, ts(2), 1L, 4.0)))
+    } finally q.stop()
+  }
+}
