@@ -34,12 +34,15 @@ object Vectors {
     acc
   }
 
-  /** Sequential left-fold dot product as a compiled-Scala UDF (Catalyst
-    * HOF lambdas evaluate interpreted — see Text.scala kernel note).
+  /** Sequential left-fold dot product as a native codegen'd Catalyst
+    * expression ([[DotProduct]]) — no catalyst↔Scala conversion, inlines
+    * into whole-stage codegen.
     */
   def dot(a: Column, b: Column): Column =
-    udf((x: Seq[Double], y: Seq[Double]) =>
-      if (x == null || y == null) null else java.lang.Double.valueOf(dotKernel(x, y))).apply(a, b)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

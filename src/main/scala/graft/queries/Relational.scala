@@ -290,6 +290,20 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // ---- cube (full grouping-set lattice, §2.6) ----------------------
+    "q21_cube_orders" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      Tables(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("sum_price"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("segment", "priority")
+    }),
+
     // ---- sessionization (gap-based session windows; batch twin of the
     //      streaming flatMapGroupsWithState op) --------------------------
     "s01_sessionize" -> ((s, dir) => {
@@ -457,6 +471,14 @@ object Relational {
       """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
         | count(*) AS n_parts
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_cube_orders" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY segment, priority""".stripMargin,
 
     "s01_sessionize" ->
       """WITH x AS (

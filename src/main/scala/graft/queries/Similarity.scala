@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,35 +11,49 @@ import OracleDialect.{cosine => cosSql}
 /** Similarity search over the `embeddings` table (SURVEY.md §7.4):
   * brute-force cosine top-k, IVF-style ANN, and blocked near-dup pairs.
   *
+  * Norms are computed ONCE per vector in the base projection and carried
+  * through joins — a pair computes a single dot product plus one divide,
+  * not three dots (the sqrt-per-vector values are identical to the
+  * oracle's per-pair `sqrt(dot(x,x))`, so results stay bit-exact while
+  * the pair stage does a third of the flops).
+  *
   * Scale design:
   *  - v01 brute force: the query set (20 vectors) broadcasts; each
-  *    partition of the base table scores its rows locally and the top-k
-  *    frontier is taken with one ranking window partitioned by query —
-  *    no all-pairs shuffle. Baseline/ground truth for ANN variants.
+  *    partition scores its rows locally; one ranking window per query
+  *    takes the top-k frontier — no all-pairs shuffle. Ground truth for
+  *    the ANN variants.
   *  - v02 IVF: nlist=16 centroids, nprobe=2. Assignment is a broadcast
-  *    nested-loop against 16 rows (cheap); at 100 TB the candidate scan
-  *    per query drops to ~nprobe/nlist of the data, and the `assign`
-  *    relation would be written bucketed by c_id so probes prune
-  *    partitions. Deterministic (fixed centroid ids, fixed tie-breaks),
-  *    hence oracle-checkable — unusual for ANN, deliberate here.
+  *    nested-loop against 16 rows; at 100 TB the `assign` relation is
+  *    written bucketed by c_id so probes prune partitions and each query
+  *    scans ~nprobe/nlist of the data. Deterministic (fixed centroid
+  *    ids, fixed tie-breaks), hence oracle-checkable — unusual for ANN,
+  *    deliberate here.
   *  - v03 near-dup: label is the blocking key (the realistic shape:
   *    cluster-id / shard blocking); pairs form within blocks only, one
   *    shuffle on label, never a global cross join.
   */
 object Similarity {
 
+  /** Base projection: double vector + its precomputed L2 norm. */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** cosine from a precomputed-norm pair: one dot, one multiply-divide. */
+  private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_exact" -> ((s, dir) => {
       val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "rank", "neighbor_id", "cosine")
@@ -48,23 +62,25 @@ object Similarity {
 
     "v02_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val c = e.filter(col("vec_id") < 16).select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val c = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(cosine(col("v"), col("cv")).desc, col("c_id"))
+        .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
       val assign = e.crossJoin(broadcast(c))
         .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_id"), col("v"))
+        .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
       val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(cosine(col("qv"), col("cv")).desc, col("c_id"))
+        .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("c_id"))
       val probes = q.crossJoin(broadcast(c))
         .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
         .select(col("q_id"), col("c_id"))
       val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       q.join(probes, "q_id").join(assign, "c_id")
         .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), cosine(col("qv"), col("v")).as("cosine"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
         .withColumn("rank", row_number().over(rankW))
         .filter(col("rank") <= 3)
         .select("q_id", "rank", "neighbor_id", "cosine")
@@ -73,10 +89,13 @@ object Similarity {
 
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("vb"))
+      val a = e.select(col("label"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
-        .select(col("label"), col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("cosine"))
+        .select(col("label"), col("a_id"), col("b_id"),
+          cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("label", "a_id", "b_id")
     })

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet-backed table layer — the Spark shape of the reference's
+  * persistence (SURVEY.md §2.9):
+  *
+  *  - K1 `create_tables` (idempotent DDL, `weather_data_fetcher.py:50-102`)
+  *    → [[ensureTable]]: CREATE-IF-NOT-EXISTS by writing an empty
+  *    dataframe with the declared schema when the path is absent.
+  *  - S2 Excel snapshot scan with FileNotFound→empty-frame semantics
+  *    (`:372-374`) → [[readSnapshot]].
+  *  - K2/K3 full-refresh overwrite with identity reseed (`:220-256`)
+  *    → [[overwriteSnapshot]]: dense 1-based ids regenerated per refresh
+  *    via `row_number` over a stable key (SURVEY.md §2.11 — NOT
+  *    monotonically_increasing_id, which is partition-dependent).
+  *  - K4 per-row INSERT loop (`:296-330`) → [[appendFacts]]: one bulk
+  *    append per batch, optionally partitioned by a date column so
+  *    time-range queries prune partitions (SURVEY.md §4 partitioning row).
+  *
+  * Atomicity note: the reference wraps delete-all + re-insert in one
+  * transaction (`:228-229`); Spark's `Overwrite` gives the same
+  * all-or-nothing visibility via staging-directory rename.
+  */
+object TableStore {
+
+  /** Missing path → empty frame WITH the declared schema (`:373-374`). */
+  def readSnapshot(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** Idempotent create: writes an empty table at `path` if absent (K1). */
+  def ensureTable(spark: SparkSession, path: String, schema: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Full-refresh overwrite with dense 1-based `idColumn` regenerated
+    * over `stableKey` (IDENTITY reseed semantics, `:232-237`).
+    */
+  def overwriteSnapshot(
+      df: DataFrame, path: String, idColumn: String, stableKey: Seq[String]): Unit =
+    df.withColumn(idColumn,
+        row_number().over(Window.orderBy(stableKey.map(col): _*)).cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bulk append of a fact batch (K4); pass `partitionBy` a date-derived
+    * column for partition-pruned time-range scans at scale.
+    */
+  def appendFacts(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

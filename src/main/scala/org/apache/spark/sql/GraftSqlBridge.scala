@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Access bridge to `private[sql]` Column↔Expression conversion for
+  * graft's native expressions (Spark 4 wraps Column around ColumnNode;
+  * the classic converter lives behind package-private API).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

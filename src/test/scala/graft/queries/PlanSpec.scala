@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan assertions (SURVEY.md §4: "Catalyst built-in; verify via
+  * explain in tests") — the plans we would want at 100 TB, checked at
+  * sf0.001 (plan shape is scale-invariant for these properties).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q05: filters and projection reach the parquet scan") {
+    val p = plan("q05_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: only the 5 selected columns survive to the scan
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q03: dimension joins broadcast; fact join does not broadcast lineitem") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // lineitem-orders is the big join: must be a shuffle join at scale...
+    // at sf0.001 AQE may broadcast it too; assert customer side broadcast
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q01: hash aggregate with map-side partial aggregation") {
+    val p = plan("q01_pricing_summary")
+    // partial + final pair: two HashAggregate nodes over the same keys
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q11: anti join stays a join (no subquery re-execution)") {
+    val p = plan("q11_customers_without_orders")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("d02: jaccard pairs via aggregate on the shingle join, no array intersect") {
+    val p = plan("d02_jaccard_pairs")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.toLowerCase.contains("array_intersect"), p)
+    assert(!p.contains("CartesianProduct"), "pair generation must not be a cross join")
+  }
+
+  test("v03: blocked pairs shuffle on label, never cross-join globally") {
+    val p = plan("v03_neardup_blocked")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v01: query side broadcasts (BroadcastNestedLoopJoin over the base scan)") {
+    val p = plan("v01_knn_exact")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("entry: flagship query runs and returns rows (driver smoke parity)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+}
