@@ -59,6 +59,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream (AvailableNow-style) agrees with the batch q13 result") {
+    import spark.implicits._
+    // real streaming source over the parquet fixture: one-pass catch-up,
+    // the scheduler-driven micro-batch shape of the reference (§2.10)
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.Tables(spark, dir, "events")
+    // stage the fixture as a stream input dir (overwrite clears it)
+    batchDf.write.mode("overwrite").parquet("/tmp/stream_events_in")
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet("/tmp/stream_events_in")
+
+    val q = EventStreams.hourlyByType(stream, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM file_hourly")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = batchDf
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+        .count()
+        .select($"window.start", $"event_type", $"count")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout; agrees with batch logic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
