@@ -304,6 +304,31 @@ object Relational {
         .orderBy("segment", "priority")
     }),
 
+    // ---- sketches (rows-only checks: HLL/KLL internals are
+    //      engine-specific, so no cross-engine oracle by design) --------
+    "x01_approx_distinct" -> ((s, dir) => {
+      val nat = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      Tables(s, dir, "orders")
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .orderBy("n_name")
+    }),
+
+    "x02_percentile_sketch" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ---- sessionization (gap-based session windows; batch twin of the
     //      streaming flatMapGroupsWithState op) --------------------------
     "s01_sessionize" -> ((s, dir) => {

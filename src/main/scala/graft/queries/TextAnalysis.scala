@@ -77,6 +77,18 @@ object TextAnalysis {
         .orderBy("source")
     }),
 
+    // BPE-ish tokenization: alpha runs | digit runs | single symbols,
+    // plus length-capped subword pieces — the brief's "whitespace + a
+    // BPE-ish regex" token-counting pair (t01 covers whitespace).
+    "t05_token_regex" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("lt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("lt"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
+          size(regexp_extract_all(col("lt"), lit("[a-z]{1,4}"), lit(0))).as("n_subword_pieces"))
+        .orderBy("doc_id")
+    }),
+
     "t04_doc_fingerprint" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"),
@@ -121,6 +133,13 @@ object TextAnalysis {
          |  CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
          |  CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_score_micros
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t05_token_regex" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        |  len(regexp_extract_all(lt, '[a-z]{1,4}')) AS n_subword_pieces
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "t04_doc_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, text, list_distinct(${shingles(TOKS)}) AS sh FROM documents)
