@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.queries.{Dedup, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -33,7 +33,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++ Map(
+    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Temporal.queries ++ Map(
       // multimodal plumbing (decode step stubbed — graft.multimodal doc);
       // no oracle entry: engine-side stub, driver records rows-only check
       "m01_media_features" -> ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
@@ -42,5 +43,6 @@ object SparkEntry {
     * the same parquet tables. Omitted entries get a rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql
+    Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++
+      Temporal.oracleSql
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators Spark lacks as primitives, composed from
+  * existing ops per the preference order (compose > custom plan):
+  *
+  *  - As-of join (w01): NOT a range join + rank — that explodes pairs.
+  *    Both sides union into one stream tagged by kind, one window per
+  *    entity carries the last build-side value forward, probe rows read
+  *    it. One shuffle + sort per entity key, zero pair blow-up — the
+  *    shape that survives 100 TB (equivalently: the streaming
+  *    mapGroupsWithState formulation, see streaming/EventStreams).
+  *  - Range-window aggregate (w02): value-based RANGE frame over
+  *    event-time micros — "events in the trailing 10 minutes" without a
+  *    self-join.
+  *
+  * Oracles: DuckDB's native ASOF LEFT JOIN / RANGE frames compute the
+  * same semantics through a completely different implementation — a
+  * strong cross-engine check that the composition is right.
+  */
+object Temporal {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // each click gets the user's most recent at-or-before purchase
+    "w01_asof_click_purchase" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      // dedup purchases per (user, ts) so the as-of pick is deterministic
+      val pd = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          col("p_event_id"), lit(null).cast("long").as("c_event_id"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          lit(null).cast("long").as("p_event_id"), col("event_id").as("c_event_id"))
+      // order (ts, kind): a purchase at the same instant sorts before the
+      // click, so ">= inclusive" as-of semantics hold
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pd.unionByName(ck)
+        .withColumn("p_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+        .withColumn("p_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("c_event_id").as("event_id"), col("user_id"), col("ts"),
+          col("p_id").as("p_event_id"), col("p_ts"))
+        .orderBy("event_id")
+    }),
+
+    // trailing-10-minute per-user activity, strictly before each event
+    "w02_trailing_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tkey"))
+        .rangeBetween(-600000000L, -1L) // micros: [ts-10min, ts)
+      Tables(s, dir, "events")
+        .withColumn("tkey", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_prev_10min"),
+          sum(col("value").cast("decimal(18,2)")).over(w).as("sum_prev_value"))
+        .orderBy("event_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "w01_asof_click_purchase" ->
+      """WITH pd AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |ck AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts
+        |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "w02_trailing_window" ->
+      """SELECT event_id, user_id, ts,
+        | count(*) OVER w AS n_prev_10min,
+        | sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prev_value
+        |FROM (SELECT *, epoch_us(ts) AS tkey FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tkey
+        |  RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin
+  )
+}
