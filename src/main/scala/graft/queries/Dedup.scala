@@ -82,8 +82,16 @@ object Dedup {
           col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-      cand.join(jaccardPairs(docs).filter(col("jaccard") >= 0.5), Seq("a_id", "b_id"))
-        .groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+      // exact-verify ONLY the candidates (the point of LSH: the full
+      // inverted-index pass of d02 never runs here) — candidates are few,
+      // so per-pair set intersection is cheap; |A∩B|/|A∪B| over distinct
+      // sets is the same jaccard value as d02's count formulation
+      val ver = cand
+        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))) >= 0.5)
+      ver.groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
         .orderBy("doc_id")
     }),
 

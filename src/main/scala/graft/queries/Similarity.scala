@@ -87,6 +87,29 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // same result set as v01, computed through the typed bounded-heap
+    // Aggregator: map-side partial top-k (k rows per group per partition
+    // cross the shuffle, no sort) — the scale-out formulation
+    "v04_knn_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        .as[(Long, Long, Double)]
+      scored.groupByKey(_._1)
+        .mapValues { case (_, id, c) => graft.functions.ScoredNeighbor(id, c) }
+        .agg(new graft.functions.TopKAggregator(5).toColumn)
+        .flatMap { case (qid, tops) =>
+          tops.zipWithIndex.map { case (t, i) => (qid, i + 1, t.neighbor_id, t.score) }
+        }
+        .toDF("q_id", "rank", "neighbor_id", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
@@ -129,6 +152,15 @@ object Similarity {
          |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // identical semantics to v01 — the aggregator must reproduce the
+    // window formulation exactly
+    "v04_knn_topk_agg" ->
+      s"""WITH e AS ($EMB), q AS (SELECT * FROM e WHERE vec_id < 20),
+         |p AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, ${cosSql("q.v", "e.v")} AS cosine
+         |  FROM q, e WHERE e.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
+         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "v03_neardup_blocked" ->
       s"""WITH e AS ($EMB),
