@@ -36,9 +36,14 @@ object Names {
   def nameVariants(name: String): Seq[String] =
     (Seq(normalizeCityName(name), name) ++ stripCitySuffix(name)).distinct
 
-  /** Column form of [[normalizeCityName]] — anchored regexp strip. */
-  def normalizeCityNameCol(c: Column): Column =
-    trim(regexp_replace(c, "^(City of |Municipality of |Barangay |Town of )", ""))
+  /** Column form of [[normalizeCityName]] — anchored regexp strip; trim
+    * only applies after an actual strip (the reference returns the name
+    * untouched when no prefix matches, `:157`).
+    */
+  def normalizeCityNameCol(c: Column): Column = {
+    val stripped = regexp_replace(c, "^(City of |Municipality of |Barangay |Town of )", "")
+    when(stripped =!= c, trim(stripped)).otherwise(c)
+  }
 
   /** Column form of [[stripCitySuffix]]; passes through when no suffix. */
   def stripCitySuffixCol(c: Column): Column =

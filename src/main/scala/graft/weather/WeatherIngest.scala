@@ -73,22 +73,17 @@ object WeatherIngest {
       .withColumn("data_datetime", lit(now)) // ingestion time (:282)
       .withColumn("inserted_at", lit(now))   // GETDATE() default (:96)
 
-    // J3: point lookup → broadcast equi-join on (location_name, province_name)
+    // J3: point lookup → broadcast equi-join on (location_name, province_name);
+    // dim keys renamed so the joined schema stays duplicate-free
     val dim = snapshot.select(
-      col("location_id"), col("name").as("location_name"), col("province_name"))
-    val facts = shredded.join(
-      broadcast(dim),
-      shredded("location_name") === dim("location_name") &&
-        shredded("province_name") <=> dim("province_name"),
-      "inner")
-      .drop(dim("location_name")).drop(dim("province_name"))
+      col("location_id"), col("name").as("dim_name"), col("province_name").as("dim_prov"))
+    def cond(left: DataFrame) =
+      left("location_name") === dim("dim_name") && left("province_name") <=> dim("dim_prov")
+    val facts = shredded.join(broadcast(dim), cond(shredded), "inner")
+      .drop("dim_name", "dim_prov")
 
     // the reference's log-on-miss (:292-293) as a left_anti audit relation
-    val missed = shredded.join(
-      broadcast(dim),
-      shredded("location_name") === dim("location_name") &&
-        shredded("province_name") <=> dim("province_name"),
-      "left_anti")
+    val missed = shredded.join(broadcast(dim), cond(shredded), "left_anti")
       .select(col("location_name"), col("province_name"))
 
     (facts, missed)

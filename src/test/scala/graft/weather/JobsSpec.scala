@@ -78,6 +78,30 @@ class JobsSpec extends SparkSpec {
     assert(second.filter(col("latitude").isNotNull).count() === 2)
   }
 
+  test("streaming ingest loop appends day-partitioned facts per tick (§2.10)") {
+    val snapshot = Seq(
+      (1L, "Manila", Some("Metro Manila"), Some(14.59), Some(120.98)))
+      .toDF("location_id", "name", "province_name", "latitude", "longitude")
+    val json =
+      """{"weather":[{"main":"Clear","description":"clear sky"}],
+        |"main":{"temp":30.0,"feels_like":33.0,"temp_min":29.0,"temp_max":31.0,
+        |"pressure":1010,"humidity":70},"wind":{"speed":2.0},"clouds":{"all":10},
+        |"sys":{"sunrise":1700000000,"sunset":1700043200}}""".stripMargin.replaceAll("\n", "")
+    val base = java.nio.file.Files.createTempDirectory("wstream")
+    val q = WeatherStream.ingestStream(
+      spark, () => snapshot, (_, _) => json,
+      base.resolve("facts").toString, base.resolve("ckpt").toString,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100),
+      () => Timestamp.valueOf("2024-12-20 06:00:00"))
+    try {
+      q.processAllAvailable()
+      val facts = spark.read.parquet(base.resolve("facts").toString)
+      assert(facts.count() >= 1)
+      assert(facts.select("day").distinct().head.getDate(0).toString === "2024-12-20")
+      assert(facts.select("weather_main").head.getString(0) === "Clear")
+    } finally q.stop()
+  }
+
   test("weather ingest: shred, broadcast lookup, miss audit (entry point C)") {
     val snapshot = Seq(
       (1L, "Manila", Some("Metro Manila"), Some(14.59), Some(120.98)),
