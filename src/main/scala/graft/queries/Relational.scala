@@ -319,6 +319,18 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // exact interpolated percentiles — cross-engine comparable iff both
+    // engines use the same lerp arithmetic (verified by the gate)
+    "q22_exact_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     "x02_percentile_sketch" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -496,6 +508,11 @@ object Relational {
       """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
         | count(*) AS n_parts
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_exact_percentiles" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.25) AS p25, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
