@@ -304,6 +304,36 @@ object Relational {
         .orderBy("segment", "priority")
     }),
 
+    // ---- window-function variety (rank/dense_rank/ntile/lead/lag) ----
+    "q23_window_suite" -> ((s, dir) => {
+      val wPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      val wTime = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(wPrice).as("price_rank"),
+          dense_rank().over(wPrice).as("price_dense_rank"),
+          ntile(4).over(wTime).as("time_quartile"),
+          lag(col("o_orderdate"), 1).over(wTime).as("prev_order_date"),
+          lead(col("o_orderdate"), 1).over(wTime).as("next_order_date"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ---- string-distance blocking (levenshtein near-names per brand) --
+    "q24_name_distance" -> ((s, dir) => {
+      val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand")).filter(col("a_key") < col("b_key"))
+        .select(col("p_brand"), levenshtein(col("a_name"), col("b_name")).as("d"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(col("d") <= 5, 1L).otherwise(0L)).as("n_close_pairs"),
+          min(col("d")).as("min_distance"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy("p_brand")
+    }),
+
     // ---- sketches (rows-only checks: HLL/KLL internals are
     //      engine-specific, so no cross-engine oracle by design) --------
     "x01_approx_distinct" -> ((s, dir) => {
@@ -508,6 +538,26 @@ object Relational {
       """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
         | count(*) AS n_parts
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(rank() OVER wp AS INT) AS price_rank,
+        | CAST(dense_rank() OVER wp AS INT) AS price_dense_rank,
+        | CAST(ntile(4) OVER wt AS INT) AS time_quartile,
+        | lag(o_orderdate, 1) OVER wt AS prev_order_date,
+        | lead(o_orderdate, 1) OVER wt AS next_order_date
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+        |       wt AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q24_name_distance" ->
+      """SELECT a.p_brand,
+        | CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close_pairs,
+        | CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_distance,
+        | count(*) AS n_pairs
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q22_exact_percentiles" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
