@@ -334,6 +334,22 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    // ---- correlated scalar subqueries via the SQL entry path (Catalyst
+    //      decorrelates both into aggregate+join; predicate uses exact
+    //      decimal cross-multiplication, never a double average) --------
+    "q25_above_nation_avg" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_name, c_custkey, c_acctbal
+          |FROM customer_v c JOIN nation_v n ON c_nationkey = n_nationkey
+          |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+          |    (SELECT count(*) FROM customer_v c2 WHERE c2.c_nationkey = c.c_nationkey)
+          |  > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer_v c2
+          |     WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY n_name, c_custkey""".stripMargin)
+    }),
+
     // ---- sketches (rows-only checks: HLL/KLL internals are
     //      engine-specific, so no cross-engine oracle by design) --------
     "x01_approx_distinct" -> ((s, dir) => {
@@ -538,6 +554,15 @@ object Relational {
       """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
         | count(*) AS n_parts
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_above_nation_avg" ->
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |  > (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |     WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY n_name, c_custkey""".stripMargin,
 
     "q23_window_suite" ->
       """SELECT o_custkey, o_orderkey,
