@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so
+  * `spark.conf spark.sql.extensions=graft.GraftExtensions` makes
+  * `SELECT graft_dot(a, b)` available to pure-SQL users alongside the
+  * Column API (`graft.functions.Vectors.dot`).
+  *
+  * No custom optimizer Rule or SparkStrategy is injected — SURVEY.md §4
+  * establishes none is required for this engine's semantics; the hook
+  * exists here so adding one later is a one-liner.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB) takes two arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

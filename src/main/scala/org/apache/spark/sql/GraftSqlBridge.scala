@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply collected extension injections to an ALREADY-RUNNING session
+    * (tests share one session; `spark.sql.extensions` only applies at
+    * session build).
+    */
+  def registerFunctions(ext: SparkSessionExtensions, session: SparkSession): Unit =
+    ext.registerFunctions(session.sessionState.functionRegistry)
 }
