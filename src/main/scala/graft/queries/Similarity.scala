@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Vectors._
-import OracleDialect.{cosine => cosSql}
+import OracleDialect.{cosine => cosSql, fp => fpSql}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §7.4):
   * brute-force cosine top-k, IVF-style ANN, and blocked near-dup pairs.
@@ -110,6 +110,24 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // LSH-bucketed ANN: single-probe random-hyperplane buckets (8 bits);
+    // candidates share the bucket, so the join shuffles on bucket id —
+    // each query scans ~1/256 of the data instead of all of it
+    "v05_knn_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+      val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket"))
+      val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      q.join(e, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 3)
+        .select("q_id", "rank", "neighbor_id", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
@@ -161,6 +179,22 @@ object Similarity {
          |  FROM q, e WHERE e.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
          |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "v05_knn_lsh" -> {
+      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      s"""WITH e AS ($EMB),
+         |bk AS (SELECT vec_id, v, CAST(list_sum(
+         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id >= 200 AND vec_id < 210),
+         |cand AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.qv, e.v
+         |  FROM q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
+         |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
 
     "v03_neardup_blocked" ->
       s"""WITH e AS ($EMB),
