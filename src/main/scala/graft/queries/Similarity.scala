@@ -128,6 +128,21 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
+    // embedding near-dup without a natural blocking key: LSH buckets are
+    // the blocks (same shuffle shape as v05); exact cosine verify inside
+    "v06_neardup_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+        .select(col("bucket"), col("a_id"), col("b_id"),
+          cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+        .orderBy("bucket", "a_id", "b_id")
+    }),
+
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
@@ -194,6 +209,20 @@ object Similarity {
          |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "v06_neardup_lsh" -> {
+      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      s"""WITH e AS ($EMB),
+         |bk AS (SELECT vec_id, v, CAST(list_sum(
+         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
+         |  FROM e),
+         |p AS (SELECT a.bucket, a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cosine
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT bucket, a_id, b_id, cosine FROM p WHERE cosine >= 0.3
+         |ORDER BY bucket, a_id, b_id""".stripMargin
     },
 
     "v03_neardup_blocked" ->
