@@ -95,6 +95,36 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // connected components over the verified near-dup graph: the real
+    // dedup grouping (d04's min-neighbor is one hop; chains a~b~c need
+    // transitive closure). Driver-coordinated min-label propagation —
+    // the standard iterative shape for distributed graph connectivity;
+    // iterations are bounded by component diameter (near-dup clusters
+    // are shallow), and the pair relation is checkpointed once so each
+    // iteration is a single join + aggregate, not a full recompute.
+    "d06_dedup_components" -> ((s, dir) => {
+      val pairs = jaccardPairs(shingleDocs(s, dir)).filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val eb = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      var labels = pairs.select(col("a_id").as("id"))
+        .union(pairs.select(col("b_id").as("id")))
+        .distinct().withColumn("lbl", col("id")).localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val prop = eb.join(labels, eb("src") === labels("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val next = labels.select("id", "lbl").union(prop)
+          .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+          .filter(col("lbl") =!= col("old")).isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
+    }),
+
     "d05_simhash_neardup" -> ((s, dir) => {
       val sig = shingleDocs(s, dir)
         .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
@@ -151,6 +181,18 @@ object Dedup {
          |ver AS (SELECT cand.a_id, cand.b_id FROM cand
          |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)
          |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM ver GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "d06_dedup_components" ->
+      s"""WITH RECURSIVE $JACCARD_PAIRS,
+         |edges AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
+         |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+         |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |       UNION SELECT b_id, a_id FROM edges),
+         |comp(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src)
+         |SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d05_simhash_neardup" ->
       s"""WITH docs AS ($DOCS),
