@@ -319,17 +319,22 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ---- string-distance blocking (levenshtein near-names per brand) --
+    // ---- string-distance blocking (levenshtein near-names per brand);
+    //      the threshold overload early-exits the DP when distance
+    //      exceeds 5, so far-apart pairs cost O(len·threshold) not
+    //      O(len²) — stats are defined over close pairs only, which the
+    //      oracle reproduces with a plain CASE ----------------------------
     "q24_name_distance" -> ((s, dir) => {
       val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_name")
       val a = p.select(col("p_brand"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
       val b = p.select(col("p_brand"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
       a.join(b, Seq("p_brand")).filter(col("a_key") < col("b_key"))
-        .select(col("p_brand"), levenshtein(col("a_name"), col("b_name")).as("d"))
+        .select(col("p_brand"),
+          levenshtein(col("a_name"), col("b_name"), 5).as("d")) // -1 when > 5
         .groupBy("p_brand")
         .agg(
-          sum(when(col("d") <= 5, 1L).otherwise(0L)).as("n_close_pairs"),
-          min(col("d")).as("min_distance"),
+          sum(when(col("d") >= 0, 1L).otherwise(0L)).as("n_close_pairs"),
+          min(when(col("d") >= 0, col("d"))).as("min_close_distance"),
           count(lit(1)).as("n_pairs"))
         .orderBy("p_brand")
     }),
@@ -579,7 +584,8 @@ object Relational {
     "q24_name_distance" ->
       """SELECT a.p_brand,
         | CAST(sum(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_close_pairs,
-        | CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_distance,
+        | CAST(min(CASE WHEN levenshtein(a.p_name, b.p_name) <= 5
+        |           THEN levenshtein(a.p_name, b.p_name) END) AS INT) AS min_close_distance,
         | count(*) AS n_pairs
         |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
