@@ -63,11 +63,17 @@ object Dedup {
         .orderBy("a_id", "b_id")
     }),
 
+    // scalar-exploded shape (doc_id, perm_index, sig_value): the driver's
+    // pandas oracle can't sort/hash an array<bigint> column (round-1 err),
+    // so the gate row is one row per permutation; the array-valued
+    // signature stays available engine-side via Text.minhashSig
     "d03_minhash_sig" -> ((s, dir) => {
       shingleDocs(s, dir)
         .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
-        .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
-        .orderBy("doc_id")
+        .select(col("doc_id"), posexplode(Text.minhashSig(col("fps"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("perm_index"),
+          col("col").as("sig_value"))
+        .orderBy("doc_id", "perm_index")
     }),
 
     "d04_minhash_lsh_dedup" -> ((s, dir) => {
@@ -167,8 +173,11 @@ object Dedup {
 
     "d03_minhash_sig" ->
       s"""WITH docs AS ($DOCS),
-         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs)
-         |SELECT doc_id, ${minhashSig("fps")} AS sig FROM f ORDER BY doc_id""".stripMargin,
+         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs),
+         |sigs AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f WHERE len(fps) > 0)
+         |SELECT doc_id, j + 1 AS perm_index, sig[CAST(j + 1 AS INT)] AS sig_value
+         |FROM sigs, (SELECT unnest(range(0, 16)) AS j)
+         |ORDER BY doc_id, perm_index""".stripMargin,
 
     "d04_minhash_lsh_dedup" ->
       s"""WITH $JACCARD_PAIRS,

@@ -36,6 +36,20 @@ object Relational {
   /** Exact 2-decimal money cast — see class doc. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Pin the DECLARED type of a final decimal aggregate to DECIMAL(38,2)
+    * (or (38,4) for revenue sums) in BOTH engines. The driver's hash is
+    * decimal-TYPE sensitive, not just value sensitive: Spark types
+    * `sum(DECIMAL(18,2))` as DECIMAL(28,2) while DuckDB types it
+    * DECIMAL(38,2), and bit-identical values still hash-mismatch
+    * (round-1 root cause for q01,q02,q07,q09,q10,q13,q17,q21,s01,w02).
+    * Every final decimal output column therefore carries an explicit
+    * cast here and a matching `CAST(... AS DECIMAL(38,x))` in the
+    * paired oracle SQL — pinned regardless of either engine's
+    * sum-widening rules or version.
+    */
+  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
+  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
+
   /** Per-item revenue `extendedprice * (1 - discount)` in exact decimal
     * arithmetic (reference analogue: the analytics layer SURVEY.md §2.6).
     */
@@ -52,9 +66,9 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(revenue).as("sum_disc_price"),
+          out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+          out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          out4(sum(revenue)).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -64,7 +78,7 @@ object Relational {
     "q02_topk_order_revenue" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(revenue).as("order_revenue"), count(lit(1)).as("n_items"))
+        .agg(out4(sum(revenue)).as("order_revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("order_revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -78,7 +92,7 @@ object Relational {
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
-          sum(revenue).as("segment_revenue"),
+          out4(sum(revenue)).as("segment_revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"),
           countDistinct(col("c_custkey")).as("n_customers"))
         .orderBy(col("c_mktsegment"))
@@ -128,7 +142,7 @@ object Relational {
       Tables(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          sum(dec2(col("o_totalprice"))).over(w).as("running_spend"))
+          out2(sum(dec2(col("o_totalprice"))).over(w)).as("running_spend"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -156,7 +170,7 @@ object Relational {
         .agg(
           countDistinct(col("o_custkey")).as("n_active_customers"),
           count(lit(1)).as("n_orders"),
-          sum(dec2(col("o_totalprice"))).as("total_spend"))
+          out2(sum(dec2(col("o_totalprice")))).as("total_spend"))
         .orderBy("n_name")
     }),
 
@@ -168,7 +182,7 @@ object Relational {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), sum(dec2(col("c_acctbal"))).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), out2(sum(dec2(col("c_acctbal")))).as("sum_acctbal"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),
@@ -205,7 +219,7 @@ object Relational {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          sum(dec2(col("value"))).as("sum_value"),
+          out2(sum(dec2(col("value")))).as("sum_value"),
           round(avg(col("value")), 4).as("avg_value"))
         .select(
           col("window.start").as("hour_start"),
@@ -255,7 +269,7 @@ object Relational {
         .groupBy(
           year(col("o_orderdate")).as("o_year"),
           quarter(col("o_orderdate")).as("o_quarter"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), out2(sum(dec2(col("o_totalprice")))).as("sum_price"))
         .orderBy("o_year", "o_quarter")
     }),
 
@@ -296,7 +310,7 @@ object Relational {
       Tables(s, dir, "orders")
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .cube(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), out2(sum(dec2(col("o_totalprice")))).as("sum_price"))
         .select(
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -408,7 +422,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
-          sum(dec2(col("value"))).as("sum_value"))
+          out2(sum(dec2(col("value")))).as("sum_value"))
         .orderBy("user_id", "session_seq")
     }),
 
@@ -428,9 +442,9 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-         | sum($REV_SQL) AS sum_disc_price,
+         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         | CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS sum_disc_price,
          | round(avg(l_quantity), 4) AS avg_qty,
          | round(avg(l_discount), 4) AS avg_disc,
          | count(*) AS count_order
@@ -438,12 +452,12 @@ object Relational {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q02_topk_order_revenue" ->
-      s"""SELECT l_orderkey, sum($REV_SQL) AS order_revenue, count(*) AS n_items
+      s"""SELECT l_orderkey, CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS order_revenue, count(*) AS n_items
          |FROM lineitem GROUP BY 1
          |ORDER BY order_revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q03_segment_revenue" ->
-      s"""SELECT c_mktsegment, sum($REV_SQL) AS segment_revenue,
+      s"""SELECT c_mktsegment, CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS segment_revenue,
          | count(DISTINCT o_orderkey) AS n_orders,
          | count(DISTINCT c_custkey) AS n_customers
          |FROM lineitem
@@ -472,8 +486,8 @@ object Relational {
 
     "q07_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
-        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS running_spend
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q08_symmetric_diff" ->
@@ -486,14 +500,14 @@ object Relational {
 
     "q09_nation_order_stats" ->
       """SELECT n_name, count(DISTINCT o_custkey) AS n_active_customers,
-        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_rollup_acctbal" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
-        | count(*) AS n_customers, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        | count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -512,7 +526,7 @@ object Relational {
 
     "q13_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        | count(*) AS n_events, sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
         | round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -539,7 +553,7 @@ object Relational {
     "q17_orders_by_quarter" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(quarter(o_orderdate) AS INT) AS o_quarter,
-        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q18_intersect" ->
@@ -598,7 +612,7 @@ object Relational {
     "q21_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         | coalesce(o_orderpriority, 'ALL') AS priority,
-        | count(*) AS n_orders, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY segment, priority""".stripMargin,
@@ -614,7 +628,7 @@ object Relational {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
         |SELECT user_id, session_seq, count(*) AS n_events,
         | date_diff('microsecond', min(ts), max(ts)) AS duration_us,
-        | sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s02_dedup_keep_first" ->

@@ -166,7 +166,7 @@ object Similarity {
          |p AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, ${cosSql("q.v", "e.v")} AS cosine
          |  FROM q, e WHERE e.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
-         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "v02_knn_ivf" ->
       s"""WITH e AS ($EMB), c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
@@ -184,7 +184,7 @@ object Similarity {
          |  WHERE a.vec_id <> q.q_id),
          |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     // identical semantics to v01 — the aggregator must reproduce the
     // window formulation exactly
@@ -193,7 +193,7 @@ object Similarity {
          |p AS (SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id, ${cosSql("q.v", "e.v")} AS cosine
          |  FROM q, e WHERE e.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p)
-         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "v05_knn_lsh" -> {
       val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
@@ -208,7 +208,7 @@ object Similarity {
          |  FROM q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
          |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-         |SELECT q_id, rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
     },
 
     "v06_neardup_lsh" -> {

@@ -110,7 +110,8 @@ object TextAnalysis {
   def oracleSql: Map[String, String] = Map(
     "t01_token_stats" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents)
-         |SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+         |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(tk)) AS INT) AS n_distinct,
          |  CAST(list_sum([CAST(len(t) AS BIGINT) for t in tk]) AS DOUBLE) / len(tk) AS avg_token_len,
          |  CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS type_token_ratio
          |FROM d ORDER BY doc_id""".stripMargin,
@@ -137,15 +138,15 @@ object TextAnalysis {
     "t05_token_regex" ->
       """WITH d AS (SELECT doc_id, lower(text) AS lt FROM documents)
         |SELECT doc_id,
-        |  len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-        |  len(regexp_extract_all(lt, '[a-z]{1,4}')) AS n_subword_pieces
+        |  CAST(len(regexp_extract_all(lt, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(lt, '[a-z]{1,4}')) AS INT) AS n_subword_pieces
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "t04_doc_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, text, list_distinct(${shingles(TOKS)}) AS sh FROM documents)
          |SELECT doc_id, ${fp("text")} AS full_hash,
          |  list_min([${fp("s")} for s in sh]) AS min_shingle_fp,
-         |  len(sh) AS n_shingles
+         |  CAST(len(sh) AS INT) AS n_shingles
          |FROM d ORDER BY doc_id""".stripMargin
   )
 }

@@ -19,17 +19,30 @@ def norm(v):
     if isinstance(v, float):
         return repr(v)
     if isinstance(v, Decimal):
-        return str(v.normalize())  # scale-insensitive compare
+        # scale-SENSITIVE: the driver's hash distinguishes 1.5 from 1.50
+        return str(v)
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
 
-def canon(cols, rows):
+def type_key(t):
+    """Declared-type compare key. The driver's hash is type-sensitive
+    (DECIMAL(28,2) != DECIMAL(38,2) even with identical values — round-1
+    failure mode), so declared types must match exactly, modulo storage
+    details that don't survive into the driver's pandas frames:
+    timestamps' TZ-adjustment flag differs between Spark parquet output
+    and DuckDB query results but both land as datetime64 values."""
+    s = str(t)
+    return "TIMESTAMP" if s.startswith("TIMESTAMP") else s
+
+
+def canon(cols, rows, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     out.sort()
-    return [cols[i] for i in order], out
+    return ([cols[i] for i in order], out,
+            [type_key(types[i]) for i in order])
 
 
 def main():
@@ -46,16 +59,20 @@ def main():
             failures += 1
             continue
         got = con.sql(f"SELECT * FROM read_parquet('{pq}/*.parquet')")
-        gcols, grows = canon(got.columns, got.fetchall())
+        gcols, grows, gtypes = canon(got.columns, got.fetchall(), got.types)
         try:
             exp = con.sql(oracle[name])
-            ecols, erows = canon(exp.columns, exp.fetchall())
+            ecols, erows, etypes = canon(exp.columns, exp.fetchall(), exp.types)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             failures += 1
             continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
+            failures += 1
+            continue
+        if gtypes != etypes:
+            print(f"FAIL {name}: types {list(zip(gcols, gtypes))} != {list(zip(ecols, etypes))}")
             failures += 1
             continue
         if len(grows) != len(erows):
