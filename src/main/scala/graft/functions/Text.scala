@@ -141,6 +141,76 @@ object Text {
     udf((xs: Seq[Long]) =>
       if (xs == null) null else java.lang.Long.valueOf(simhashOf(xs.toArray))).apply(fpsCol)
 
+  /** JVM kernel of the t03 quality score — the SAME IEEE double op
+    * sequence as the oracle SQL (term order, left-assoc adds, one
+    * division per term), so values stay bit-identical while the whole
+    * per-row computation compiles to a single JVM loop instead of four
+    * interpreted Catalyst HOF lambdas (measured 33.5 s → the HOF trap
+    * documented above).
+    *
+    *   0.25·min(1, n/80) + 0.25·TTR
+    * + 0.25·(1 − min(1, |sumLen/n − 5|/10)) + 0.25·min(1, 10·stop/n)
+    */
+  def qualityScoreStr(text: String): Double = {
+    val toks = text.toLowerCase.split(" ")
+    val seen = new java.util.HashSet[String]()
+    var n = 0
+    var sumLen = 0L
+    var stop = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        sumLen += t.length
+        if (enStops.contains(t)) stop += 1
+        seen.add(t)
+      }
+      i += 1
+    }
+    val nd = n.toDouble
+    0.25 * math.min(1.0, nd / 80) +
+      0.25 * (seen.size.toDouble / n) +
+      0.25 * (1.0 - math.min(1.0, math.abs(sumLen.toDouble / n - 5.0) / 10)) +
+      0.25 * math.min(1.0, 10.0 * stop / n)
+  }
+
+  // lazy: `stopwords` is declared further down in this object
+  private lazy val enStops: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords("en").foreach(s.add)
+    s
+  }
+
+  /** Compiled quality score over the raw text column (tokenize + score in
+    * one pass; null text → null score).
+    */
+  def qualityScore(text: Column): Column =
+    udf((s: String) =>
+      if (s == null) null else java.lang.Double.valueOf(qualityScoreStr(s))).apply(text)
+
+  /** JVM kernel of t01's per-document token statistics: token count,
+    * distinct count, summed token length — one compiled pass replacing
+    * three interpreted HOF lambdas over the same array.
+    */
+  def tokenStatsStr(text: String): (Int, Int, Long) = {
+    val toks = text.toLowerCase.split(" ")
+    val seen = new java.util.HashSet[String]()
+    var n = 0
+    var sumLen = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) { n += 1; sumLen += t.length; seen.add(t) }
+      i += 1
+    }
+    (n, seen.size, sumLen)
+  }
+
+  /** Token stats as a struct column (n_tokens, n_distinct, sum_len). */
+  def tokenStats(text: Column): Column =
+    udf((s: String) => if (s == null) null else tokenStatsStr(s)).apply(text)
+
   /** Tiny function-word lists for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),
