@@ -36,19 +36,29 @@ object Relational {
   /** Exact 2-decimal money cast — see class doc. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Pin the DECLARED type of a final decimal aggregate to DECIMAL(38,2)
-    * (or (38,4) for revenue sums) in BOTH engines. The driver's hash is
-    * decimal-TYPE sensitive, not just value sensitive: Spark types
-    * `sum(DECIMAL(18,2))` as DECIMAL(28,2) while DuckDB types it
-    * DECIMAL(38,2), and bit-identical values still hash-mismatch
-    * (round-1 root cause for q01,q02,q07,q09,q10,q13,q17,q21,s01,w02).
-    * Every final decimal output column therefore carries an explicit
-    * cast here and a matching `CAST(... AS DECIMAL(38,x))` in the
-    * paired oracle SQL — pinned regardless of either engine's
-    * sum-widening rules or version.
+  /** Final-output cast for exact decimal aggregates, applied in BOTH
+    * engines (paired with `CAST(... AS DOUBLE)` in the oracle SQL).
+    *
+    * Why DOUBLE and not a pinned DECIMAL width: a decimal column can
+    * never survive the driver's compare, whatever its width. The driver
+    * reads the Spark parquet via pandas/pyarrow (decimal → Python
+    * `Decimal` objects) but the oracle via duckdb `.df()` (decimal →
+    * float64 — duckdb converts ALL decimals to float64 in pandas
+    * output), and e.g. `Decimal('380456.00')` renders '380456.00' where
+    * float64 renders '380456.0' (round-1/2 root cause for
+    * q01,q02,q07,q09,q10,q13,q17,q21,s01,w02 — round 2 proved width
+    * pinning alone does NOT fix it).
+    *
+    * Exactness is preserved: the SUM itself still runs in exact
+    * DECIMAL(18,2) arithmetic (order-independent); only the final
+    * result converts to double. Both engines correctly round that
+    * conversion (Spark: BigDecimal.doubleValue; DuckDB: unscaled/10^s
+    * with both operands exact in double for |unscaled| < 2^53, far
+    * above any SF here), so the output is bit-identical float64 on
+    * both paths.
     */
-  private def out2(c: Column): Column = c.cast(DecimalType(38, 2))
-  private def out4(c: Column): Column = c.cast(DecimalType(38, 4))
+  private def out2(c: Column): Column = c.cast("double")
+  private def out4(c: Column): Column = c.cast("double")
 
   /** Per-item revenue `extendedprice * (1 - discount)` in exact decimal
     * arithmetic (reference analogue: the analytics layer SURVEY.md §2.6).
@@ -442,9 +452,9 @@ object Relational {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         | CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS sum_disc_price,
+         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         | CAST(sum($REV_SQL) AS DOUBLE) AS sum_disc_price,
          | round(avg(l_quantity), 4) AS avg_qty,
          | round(avg(l_discount), 4) AS avg_disc,
          | count(*) AS count_order
@@ -452,12 +462,12 @@ object Relational {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q02_topk_order_revenue" ->
-      s"""SELECT l_orderkey, CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS order_revenue, count(*) AS n_items
+      s"""SELECT l_orderkey, CAST(sum($REV_SQL) AS DOUBLE) AS order_revenue, count(*) AS n_items
          |FROM lineitem GROUP BY 1
          |ORDER BY order_revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q03_segment_revenue" ->
-      s"""SELECT c_mktsegment, CAST(sum($REV_SQL) AS DECIMAL(38,4)) AS segment_revenue,
+      s"""SELECT c_mktsegment, CAST(sum($REV_SQL) AS DOUBLE) AS segment_revenue,
          | count(DISTINCT o_orderkey) AS n_orders,
          | count(DISTINCT c_custkey) AS n_customers
          |FROM lineitem
@@ -487,7 +497,7 @@ object Relational {
     "q07_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
-        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_spend
+        |   ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
 
     "q08_symmetric_diff" ->
@@ -500,14 +510,14 @@ object Relational {
 
     "q09_nation_order_stats" ->
       """SELECT n_name, count(DISTINCT o_custkey) AS n_active_customers,
-        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spend
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_rollup_acctbal" ->
       """SELECT coalesce(r_name, 'ALL') AS region_name, coalesce(n_name, 'ALL') AS nation_name,
-        | count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_acctbal
+        | count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
@@ -526,7 +536,7 @@ object Relational {
 
     "q13_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value,
+        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -553,7 +563,7 @@ object Relational {
     "q17_orders_by_quarter" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | CAST(quarter(o_orderdate) AS INT) AS o_quarter,
-        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q18_intersect" ->
@@ -612,7 +622,7 @@ object Relational {
     "q21_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         | coalesce(o_orderpriority, 'ALL') AS priority,
-        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+        | count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY CUBE(c_mktsegment, o_orderpriority)
         |ORDER BY segment, priority""".stripMargin,
@@ -628,7 +638,7 @@ object Relational {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
         |SELECT user_id, session_seq, count(*) AS n_events,
         | date_diff('microsecond', min(ts), max(ts)) AS duration_us,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s02_dedup_keep_first" ->

@@ -59,10 +59,11 @@ object Temporal {
         .withColumn("tkey", unix_micros(col("ts")))
         .select(col("event_id"), col("user_id"), col("ts"),
           count(lit(1)).over(w).as("n_prev_10min"),
-          // explicit DECIMAL(38,2) in both engines — the driver's hash is
-          // decimal-TYPE sensitive (see Relational.out2)
+          // exact decimal window sum, DOUBLE on output in both engines —
+          // decimal columns can't survive the driver's pandas-vs-duckdb
+          // compare at any width (see Relational.out2)
           sum(col("value").cast("decimal(18,2)")).over(w)
-            .cast("decimal(38,2)").as("sum_prev_value"))
+            .cast("double").as("sum_prev_value"))
         .orderBy("event_id")
     })
   )
@@ -79,7 +80,7 @@ object Temporal {
     "w02_trailing_window" ->
       """SELECT event_id, user_id, ts,
         | count(*) OVER w AS n_prev_10min,
-        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS sum_prev_value
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_prev_value
         |FROM (SELECT *, epoch_us(ts) AS tkey FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tkey
         |  RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)

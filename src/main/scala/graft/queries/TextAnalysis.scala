@@ -19,29 +19,18 @@ object TextAnalysis {
 
   private def tk = Text.tokens(col("text"))
 
-  /** Quality score in [0,1]; op order mirrors the oracle exactly (same
-    * IEEE double sequence): 0.25·min(1, n/80) + 0.25·TTR
-    * + 0.25·(1 − min(1, |avgLen − 5|/10)) + 0.25·min(1, 10·stop/n).
-    */
-  private def score(tkc: Column): Column = {
-    val n = size(tkc)
-    val sumLen = aggregate(transform(tkc, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-    lit(0.25) * least(lit(1.0), n.cast("double") / lit(80)) +
-      lit(0.25) * (size(array_distinct(tkc)).cast("double") / n) +
-      lit(0.25) * (lit(1.0) - least(lit(1.0), abs(sumLen.cast("double") / n - lit(5.0)) / lit(10))) +
-      lit(0.25) * least(lit(1.0), lit(10.0) * Text.stopHits(tkc, "en") / n)
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-document stats come from the compiled tokenStats kernel (one
+    // JVM pass per row) rather than Catalyst HOF lambdas, which evaluate
+    // interpreted — same values, see Text.tokenStatsStr.
     "t01_token_stats" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), Text.tokenStats(col("text")).as("st"))
         .select(col("doc_id"),
-          size(col("tk")).as("n_tokens"),
-          size(array_distinct(col("tk"))).as("n_distinct"),
-          (aggregate(transform(col("tk"), t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-            .cast("double") / size(col("tk"))).as("avg_token_len"),
-          (size(array_distinct(col("tk"))).cast("double") / size(col("tk"))).as("type_token_ratio"))
+          col("st._1").as("n_tokens"),
+          col("st._2").as("n_distinct"),
+          (col("st._3").cast("double") / col("st._1")).as("avg_token_len"),
+          (col("st._2").cast("double") / col("st._1")).as("type_token_ratio"))
         .orderBy("doc_id")
     }),
 
@@ -63,10 +52,12 @@ object TextAnalysis {
         .orderBy("lang", "lang_pred")
     }),
 
+    // Score computed by the compiled qualityScore kernel — the SAME IEEE
+    // double op sequence as the oracle's $SCORE expression (term order,
+    // left-assoc adds), see Text.qualityScoreStr.
     "t03_quality_score" -> ((s, dir) => {
       Tables(s, dir, "documents")
-        .select(col("source"), tk.as("tk"))
-        .select(col("source"), score(col("tk")).as("score"))
+        .select(col("source"), Text.qualityScore(col("text")).as("score"))
         .groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
