@@ -113,6 +113,25 @@ object Text {
   def distinctShingles(text: Column, n: Int = 3): Column =
     udf((s: String) => if (s == null) null else distinctShinglesStr(s, n)).apply(text)
 
+  /** ALL word n-gram shingles, duplicates kept in document order —
+    * compiled twin of the HOF [[shingles]], for frequency counting
+    * (t07) where multiplicity matters.
+    */
+  def shinglesAllStr(text: String, n: Int): Array[String] = {
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1) { i =>
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+  }
+
+  /** All word n-gram shingles of a raw text column (non-distinct). */
+  def shinglesAll(text: Column, n: Int = 2): Column =
+    udf((s: String) => if (s == null) null else shinglesAllStr(s, n)).apply(text)
+
   /** Portable polynomial rolling hash: fold over code points,
     * `acc = (acc * 31 + codepoint) mod P`, acc0 = 0. Equivalent DuckDB:
     * `list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in

@@ -18,6 +18,11 @@ private[queries] object OracleDialect {
     s"CASE WHEN len($tk) >= 3 THEN [array_to_string($tk[i:i+2], ' ') " +
       s"for i in range(1, len($tk)-1)] ELSE [] END"
 
+  /** All word 2-gram shingles, duplicates kept — Text.shinglesAll(n=2). */
+  def bigrams(tk: String): String =
+    s"CASE WHEN len($tk) >= 2 THEN [array_to_string($tk[i:i+1], ' ') " +
+      s"for i in range(1, len($tk))] ELSE [] END"
+
   /** Portable polynomial hash — Text.charFp. */
   def fp(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -349,17 +349,45 @@ object Relational {
     //      O(len²) — stats are defined over close pairs only, which the
     //      oracle reproduces with a plain CASE ----------------------------
     "q24_name_distance" -> ((s, dir) => {
-      val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-      a.join(b, Seq("p_brand")).filter(col("a_key") < col("b_key"))
+      // Threshold-capped levenshtein over per-brand name pairs. Two
+      // LOSSLESS prunes keep pair work bounded (results identical to the
+      // naive all-pairs oracle formulation):
+      //  - n_pairs has the closed form C(cnt,2) per brand, so the pair
+      //    join never materializes the denominator;
+      //  - lev(a,b) <= 5 forces |len(a)-len(b)| <= 5, so pairs block on
+      //    (brand, 8-wide length band), the probe side replicated to the
+      //    <=3 bands its +/-5 window can touch — length-incompatible
+      //    pairs are never generated, and the extra band key also
+      //    spreads the shuffle. 100 TB path: PassJoin-style segment
+      //    blocking to go fully sub-quadratic.
+      val bandW = 8
+      val p = Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_name"),
+          length(col("p_name")).as("len"))
+      val nPairs = p.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 2)
+        .select(col("p_brand"), expr("(cnt * (cnt - 1)) div 2").as("n_pairs"))
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"), col("len").as("a_len"),
+        floor(col("len") / bandW).cast("int").as("band"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"), col("len").as("b_len"),
+        explode(array_distinct(array(
+          floor((col("len") - 5) / bandW).cast("int"),
+          floor(col("len") / bandW).cast("int"),
+          floor((col("len") + 5) / bandW).cast("int")))).as("band"))
+      val close = a.join(b, Seq("p_brand", "band"))
+        .filter(col("a_key") < col("b_key") &&
+          abs(col("a_len") - col("b_len")) <= 5)
         .select(col("p_brand"),
           levenshtein(col("a_name"), col("b_name"), 5).as("d")) // -1 when > 5
+        .filter(col("d") >= 0)
         .groupBy("p_brand")
-        .agg(
-          sum(when(col("d") >= 0, 1L).otherwise(0L)).as("n_close_pairs"),
-          min(when(col("d") >= 0, col("d"))).as("min_close_distance"),
-          count(lit(1)).as("n_pairs"))
+        .agg(sum(lit(1L)).as("n_close_pairs"), min(col("d")).as("min_close_distance"))
+      nPairs.join(close, Seq("p_brand"), "left")
+        .select(col("p_brand"),
+          coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"),
+          col("min_close_distance"), col("n_pairs"))
         .orderBy("p_brand")
     }),
 

@@ -44,6 +44,27 @@ object Similarity {
   private def cosPre(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** First `nlist` vectors as fixed centroids (deterministic). */
+  private def centroids(e: DataFrame, nlist: Int): DataFrame =
+    e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** The IVF centroid-assignment relation `(vec_id, c_id, v, nrm)` —
+    * what [[graft.sources.IvfIndex]] persists `partitionBy(c_id)` so
+    * probes prune to `nprobe/nlist` of the files. Assignment is the
+    * cosine-nearest of the first `nlist` vectors, ties broken on
+    * `c_id`, so the relation is deterministic and rebuildable.
+    */
+  def ivfAssign(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
+    val e = emb(s, dir)
+    val c = centroids(e, nlist)
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
+    e.crossJoin(broadcast(c))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_exact" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -62,13 +83,8 @@ object Similarity {
 
     "v02_knn_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val c = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val assignW = Window.partitionBy(col("vec_id"))
-        .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
-      val assign = e.crossJoin(broadcast(c))
-        .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-        .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+      val c = centroids(e, 16)
+      val assign = ivfAssign(s, dir, 16)
       val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val probeW = Window.partitionBy(col("q_id"))

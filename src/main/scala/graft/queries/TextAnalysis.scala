@@ -89,6 +89,77 @@ object TextAnalysis {
           array_min(Text.fps(col("sh"))).as("min_shingle_fp"),
           size(col("sh")).as("n_shingles"))
         .orderBy("doc_id")
+    }),
+
+    // Sequence-length histogram (16-token buckets): the distribution a
+    // packing/truncation stage needs before training. Full scan + tiny
+    // agg with map-side combine — one shuffle of ≤ #buckets rows.
+    "t06_seq_len_hist" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(Text.tokenStats(col("text")).getField("_1").as("n"))
+        .select(floor(col("n") / lit(16.0)).cast("int").as("len_bucket"), col("n"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tokens"),
+          max(col("n")).as("max_tokens"),
+          sum(col("n")).as("sum_tokens"))
+        .orderBy("len_bucket")
+    }),
+
+    // Corpus-level top-k bigram frequencies: explode → hash agg. The
+    // partial (map-side) agg bounds shuffle rows by vocab size per
+    // partition, and the final top-20 is a TakeOrdered, not a full sort.
+    "t07_bigram_topk" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(Text.shinglesAll(col("text"), 2)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // PII detection + redaction. The synthetic corpus carries no PII, so
+    // the query injects a deterministic email + phone per doc and then
+    // detects/redacts them — exercising the regex pipeline end-to-end in
+    // both engines. Pure per-row map stage: no shuffle at any scale.
+    "t08_pii_redact" -> ((s, dir) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+63-917-[0-9]{7}"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or +63-917-"),
+            lpad(col("doc_id").cast("string"), 7, "0")).as("txt"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(phone), lit(0))).as("n_phones"),
+          length(regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
+            phone, "<PHONE>")).as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Concatenate-then-chunk sequence packing (the GPT-style pack): per
+    // source, docs concatenate in doc_id order and chunk every 512
+    // tokens; a doc belongs to the chunk its first token lands in.
+    // One shuffle on source. At 100 TB a low-cardinality source column
+    // would skew the window — pre-split sources into salted sub-streams
+    // (deterministic ranges of doc_id) and offset chunk ids per salt.
+    "t09_pack_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "chunk_id")
     })
   )
 
@@ -138,6 +209,43 @@ object TextAnalysis {
          |SELECT doc_id, ${fp("text")} AS full_hash,
          |  list_min([${fp("s")} for s in sh]) AS min_shingle_fp,
          |  CAST(len(sh) AS INT) AS n_shingles
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t06_seq_len_hist" ->
+      s"""WITH d AS (SELECT CAST(len($TOKS) AS INT) AS n FROM documents)
+         |SELECT CAST(floor(n / 16.0) AS INT) AS len_bucket, count(*) AS n_docs,
+         |  CAST(min(n) AS INT) AS min_tokens, CAST(max(n) AS INT) AS max_tokens,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t07_bigram_topk" ->
+      s"""WITH d AS (SELECT ${bigrams(TOKS)} AS bg FROM documents),
+         |u AS (SELECT unnest(bg) AS bigram FROM d)
+         |SELECT bigram, count(*) AS n FROM u
+         |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "t08_pii_redact" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+63-917-[0-9]{7}"
+      s"""WITH d AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +63-917-'
+         |       || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS txt FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '$phone')) AS INT) AS n_phones,
+         |  CAST(length(regexp_replace(regexp_replace(txt, '$email', '<EMAIL>', 'g'),
+         |       '$phone', '<PHONE>', 'g')) AS INT) AS redacted_len
          |FROM d ORDER BY doc_id""".stripMargin
+    },
+
+    "t09_pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |x AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS INT) AS chunk_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -60,4 +60,44 @@ object TableStore {
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** One-time migration for a user holding the reference's Excel
+    * snapshot (`all_locations.xlsx`, `weather_data_fetcher.py:36,:365`):
+    * read a CSV export of it with an EXPLICIT schema (inference would
+    * strip the leading zeros off PSGC codes by parsing them as ints —
+    * the exact corruption FIXTURES.md §1.1 warns about) and write the
+    * parquet snapshot with dense ids reseeded, after which the normal
+    * refresh cycle owns the table.
+    */
+  def importSnapshotCsv(
+      spark: SparkSession, csvPath: String, snapshotPath: String,
+      schema: StructType, idColumn: String, stableKey: Seq[String]): Unit = {
+    val df = spark.read.option("header", "true").schema(schema).csv(csvPath)
+    overwriteSnapshot(df, snapshotPath, idColumn, stableKey)
+  }
+
+  /** [[overwriteSnapshot]] for big tables. The plain variant's
+    * un-partitioned `row_number` window is exactly right for the
+    * reference-sized snapshot (146 rows) but funnels everything through
+    * one reducer; this one range-partitions by the stable key, sorts
+    * within partitions, and assigns ids by `zipWithIndex` — distributed,
+    * and the ids are the same 1-based dense sequence in stable-key order
+    * (partitions of a range sort are globally ordered, so
+    * partition-major index order IS total key order). Requires the
+    * stable key to be unique, as §2.11's reproducibility contract
+    * already demands.
+    */
+  def overwriteSnapshotLarge(
+      df: DataFrame, path: String, idColumn: String, stableKey: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(stableKey.map(col): _*)
+      .sortWithinPartitions(stableKey.map(col): _*)
+    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    val schema = sorted.schema.add(idColumn, org.apache.spark.sql.types.LongType)
+    spark.createDataFrame(withId, schema)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }
