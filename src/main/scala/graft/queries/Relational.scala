@@ -95,8 +95,11 @@ object Relational {
 
     "q03_segment_revenue" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
+      // range, not year(): comparisons on the raw column push down to
+      // parquet row-group stats; year() wrapping defeats the pushdown
       val ord = Tables(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       val li = Tables(s, dir, "lineitem")
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -159,13 +162,21 @@ object Relational {
     // ---- symmetric difference (J2 change-detection parity,
     //      weather_data_fetcher.py:384-387) ---------------------------
     "q08_symmetric_diff" -> ((s, dir) => {
-      val ord = Tables(s, dir, "orders")
-      def keys(y: Int) =
-        ord.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
-      val a = keys(1995)
-      val b = keys(1996)
-      a.exceptAll(b).withColumn("side", lit("only_1995"))
-        .union(b.exceptAll(a).withColumn("side", lit("only_1996")))
+      // ONE scan with a pushable date range, then conditional aggregation
+      // and an XOR filter — replaces the 4-scan exceptAll formulation
+      // (same result: both inputs were distinct key sets, so exceptAll
+      // degenerates to except). One shuffle on o_custkey total.
+      Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_custkey"),
+          (col("o_orderdate") < lit("1996-01-01").cast("timestamp")).as("y95"))
+        .groupBy("o_custkey")
+        .agg(max(when(col("y95"), 1).otherwise(0)).as("in95"),
+          max(when(!col("y95"), 1).otherwise(0)).as("in96"))
+        .filter(col("in95") =!= col("in96"))
+        .select(col("o_custkey"),
+          when(col("in95") === 1, "only_1995").otherwise("only_1996").as("side"))
         .orderBy("o_custkey", "side")
     }),
 
@@ -288,7 +299,8 @@ object Relational {
       val building = Tables(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
       val active95 = Tables(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 1995)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
         .select(col("o_custkey").as("c_custkey")).distinct()
       building.intersect(active95).orderBy("c_custkey")
     }),
@@ -298,7 +310,8 @@ object Relational {
       val rich = Tables(s, dir, "customer")
         .filter(col("c_acctbal") > 9000).select("c_custkey")
       val active = Tables(s, dir, "orders")
-        .filter(year(col("o_orderdate")) === 2000)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
         .select(col("o_custkey").as("c_custkey"))
       rich.union(active).distinct().orderBy("c_custkey")
     }),
@@ -349,45 +362,27 @@ object Relational {
     //      O(len²) — stats are defined over close pairs only, which the
     //      oracle reproduces with a plain CASE ----------------------------
     "q24_name_distance" -> ((s, dir) => {
-      // Threshold-capped levenshtein over per-brand name pairs. Two
-      // LOSSLESS prunes keep pair work bounded (results identical to the
-      // naive all-pairs oracle formulation):
-      //  - n_pairs has the closed form C(cnt,2) per brand, so the pair
-      //    join never materializes the denominator;
-      //  - lev(a,b) <= 5 forces |len(a)-len(b)| <= 5, so pairs block on
-      //    (brand, 8-wide length band), the probe side replicated to the
-      //    <=3 bands its +/-5 window can touch — length-incompatible
-      //    pairs are never generated, and the extra band key also
-      //    spreads the shuffle. 100 TB path: PassJoin-style segment
-      //    blocking to go fully sub-quadratic.
-      val bandW = 8
-      val p = Tables(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_name"),
-          length(col("p_name")).as("len"))
-      val nPairs = p.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 2)
-        .select(col("p_brand"), expr("(cnt * (cnt - 1)) div 2").as("n_pairs"))
-      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"),
-        col("p_name").as("a_name"), col("len").as("a_len"),
-        floor(col("len") / bandW).cast("int").as("band"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"),
-        col("p_name").as("b_name"), col("len").as("b_len"),
-        explode(array_distinct(array(
-          floor((col("len") - 5) / bandW).cast("int"),
-          floor(col("len") / bandW).cast("int"),
-          floor((col("len") + 5) / bandW).cast("int")))).as("band"))
-      val close = a.join(b, Seq("p_brand", "band"))
-        .filter(col("a_key") < col("b_key") &&
-          abs(col("a_len") - col("b_len")) <= 5)
+      // Threshold-capped levenshtein over per-brand name pairs. The
+      // threshold overload short-circuits internally on |len(a)-len(b)|
+      // > 5 (O(1)) and caps the DP band otherwise, so length-
+      // incompatible pairs are near-free — measured faster than
+      // length-band blocking at this shape, which pays band replication
+      // and an extra shuffle to prune work the DP already skips. The
+      // pair COUNT stays quadratic per brand either way; the 100 TB
+      // answer is PassJoin-style segment blocking (segments of one side
+      // matched to position-windowed substrings of the other), which
+      // drops candidate generation itself to near-linear.
+      val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_name")
+      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, Seq("p_brand")).filter(col("a_key") < col("b_key"))
         .select(col("p_brand"),
           levenshtein(col("a_name"), col("b_name"), 5).as("d")) // -1 when > 5
-        .filter(col("d") >= 0)
         .groupBy("p_brand")
-        .agg(sum(lit(1L)).as("n_close_pairs"), min(col("d")).as("min_close_distance"))
-      nPairs.join(close, Seq("p_brand"), "left")
-        .select(col("p_brand"),
-          coalesce(col("n_close_pairs"), lit(0L)).as("n_close_pairs"),
-          col("min_close_distance"), col("n_pairs"))
+        .agg(
+          sum(when(col("d") >= 0, 1L).otherwise(0L)).as("n_close_pairs"),
+          min(when(col("d") >= 0, col("d"))).as("min_close_distance"),
+          count(lit(1)).as("n_pairs"))
         .orderBy("p_brand")
     }),
 
