@@ -33,6 +33,15 @@ object Dedup {
     Tables(s, dir, "documents")
       .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
 
+  /** Reliable checkpoint when the session has a checkpoint dir
+    * configured (cluster: HDFS/S3 — lineage truncation that survives
+    * executor loss), executor-local otherwise (tests, single node).
+    * d06's iteration is the only consumer.
+    */
+  private def cp(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Document-frequency cap for the inverted-index path: a shingle in
     * more than MaxDf documents is a stop-shingle — it carries no dedup
     * signal, and its posting list is exactly the quadratic term in the
@@ -123,20 +132,20 @@ object Dedup {
     // are shallow), and the pair relation is checkpointed once so each
     // iteration is a single join + aggregate, not a full recompute.
     "d06_dedup_components" -> ((s, dir) => {
-      val pairs = jaccardPairs(shingleDocs(s, dir)).filter(col("jaccard") >= 0.5)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val pairs = cp(jaccardPairs(shingleDocs(s, dir)).filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id")))
       val eb = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      var labels = pairs.select(col("a_id").as("id"))
+      var labels = cp(pairs.select(col("a_id").as("id"))
         .union(pairs.select(col("b_id").as("id")))
-        .distinct().withColumn("lbl", col("id")).localCheckpoint()
+        .distinct().withColumn("lbl", col("id")))
       var converged = false
       var iter = 0
       while (!converged && iter < 20) {
         val prop = eb.join(labels, eb("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"))
-        val next = labels.select("id", "lbl").union(prop)
-          .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
+        val next = cp(labels.select("id", "lbl").union(prop)
+          .groupBy("id").agg(min(col("lbl")).as("lbl")))
         converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
           .filter(col("lbl") =!= col("old")).isEmpty
         labels = next

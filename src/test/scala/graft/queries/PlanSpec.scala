@@ -60,4 +60,29 @@ class PlanSpec extends SparkSpec {
   test("entry: flagship query runs and returns rows (driver smoke parity)") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q03: date-range predicate pushes to the orders scan (no year() wrap)") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(!p.contains("year(o_orderdate"), "year() in a filter defeats row-group pruning")
+  }
+
+  test("q08: symmetric diff is ONE scan of orders + one aggregation, not 4-scan exceptAll") {
+    val p = plan("q08_symmetric_diff")
+    assert("FileScan parquet".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Except"), p)
+    // pushable range predicate at the scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") || p.contains("IsNotNull(o_orderdate)"), p)
+  }
+
+  test("q02: top-k is TakeOrdered, not a global sort") {
+    val p = plan("q02_topk_order_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("t07: bigram counts partially aggregate before the shuffle") {
+    val p = plan("t07_bigram_topk")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
