@@ -51,6 +51,14 @@ object Temporal {
         .orderBy("event_id")
     }),
 
+    // interval join: purchases × same-user clicks in the trailing hour —
+    // the SAME function as the streaming stream-stream join (watermarks
+    // no-op on batch); fan-out bounded by (user, interval)
+    "w03_interval_join" -> ((s, dir) => {
+      graft.streaming.EventStreams.clickToPurchase(Tables(s, dir, "events"))
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     // trailing-10-minute per-user activity, strictly before each event
     "w02_trailing_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("tkey"))
@@ -76,6 +84,17 @@ object Temporal {
         |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts
         |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "w03_interval_join" ->
+      """WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, purchase_id, click_id, purchase_ts, click_ts
+        |FROM c JOIN p ON c.user_id = p.p_user_id
+        |  AND click_ts <= purchase_ts
+        |  AND click_ts >= purchase_ts - INTERVAL 60 MINUTE
+        |ORDER BY c.user_id, purchase_id, click_id""".stripMargin,
 
     "w02_trailing_window" ->
       """SELECT event_id, user_id, ts,

@@ -48,6 +48,32 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream interval join — each purchase pairs with ALL of the
+    * same user's clicks from the trailing `windowMinutes` (enrichment
+    * fan-out, vs the as-of join's single nearest match). Both inputs
+    * carry watermarks and the join condition is time-bounded, so each
+    * side's buffered state evicts as the watermark clears the interval —
+    * state is proportional to the active window, never to history.
+    * `withWatermark` is a no-op on batch frames, so the SAME function is
+    * the batch twin, oracle-gated as w03_interval_join.
+    */
+  def clickToPurchase(events: DataFrame, windowMinutes: Int = 60,
+      watermark: String = "2 hours"): DataFrame = {
+    val ck = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    ck.join(pu,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** Gap-based sessionization with custom state — streaming twin of s01.
     * Sessions close when `gap` passes with no event (event-time timeout);
     * Append mode emits only closed sessions.

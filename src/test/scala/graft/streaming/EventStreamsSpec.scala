@@ -59,6 +59,48 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clickToPurchase interval join pairs purchases with trailing-hour clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      ev(1, tsH(10, 0), 1, "click", 1.0),   // within the hour of purchase 3
+      ev(2, tsH(10, 30), 1, "click", 1.0),  // within
+      ev(3, tsH(10, 45), 1, "purchase", 9.0),
+      ev(4, tsH(9, 40), 1, "click", 1.0),   // 65 min before — outside
+      ev(5, tsH(10, 20), 2, "click", 1.0))  // other user — no purchase
+    val q = EventStreams.clickToPurchase(mem.toDF())
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT purchase_id, click_id FROM ivj")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs === Set((3L, 1L), (3L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming clickToPurchase agrees with its batch twin (w03) on the fixture") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.Tables(spark, dir, "events")
+    batchDf.write.mode("overwrite").parquet("/tmp/stream_ivj_in")
+    val stream = spark.readStream.schema(batchDf.schema).parquet("/tmp/stream_ivj_in")
+    val q = EventStreams.clickToPurchase(stream)
+      .writeStream.format("memory").queryName("ivj_file")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT purchase_id, click_id FROM ivj_file")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = EventStreams.clickToPurchase(batchDf)
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file-source stream (AvailableNow-style) agrees with the batch q13 result") {
     import spark.implicits._
     // real streaming source over the parquet fixture: one-pass catch-up,
