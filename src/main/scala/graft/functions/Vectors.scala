@@ -19,8 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** float[] → double[] so all arithmetic is double-precision IEEE. */
-  def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
+  /** float[] → double[] so all arithmetic is double-precision IEEE.
+    * A direct array cast, NOT `transform(v, _.cast("double"))`: Cast
+    * over ArrayType participates in whole-stage codegen while a
+    * higher-order `transform` lambda evaluates interpreted
+    * (CodegenFallback) on every row of every v-query.
+    */
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
 
   /** JVM kernel: Σ aᵢ·bᵢ, one rounding per multiply and per add, left to
     * right — the same IEEE operation sequence as the oracle's

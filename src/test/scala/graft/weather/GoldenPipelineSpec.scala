@@ -45,28 +45,19 @@ class GoldenPipelineSpec extends SparkSpec {
   import spark.implicits._
   import GoldenPipelineSpec._
 
-  /** Deterministic 146-row PSGC-ish cities table. */
-  private def cities: DataFrame = {
-    val rows = (0 until 146).map { i =>
-      val prov = i % nProvinces
-      val name = i % 18 match {
-        case x if x < 8  => f"City of Alpha$i%03d"
-        case x if x < 16 => f"Municipality of Beta$i%03d"
-        case 16          => f"Gamma$i%03d City"
-        case _           => f"Delta$i%03d"
-      }
-      val oldName = if (i % 50 == 0) Some(f"Old$i%03d") else None // 3/146 non-null
-      val island = if (i % 2 == 0) "luzon" else if (i % 4 == 1) "visayas" else "mindanao"
-      (f"0$i%08d", name, oldName, i % 3 == 0, f"1$prov%08d",
-        "0", f"2${prov / 4}%08d", island, f"00$i%08d")
-    }
-    rows.toDF("code", "name", "oldName", "isCapital", "provinceCode",
-      "districtCode", "regionCode", "islandGroupCode", "psgc10DigitCode")
-  }
+  /** COMMITTED golden fixture: 146-row PSGC-ish cities table at the real
+    * snapshot's shape (FIXTURES.md §1.1 — prefix-heavy names, 143/146
+    * null oldName, leading-zero codes, three island groups). Reading the
+    * committed parquet (not regenerating) pins byte-level shape: schema
+    * nullability, string codes that would corrupt under type inference,
+    * the exact null pattern.
+    */
+  private def golden(name: String): DataFrame =
+    spark.read.parquet(getClass.getResource(s"/golden/$name.parquet").getPath)
 
-  private def provinces: DataFrame =
-    (0 until nProvinces).map(p => (f"1$p%08d", f"Province$p%02d"))
-      .toDF("code", "name")
+  private def cities: DataFrame = golden("cities")
+
+  private def provinces: DataFrame = golden("provinces")
 
   private def emptySnapshot: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[Row],
