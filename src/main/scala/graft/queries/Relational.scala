@@ -261,6 +261,24 @@ object Relational {
     }),
 
     // ---- string functions (C1-C3 parity) ------------------------------
+    // the real pivot() operator (q14 is the hand-rolled conditional-agg
+    // twin); fixed value list so the plan needs no discovery pass, and
+    // the lowered form is the same single hash aggregate
+    "q26_pivot_priority" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_year"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_notspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+        .orderBy("o_year")
+    }),
+
     "q15_part_type_stats" -> ((s, dir) => {
       Tables(s, dir, "part")
         .groupBy(upper(element_at(split(col("p_type"), " "), 1)).as("type_head"))
@@ -568,6 +586,15 @@ object Relational {
         | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
         | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
         | count(*) AS n_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_pivot_priority" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        | CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        | CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        | CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_part_type_stats" ->

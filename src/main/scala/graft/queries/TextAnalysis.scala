@@ -138,6 +138,21 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Deterministic content-addressed dataset split: membership = the
+    // portable hash of the text mod 100 (80/10/10) — reproducible across
+    // engines, runs, and cluster sizes with no RNG state, and duplicate
+    // texts always land in the same split (no train/test contamination
+    // from exact dups). The way a training pipeline pins membership.
+    "t10_hash_split" -> ((s, dir) => {
+      val h = pmod(Text.charFp(col("text")), lit(100L))
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    }),
+
     // Concatenate-then-chunk sequence packing (the GPT-style pack): per
     // source, docs concatenate in doc_id order and chunk every 512
     // tokens; a doc belongs to the chunk its first token lands in.
@@ -237,6 +252,13 @@ object TextAnalysis {
          |       '$phone', '<PHONE>', 'g')) AS INT) AS redacted_len
          |FROM d ORDER BY doc_id""".stripMargin
     },
+
+    "t10_hash_split" ->
+      s"""WITH d AS (SELECT source, ${fp("text")} % 100 AS h FROM documents)
+         |SELECT source,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t09_pack_chunks" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
