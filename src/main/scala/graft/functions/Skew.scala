@@ -30,10 +30,14 @@ object Skew {
       key: String,
       aggs: Seq[(Column, Column => Column, String)],
       nSalts: Int = 16): DataFrame = {
-    // row-position salt: deterministic for a fixed partition layout and
-    // needs no random source; any even spreader works — the salt never
-    // appears in the result
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(nSalts)))
+    // salt = hash of the whole row, mod nSalts: varies WITHIN a hot key
+    // (hashing only the key would put the entire hot key in one bucket),
+    // is deterministic, codegen'd, adds no shuffle, and keeps
+    // monotonically_increasing_id out of the engine entirely (MID values
+    // depend on the partition layout). The salt never appears in the
+    // result, so only spread matters; exact-duplicate rows sharing a
+    // bucket is fine — partial aggregation collapses them anyway.
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(nSalts)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head._1.as(aggs.head._3),
         aggs.tail.map { case (p, _, n) => p.as(n) }: _*)
