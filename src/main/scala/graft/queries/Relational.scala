@@ -407,6 +407,32 @@ object Relational {
     // ---- correlated scalar subqueries via the SQL entry path (Catalyst
     //      decorrelates both into aggregate+join; predicate uses exact
     //      decimal cross-multiplication, never a double average) --------
+    // arbitrary GROUPING SETS (rollup/cube are q10/q21) through the SQL
+    // entry path — one expand + one hash aggregate, same as cube
+    "q27_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
+      Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT coalesce(n_name, 'ALL') AS nation_name,
+          | coalesce(c_mktsegment, 'ALL') AS segment,
+          | count(*) AS n_customers,
+          | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+          |FROM customer_v c JOIN nation_v n ON c_nationkey = n_nationkey
+          |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+          |ORDER BY nation_name, segment""".stripMargin)
+    }),
+
+    // the real unpivot/melt operator: q14's wide shape back to long
+    "q28_unpivot" -> ((s, dir) => {
+      def isPrio(p: String) = when(col("o_orderpriority") === p, 1L).otherwise(0L)
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(sum(isPrio("1-URGENT")).as("n_urgent"), sum(isPrio("2-HIGH")).as("n_high"))
+        .unpivot(Array(col("o_year")), Array(col("n_urgent"), col("n_high")),
+          "priority_class", "n_orders")
+        .orderBy("o_year", "priority_class")
+    }),
+
     "q25_above_nation_avg" -> ((s, dir) => {
       Tables(s, dir, "customer").createOrReplaceTempView("customer_v")
       Tables(s, dir, "nation").createOrReplaceTempView("nation_v")
@@ -633,6 +659,24 @@ object Relational {
       """SELECT p_brand, min(p_retailprice) AS min_price, max(p_retailprice) AS max_price,
         | count(*) AS n_parts
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q27_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation_name,
+        | coalesce(c_mktsegment, 'ALL') AS segment,
+        | count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY nation_name, segment""".stripMargin,
+
+    "q28_unpivot" ->
+      """WITH w AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        | FROM orders GROUP BY 1)
+        |SELECT o_year, 'n_urgent' AS priority_class, n_urgent AS n_orders FROM w
+        |UNION ALL SELECT o_year, 'n_high' AS priority_class, n_high AS n_orders FROM w
+        |ORDER BY o_year, priority_class""".stripMargin,
 
     "q25_above_nation_avg" ->
       """SELECT n_name, c_custkey, c_acctbal
