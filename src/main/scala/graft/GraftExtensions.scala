@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{CharFp, DotProduct}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arrayA, arrayB) takes two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_charfp"),
+      new ExpressionInfo(classOf[CharFp].getName, "graft_charfp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_charfp(text) takes one argument")
+        CharFp(children.head)
       }))
   }
 }

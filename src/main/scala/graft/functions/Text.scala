@@ -136,9 +136,12 @@ object Text {
     * `acc = (acc * 31 + codepoint) mod P`, acc0 = 0. Equivalent DuckDB:
     * `list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in
     * string_split(s,'') if c <> '']), (a,b) -> (a*31+b) % 2147483647)`.
+    * Backed by the native codegen'd [[CharFp]] expression (same
+    * recurrence as [[charFpStr]]).
     */
   def charFp(s: Column): Column =
-    udf((x: String) => if (x == null) null else java.lang.Long.valueOf(charFpStr(x))).apply(s)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      CharFp(org.apache.spark.sql.GraftSqlBridge.expression(s)))
 
   /** Fingerprints of an array of shingles — one kernel call per row. */
   def fps(sh: Column): Column =

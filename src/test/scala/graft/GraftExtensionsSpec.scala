@@ -18,4 +18,22 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.toLowerCase.contains("array<double>"))
   }
+
+  test("graft_charfp (native codegen) matches the JVM kernel and handles nulls") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftSqlBridge.registerFunctions(ext, spark)
+    val r = spark.sql(
+      "SELECT graft_charfp('hello world') AS h, graft_charfp(CAST(NULL AS STRING)) AS n")
+      .head
+    assert(r.getLong(0) === graft.functions.Text.charFpStr("hello world"))
+    assert(r.isNullAt(1))
+    // parity over many strings through a real scan (codegen path), vs kernel
+    import spark.implicits._
+    val strs = (0 until 500).map(i => s"doc $i body ${"x" * (i % 37)}")
+    val viaExpr = strs.toDF("s")
+      .select(graft.functions.Text.charFp(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getLong(0))
+    assert(viaExpr.toSeq === strs.map(graft.functions.Text.charFpStr))
+  }
 }
