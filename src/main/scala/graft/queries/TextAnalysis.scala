@@ -157,8 +157,8 @@ object TextAnalysis {
     // source, docs concatenate in doc_id order and chunk every 512
     // tokens; a doc belongs to the chunk its first token lands in.
     // One shuffle on source. At 100 TB a low-cardinality source column
-    // would skew the window — pre-split sources into salted sub-streams
-    // (deterministic ranges of doc_id) and offset chunk ids per salt.
+    // skews this window — t11 below is the skew-safe formulation,
+    // verified to produce the IDENTICAL result.
     "t09_pack_chunks" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("source").orderBy("doc_id")
@@ -167,6 +167,40 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("chunk_id",
+          floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
+        .groupBy("source", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "chunk_id")
+    }),
+
+    // t09's skew-safe twin — the 100 TB formulation, oracle-verified to
+    // produce the IDENTICAL result. The prefix sum over a hot source is
+    // a two-level scan: salt = contiguous doc_id blocks of 64, the heavy
+    // running sum windows over (source, salt) — parallel across salts —
+    // and only the tiny per-salt totals (rows = #salts, not #docs) go
+    // through a per-source window to compute each salt's global base
+    // offset. global_cum = base + local_cum is exactly t09's prefix sum.
+    "t11_pack_salted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+          floor(col("doc_id") / lit(64)).cast("long").as("salt"))
+      val localW = Window.partitionBy("source", "salt").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = base.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+      val saltW = Window.partitionBy("source").orderBy("salt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = base.groupBy("source", "salt")
+        .agg(sum(col("n_tokens")).as("tot"))
+        .select(col("source"), col("salt"),
+          (sum(col("tot")).over(saltW) - col("tot")).as("base_off"))
+      local.join(bases, Seq("source", "salt"))
+        .withColumn("cum", col("base_off") + col("local_cum"))
         .withColumn("chunk_id",
           floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
         .groupBy("source", "chunk_id")
@@ -259,6 +293,16 @@ object TextAnalysis {
          |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
          |  count(*) AS n_docs
          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t11_pack_salted" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |x AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS INT) AS chunk_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "t09_pack_chunks" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
