@@ -37,7 +37,7 @@ object Skew {
     // depend on the partition layout). The salt never appears in the
     // result, so only spread matters; exact-duplicate rows sharing a
     // bucket is fine — partial aggregation collapses them anyway.
-    val salted = df.withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(nSalts)))
+    val salted = df.withColumn("__salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(nSalts)))
     val partial = salted.groupBy(col(key), col("__salt"))
       .agg(aggs.head._1.as(aggs.head._3),
         aggs.tail.map { case (p, _, n) => p.as(n) }: _*)

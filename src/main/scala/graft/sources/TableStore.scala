@@ -93,7 +93,7 @@ object TableStore {
     val sorted = df
       .repartitionByRange(stableKey.map(col): _*)
       .sortWithinPartitions(stableKey.map(col): _*)
-    val withId = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     val schema = sorted.schema.add(idColumn, org.apache.spark.sql.types.LongType)
