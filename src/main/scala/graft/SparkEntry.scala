@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Relational, Similarity, Temporal, TextAnalysis}
+import graft.queries.{Dedup, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,7 +36,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Temporal.queries ++ Map(
+      Temporal.queries ++ Pipeline.queries ++ Map(
       // multimodal plumbing (decode step stubbed — graft.multimodal doc);
       // no oracle entry: engine-side stub, driver records rows-only check
       "m01_media_features" -> ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
@@ -46,5 +46,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++
-      Temporal.oracleSql
+      Temporal.oracleSql ++ Pipeline.oracleSql
 }

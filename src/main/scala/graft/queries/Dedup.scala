@@ -33,6 +33,35 @@ object Dedup {
     Tables(s, dir, "documents")
       .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
 
+  /** MinHash+LSH near-dup canonical map over a `(doc_id, sh)` relation:
+    * one row per document that has a smaller near-duplicate (jaccard
+    * ≥ 0.5 over distinct shingles), `canonical_id` = the smallest such
+    * neighbor. The d04 path, reusable over any filtered corpus (the
+    * p01 pipeline runs it after exact dedup).
+    *
+    * Candidates come from the 4×4 band-bucket join (shuffle on the band
+    * key, never all-pairs); exact Jaccard verifies ONLY the candidates
+    * — |A∩B|/|A∪B| over distinct sets equals d02's count formulation.
+    */
+  def lshCanonicals(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
+      .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
+    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), slice(col("sig"), j * 4 + 1, 4).as("bkey"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.j").as("j"), col("b.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val ver = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))) >= 0.5)
+    ver.groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+  }
+
   /** Reliable checkpoint when the session has a checkpoint dir
     * configured (cluster: HDFS/S3 — lineage truncation that survives
     * executor loss), executor-local otherwise (tests, single node).
@@ -99,30 +128,8 @@ object Dedup {
         .orderBy("doc_id", "perm_index")
     }),
 
-    "d04_minhash_lsh_dedup" -> ((s, dir) => {
-      val docs = shingleDocs(s, dir)
-      val sig = docs
-        .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
-        .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
-      val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), slice(col("sig"), j * 4 + 1, 4).as("bkey"))): _*)).as("b"))
-        .select(col("doc_id"), col("b.j").as("j"), col("b.bkey").as("bkey"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-      // exact-verify ONLY the candidates (the point of LSH: the full
-      // inverted-index pass of d02 never runs here) — candidates are few,
-      // so per-pair set intersection is cheap; |A∩B|/|A∪B| over distinct
-      // sets is the same jaccard value as d02's count formulation
-      val ver = cand
-        .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))) >= 0.5)
-      ver.groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
-        .orderBy("doc_id")
-    }),
+    "d04_minhash_lsh_dedup" -> ((s, dir) =>
+      lshCanonicals(shingleDocs(s, dir)).orderBy("doc_id")),
 
     // connected components over the verified near-dup graph: the real
     // dedup grouping (d04's min-neighbor is one hop; chains a~b~c need

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import OracleDialect._
+
+/** The end-to-end training-data pipeline, as ONE oracle-gated query —
+  * the composition proof that the individual operators (d01 exact
+  * dedup, d04 LSH near-dup, t02/t03 filters, t10 split, t01 token
+  * accounting) chain into the product a 100 TB corpus pipeline actually
+  * ships: raw documents → exact dedup → near-dup dedup → language +
+  * quality filter → train split → per-source token accounting.
+  *
+  * Every stage is the same code path its standalone query gates (d04's
+  * [[Dedup.lshCanonicals]], t03's compiled [[Text.qualityScore]], t10's
+  * hash split), so p01 green means the COMPOSITION is bit-exact too.
+  *
+  * Scale shape: stage boundaries are one shuffle each (digest groupBy,
+  * band-bucket join, final source agg); the per-row stages (score,
+  * hash, token stats) fuse into the scans. Nothing materializes the
+  * corpus more than the dedup stages already require.
+  */
+object Pipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_training_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      // 1. exact dedup: keep the smallest doc_id per content digest
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val d1 = docs.join(keep.select("doc_id"), "doc_id")
+      // 2. near-dup dedup: drop docs with a smaller LSH-verified near-dup
+      val sh = d1.select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+      val d2 = d1.join(Dedup.lshCanonicals(sh).select("doc_id"), Seq("doc_id"), "left_anti")
+        // 3. language filter (metadata column; the content heuristic is t02)
+        .filter(col("lang") === "en")
+      // 4.+5. quality score, token count, split hash — one fused map stage
+      val st = d2.select(col("source"),
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+        Text.qualityScore(col("text")).as("q"),
+        pmod(Text.charFp(col("text")), lit(100L)).as("h100"))
+      st.filter(col("q") >= 0.3 && col("h100") < 80)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
+        .orderBy("source")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_training_pipeline" ->
+      s"""WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+         |d1 AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
+         |sdocs AS (SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM d1),
+         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM sdocs),
+         |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
+         |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
+         |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sh) AS n FROM sdocs),
+         |jp AS (SELECT a_id, b_id,
+         |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+         |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id),
+         |dups AS (SELECT DISTINCT cand.b_id AS doc_id FROM cand
+         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5),
+         |d2 AS (SELECT * FROM d1
+         |  WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM dups)),
+         |st AS (SELECT source, CAST(len(tk) AS INT) AS n_tokens, ${TextAnalysis.SCORE} AS q,
+         |    ${fp("text")} % 100 AS h100
+         |  FROM (SELECT source, text, $TOKS AS tk FROM d2))
+         |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
+         |FROM st WHERE q >= 0.3 AND h100 < 80 GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -212,7 +212,7 @@ object TextAnalysis {
     })
   )
 
-  private val SCORE =
+  private[queries] val SCORE =
     s"0.25 * least(1.0, CAST(len(tk) AS DOUBLE) / 80) " +
       s"+ 0.25 * (CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)) " +
       s"+ 0.25 * (1.0 - least(1.0, abs(CAST(list_sum([CAST(len(t) AS BIGINT) for t in tk]) AS DOUBLE) / len(tk) - 5.0) / 10)) " +
