@@ -56,4 +56,52 @@ class TextSpec extends SparkSpec {
     assert(evalOne(stopHits(tokens(lit("the cat and the hat")), "en")) === 3)
     assert(evalOne(stopHits(tokens(lit("no hits here")), "es")) === 0)
   }
+
+  // --- compiled-kernel ↔ HOF parity: the kernels replaced interpreted
+  //     Catalyst lambdas in t01/t03/t07; these pin value equivalence ---
+
+  private val parityTexts = Seq(
+    "The quick brown Fox jumps over the lazy dog",
+    "a b c", "single", "", "  double  spaces  here  ",
+    "the the the the repeated of and to a words")
+
+  test("tokenStatsStr matches the HOF formulation (count/distinct/sumLen)") {
+    import spark.implicits._
+    for (t <- parityTexts) {
+      val viaHof = Seq(t).toDF("text")
+        .select(tokens(col("text")).as("tk"))
+        .select(size(col("tk")), size(array_distinct(col("tk"))),
+          aggregate(transform(col("tk"), x => length(x).cast("long")),
+            lit(0L), (a, x) => a + x))
+        .head
+      val (n, d, len) = tokenStatsStr(t)
+      assert((n, d, len) === (viaHof.getInt(0), viaHof.getInt(1), viaHof.getLong(2)), t)
+    }
+  }
+
+  test("qualityScoreStr matches the HOF score expression bit-for-bit") {
+    import spark.implicits._
+    for (t <- parityTexts if t.trim.nonEmpty) {
+      val tkc = tokens(col("text"))
+      val n = size(tkc)
+      val sumLen = aggregate(transform(tkc, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+      val hofScore = lit(0.25) * least(lit(1.0), n.cast("double") / lit(80)) +
+        lit(0.25) * (size(array_distinct(tkc)).cast("double") / n) +
+        lit(0.25) * (lit(1.0) - least(lit(1.0), abs(sumLen.cast("double") / n - lit(5.0)) / lit(10))) +
+        lit(0.25) * least(lit(1.0), lit(10.0) * stopHits(tkc, "en") / n)
+      val viaHof = Seq(t).toDF("text").select(hofScore).head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(qualityScoreStr(t)) ===
+        java.lang.Double.doubleToLongBits(viaHof), t)
+    }
+  }
+
+  test("shinglesAllStr matches the HOF shingles (duplicates kept, in order)") {
+    import spark.implicits._
+    for (t <- parityTexts) {
+      val viaHof = Seq(t).toDF("text")
+        .select(shingles(tokens(col("text")), 2).as("sh"))
+        .head.getSeq[String](0)
+      assert(shinglesAllStr(t, 2).toSeq === viaHof, t)
+    }
+  }
 }
