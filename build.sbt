@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's stdout: it keeps only the LAST ~2000
+// chars and needs the JSON line bare. Pass forked output through without
+// sbt's "[info] " prefix, and drop the trailing "[success] Total time"
+// line so the JSON line is the last thing on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
