@@ -4,7 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // clamp to >= 1: "0"/negative/garbage must not crash before the JSON
+    // line is printed (times.min on empty / NumberFormatException)
+    val passes = math.max(1,
+      sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(3))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,17 +34,24 @@ object Bench {
     // (profiled 4-30x first-run inflation on expression-heavy queries),
     // and the driver machine shows transient contention spikes — the min
     // is the steady-state number a long-running cluster job would see.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+    // Passes are INTERLEAVED (pass loop outside the query loop): a
+    // multi-second host contention spike then poisons one sample of many
+    // queries instead of every sample of one query — back-to-back passes
+    // gave a 0.23 s query a 9.8 s "min" on a contended driver machine.
+    val names = SparkEntry.queries.keys.toSeq
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 1 to passes; name <- names) {
+      val t0 = System.nanoTime()
+      try run(SparkEntry.queries(name), sfDir) catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (!best.contains(name) || dt < best(name)) best(name) = dt
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val results = names.map(n => n -> best(n))
+    val total = results.map(_._2).sum
     // The whole line must survive the driver's 2000-char tail window, so
     // per-query seconds are rounded; precision degrades only if needed.
+    // "value" stays the unrounded total at 3 dp — it is THE metric; the
+    // per-query map is diagnostic detail whose rounding may not sum to it.
     def fmt(dp: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", java.lang.Double.valueOf(v))
     def line(dp: Int): String = {
@@ -49,7 +59,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    val out = Iterator(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(0))
     spark.stop()
     println(out)
     System.out.flush()
