@@ -38,7 +38,12 @@ object Bench {
     // multi-second host contention spike then poisons one sample of many
     // queries instead of every sample of one query — back-to-back passes
     // gave a 0.23 s query a 9.8 s "min" on a contended driver machine.
+    // optional comma-separated name filter for local iteration on a few
+    // queries (the driver sets no filter and measures everything)
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => filter.forall(_.contains(n)))
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()

@@ -161,6 +161,46 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
     }),
 
+    // edit-distance near-dup join over a fixed-width document key (the
+    // 40-char text prefix — the "title" of the fixtures), with PassJoin
+    // segment blocking (functions/Segments): candidate generation is an
+    // equi-join of each key's Tau+1 segments against position-windowed
+    // substrings of the others — near-linear, EXACT by pigeonhole for
+    // ed <= Tau — and only the candidates pay the banded levenshtein.
+    // The oracle keeps the plain quadratic CASE join: the blocking is
+    // lossless, so semantics are identical. This is where segment
+    // blocking earns its keep (long strings over a large vocabulary);
+    // q24's short-name stats use vocabulary collapse instead.
+    "d08_editdist_neardup" -> ((s, dir) => {
+      val tau = graft.functions.Segments.Tau // 2: 13-char segments over the 40-char key
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
+      val segs = docs.select(col("doc_id").as("r_id"), col("k").as("r_k"),
+          length(col("k")).as("r_lr"),
+          explode(graft.functions.Segments.segments(col("k"))).as("g"))
+        .select(col("r_id"), col("r_k"), col("r_lr"),
+          col("g._1").as("r_i"), col("g._2").as("seg"))
+      val probes = docs.select(col("doc_id").as("s_id"), col("k").as("s_k"),
+          explode(graft.functions.Segments.probes(col("k"))).as("g"))
+        .select(col("s_id"), col("s_k"),
+          col("g._1").as("lr"), col("g._2").as("i"), col("g._3").as("sub"))
+      // the segment index is K rows/doc (same order as the corpus) —
+      // broadcast at test SF; at cluster scale both sides shuffle on
+      // the (lr, i, text) block key, still near-linear rows
+      val cand = probes.join(broadcast(segs),
+          col("lr") === col("r_lr") && col("i") === col("r_i") &&
+            col("sub") === col("seg") && col("s_id") =!= col("r_id"))
+        .select(least(col("r_id"), col("s_id")).as("a_id"),
+          greatest(col("r_id"), col("s_id")).as("b_id"),
+          when(col("r_id") < col("s_id"), col("r_k")).otherwise(col("s_k")).as("a_k"),
+          when(col("r_id") < col("s_id"), col("s_k")).otherwise(col("r_k")).as("b_k"))
+        .distinct()
+      cand.select(col("a_id"), col("b_id"),
+          levenshtein(col("a_k"), col("b_k"), tau).as("d")) // -1 when > tau
+        .filter(col("d") >= 0)
+        .orderBy("a_id", "b_id")
+    }),
+
     "d05_simhash_neardup" -> ((s, dir) => {
       val sig = shingleDocs(s, dir)
         .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
@@ -245,6 +285,15 @@ object Dedup {
          |  UNION
          |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src)
          |SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // blocking is lossless for ed <= 5, so the oracle is the plain
+    // quadratic formulation — same semantics, no block to mirror
+    "d08_editdist_neardup" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS d
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "d05_simhash_neardup" ->
       s"""WITH docs AS ($DOCS),

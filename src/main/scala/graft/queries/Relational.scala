@@ -374,33 +374,52 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
-    // ---- string-distance blocking (levenshtein near-names per brand);
-    //      the threshold overload early-exits the DP when distance
-    //      exceeds 5, so far-apart pairs cost O(len·threshold) not
-    //      O(len²) — stats are defined over close pairs only, which the
-    //      oracle reproduces with a plain CASE ----------------------------
+    // ---- string-distance stats with VOCABULARY-COLLAPSED pair
+    //      generation — stats are defined over close pairs only, which
+    //      the oracle reproduces with a plain quadratic CASE join (the
+    //      collapse is an exact refactoring, so semantics and oracle
+    //      are unchanged) ---------------------------------------------
     "q24_name_distance" -> ((s, dir) => {
-      // Threshold-capped levenshtein over per-brand name pairs. The
-      // threshold overload short-circuits internally on |len(a)-len(b)|
-      // > 5 (O(1)) and caps the DP band otherwise, so length-
-      // incompatible pairs are near-free — measured faster than
-      // length-band blocking at this shape, which pays band replication
-      // and an extra shuffle to prune work the DP already skips. The
-      // pair COUNT stays quadratic per brand either way; the 100 TB
-      // answer is PassJoin-style segment blocking (segments of one side
-      // matched to position-windowed substrings of the other), which
-      // drops candidate generation itself to near-linear.
+      // The old form joined part×part per brand: Σ_brand C(n,2) pair
+      // rows — the repo's one remaining quadratic-in-corpus candidate
+      // generator. But close-pair STATS only depend on the distinct
+      // name vocabulary and its multiplicities (64 distinct names here,
+      // sublinear in corpus size), so:
+      //  1. ONE hash aggregate collapses the corpus to
+      //     (brand, name, m) — the only pass over the data;
+      //  2. same-name pairs contribute Σ C(m,2) at distance 0, pure
+      //     arithmetic, no pair materialized;
+      //  3. the banded levenshtein runs once per DISTINCT unordered
+      //     name pair per brand (V²·25 with V = 64, constant in SF),
+      //     weighted by m_a·m_b;
+      //  4. n_pairs = C(n,2) from group sizes.
+      // Corpus-quadratic work is gone; the residual V² term is where
+      // PassJoin segment blocking (functions/Segments, exercised by
+      // d08 on realistic long strings) kicks in when the vocabulary
+      // itself is large.
       val p = Tables(s, dir, "part").select("p_partkey", "p_brand", "p_name")
-      val a = p.select(col("p_brand"), col("p_partkey").as("a_key"), col("p_name").as("a_name"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("b_key"), col("p_name").as("b_name"))
-      a.join(b, Seq("p_brand")).filter(col("a_key") < col("b_key"))
+      val vocab = p.groupBy("p_brand", "p_name").agg(count(lit(1)).as("m"))
+      val bstats = vocab.groupBy("p_brand").agg(
+          sum(col("m")).as("n"),
+          sum(expr("m * (m - 1) DIV 2")).as("n_same"),
+          max(col("m")).as("max_m"))
+        .filter(col("n") >= 2)
+      val a = vocab.select(col("p_brand"), col("p_name").as("a_name"), col("m").as("ma"))
+      val b = vocab.select(col("p_brand"), col("p_name").as("b_name"), col("m").as("mb"))
+      val closeCross = a.join(b, Seq("p_brand"))
+        .filter(col("a_name") < col("b_name"))
         .select(col("p_brand"),
-          levenshtein(col("a_name"), col("b_name"), 5).as("d")) // -1 when > 5
+          levenshtein(col("a_name"), col("b_name"), 5).as("d"), // -1 when > 5
+          (col("ma") * col("mb")).as("w"))
+        .filter(col("d") >= 0)
         .groupBy("p_brand")
-        .agg(
-          sum(when(col("d") >= 0, 1L).otherwise(0L)).as("n_close_pairs"),
-          min(when(col("d") >= 0, col("d"))).as("min_close_distance"),
-          count(lit(1)).as("n_pairs"))
+        .agg(sum(col("w")).as("n_cross"), min(col("d")).as("min_cross"))
+      bstats.join(closeCross, Seq("p_brand"), "left")
+        .select(col("p_brand"),
+          (coalesce(col("n_cross"), lit(0L)) + col("n_same")).as("n_close_pairs"),
+          when(col("max_m") >= 2, lit(0)).otherwise(col("min_cross"))
+            .as("min_close_distance"),
+          expr("n * (n - 1) DIV 2").as("n_pairs"))
         .orderBy("p_brand")
     }),
 
