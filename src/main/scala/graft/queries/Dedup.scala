@@ -43,7 +43,17 @@ object Dedup {
     * key, never all-pairs); exact Jaccard verifies ONLY the candidates
     * — |A∩B|/|A∪B| over distinct sets equals d02's count formulation.
     */
-  def lshCanonicals(docs: DataFrame): DataFrame = {
+  def lshCanonicals(docs: DataFrame): DataFrame =
+    lshVerifiedPairs(docs)
+      .groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+
+  /** The LSH-verified near-dup PAIR relation (a_id < b_id, jaccard ≥ 0.5
+    * over full shingle sets): band-bucket candidates, then exact-Jaccard
+    * verification of candidates only. The single near-dup pair
+    * definition shared by d04 (canonical map), d06/d07 (connected
+    * components) and p01 (pipeline near-dup stage).
+    */
+  def lshVerifiedPairs(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
       .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
@@ -54,12 +64,12 @@ object Dedup {
         col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-    val ver = cand
+    cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb"))) >= 0.5)
-    ver.groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Reliable checkpoint when the session has a checkpoint dir
@@ -82,23 +92,138 @@ object Dedup {
     */
   private val MaxDf = 50
 
-  /** Exact Jaccard (over df-capped shingle sets) for every pair sharing
-    * ≥1 kept shingle, via inverted index. Columns: a_id, b_id, jaccard.
+  /** All pairs with Jaccard ≥ t over df-capped shingle-FINGERPRINT
+    * sets, via PREFIX FILTERING (Chaudhuri/Ganti/Kaushik SSJoin,
+    * ICDE 2006; Xiao et al. PPJoin — public literature). Columns:
+    * a_id, b_id, jaccard (exact).
+    *
+    * Scale shape, in order:
+    *  - the index is built on the 8-byte portable fingerprint of each
+    *    shingle, not the ~20-char string (¼ the shuffle bytes, cheaper
+    *    hash/compare); fps are deduped per doc, and the oracle CTE
+    *    computes the identical fp sets, so even a cross-doc collision
+    *    (odds ~df²/2³¹) changes both engines the same way;
+    *  - stop-shingles are dropped by the df cap (MaxDf);
+    *  - each doc then indexes only its PREFIX — the n−⌈t·n⌉+1 rarest
+    *    fps under the global (df, fp) total order. Lemma: if
+    *    |A∩B| ≥ α then the first |A|−α+1 of A and |B|−α+1 of B share
+    *    an element; J ≥ t gives α = ⌈t·max(|A|,|B|)⌉, so any
+    *    qualifying pair shares a prefix fp and the candidate join is
+    *    EXACT for the ≥ t predicate. Posting lists shrink to the rare
+    *    half of each doc — the pair shuffle drops from Σ df² over all
+    *    kept shingles (1.27 M rows at sf0.1) to the near-dup
+    *    candidates (~10³);
+    *  - candidates join back to the per-doc fp arrays and pay one
+    *    exact intersect/union each — same integers as the oracle's
+    *    n_common/(na+nb−n_common), so the double divides identically.
     */
-  private def jaccardPairs(docs: DataFrame): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val kept = ex.join(
-      ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDf).select("s"), "s")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    kept.as("a").join(kept.as("b"),
+  private def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
+    val ex = docs.select(col("doc_id"),
+      explode(array_distinct(Text.fps(col("sh")))).as("s"))
+    // (doc_id, sorted capped fp set): materialized once — it fans out
+    // to the prefix explode and both verify sides, and re-running the
+    // shingle+fp kernels per consumer measured ~4x the map-side work
+    val sets = cp(ex
+      .join(ex.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf), "s")
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(df, s))), p -> p.s)").as("fps")))
+    val pref = sets.select(col("doc_id"), explode(expr(
+      s"slice(fps, 1, size(fps) - CAST(ceil(size(fps) * $t) AS INT) + 1)")).as("s"))
+    val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("fps").as("fb")), "b_id")
       .select(col("a_id"), col("b_id"),
-        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+        (size(array_intersect(col("fa"), col("fb"))).cast("double") /
+          size(array_union(col("fa"), col("fb")))).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
+  /** Connected components by min-label propagation over an
+    * (a_id, b_id) edge relation → (id, lbl), lbl = min id in the
+    * component. One join + aggregate per round; rounds = component
+    * DIAMETER (fine for shallow near-dup clusters; for adversarial
+    * diameters use [[starComponents]]). Checkpointed per round so the
+    * lineage stays one round deep.
+    */
+  def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val eb = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = cp(pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id")))
+      .distinct().withColumn("lbl", col("id")))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = eb.join(labels, eb("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = cp(labels.select("id", "lbl").union(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")))
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select("id", "lbl")
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, SoCC 2014 —
+    * public literature) → (id, lbl), lbl = min id in the component.
+    *
+    * Each round rewires the graph toward stars rooted at component
+    * minima: large-star connects every larger neighbor of u to
+    * min(Γ(u) ∪ {u}); small-star connects u and its smaller neighbors
+    * to their minimum. Convergence is O(log² n) rounds REGARDLESS of
+    * diameter (each round roughly halves path lengths), vs the
+    * diameter-bound rounds of [[minLabelComponents]] — a chain graph
+    * converges in ~log₂(n) rounds (pinned by DedupComponentsSpec).
+    * Both maps are a groupBy + join per round; edges stay in the
+    * canonical (hi, lo) orientation throughout.
+    */
+  def starComponents(pairs: DataFrame): DataFrame =
+    starComponentsWithRounds(pairs)._1
+
+  /** [[starComponents]] plus the number of rounds to convergence (the
+    * spec asserts the logarithmic bound on a chain fixture).
+    */
+  def starComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val verts = cp(pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct())
+    var edges = cp(pairs
+      .select(greatest(col("a_id"), col("b_id")).as("hi"),
+        least(col("a_id"), col("b_id")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 30) {
+      // large-star: per node u over BIDIRECTED neighbors, connect every
+      // larger neighbor to m = min(Γ(u) ∪ {u})
+      val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      val ls = nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+      // small-star: per node u over its SMALLER neighbors Γ⁻(u) (the
+      // (hi=u, lo) edges), connect u and all of Γ⁻(u) to min(Γ⁻(u))
+      val minsS = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
+      val withMin = ls.select(col("hi").as("u"), col("lo").as("v")).join(minsS, "u")
+      val ss = withMin.select(col("v").as("h"), col("m"))
+        .union(withMin.select(col("u").as("h"), col("m")))
+        .filter(col("h") =!= col("m"))
+        .select(col("h").as("hi"), col("m").as("lo")).distinct()
+      val next = cp(ss)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    val lbls = verts
+      .join(edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("l")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("l"), col("id")).as("lbl"))
+    (lbls, iter)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -110,8 +235,7 @@ object Dedup {
     }),
 
     "d02_jaccard_pairs" -> ((s, dir) => {
-      jaccardPairs(shingleDocs(s, dir))
-        .filter(col("jaccard") >= 0.5)
+      jaccardPairs(shingleDocs(s, dir), t = 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -133,32 +257,29 @@ object Dedup {
 
     // connected components over the verified near-dup graph: the real
     // dedup grouping (d04's min-neighbor is one hop; chains a~b~c need
-    // transitive closure). Driver-coordinated min-label propagation —
-    // the standard iterative shape for distributed graph connectivity;
-    // iterations are bounded by component diameter (near-dup clusters
-    // are shallow), and the pair relation is checkpointed once so each
-    // iteration is a single join + aggregate, not a full recompute.
+    // transitive closure). The edge set IS d04's LSH-verified pair
+    // relation — band-bucket candidates + exact-Jaccard verify — so the
+    // near-dup pair definition is unified across d04/d06/d07/p01 and
+    // the capped inverted-index join (d02's formulation) is not
+    // recomputed here. Min-label propagation, iterations bounded by
+    // component diameter (near-dup clusters are shallow); d07 runs
+    // large/small-star on the SAME edges for adversarial diameters.
     "d06_dedup_components" -> ((s, dir) => {
-      val pairs = cp(jaccardPairs(shingleDocs(s, dir)).filter(col("jaccard") >= 0.5)
-        .select(col("a_id"), col("b_id")))
-      val eb = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      var labels = cp(pairs.select(col("a_id").as("id"))
-        .union(pairs.select(col("b_id").as("id")))
-        .distinct().withColumn("lbl", col("id")))
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 20) {
-        val prop = eb.join(labels, eb("src") === labels("id"))
-          .select(col("dst").as("id"), col("lbl"))
-        val next = cp(labels.select("id", "lbl").union(prop)
-          .groupBy("id").agg(min(col("lbl")).as("lbl")))
-        converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
+      val pairs = cp(lshVerifiedPairs(shingleDocs(s, dir)))
+      minLabelComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
+    }),
+
+    // the same components via alternating large-star/small-star
+    // (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    // SoCC 2014): converges in O(log² n) rounds REGARDLESS of component
+    // diameter — the robust variant for adversarial graphs (long
+    // chains), where per-hop label propagation needs diameter rounds.
+    // Same edge relation, same output, same oracle as d06.
+    "d07_dedup_components_star" -> ((s, dir) => {
+      val pairs = cp(lshVerifiedPairs(shingleDocs(s, dir)))
+      starComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
     }),
 
     // edit-distance near-dup join over a fixed-width document key (the
@@ -232,10 +353,11 @@ object Dedup {
        |jp AS (SELECT a_id, b_id,
        |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
        |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id)""".stripMargin
-  // df-capped pairs — mirrors Dedup.MaxDf for d02/d06
+  // df-capped pairs over shingle FINGERPRINTS — mirrors Dedup.MaxDf and
+  // the fp-based inverted index for d02
   private val JACCARD_PAIRS_CAPPED =
     s"""docs AS ($DOCS),
-       |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM docs),
+       |ex0 AS (SELECT doc_id, unnest(list_distinct([${fp("s")} for s in sh])) AS s FROM docs),
        |keep AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex0 GROUP BY 1) WHERE df <= 50),
        |ex AS (SELECT doc_id, ex0.s AS s FROM ex0 JOIN keep ON ex0.s = keep.s),
        |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
@@ -244,6 +366,33 @@ object Dedup {
        |jp AS (SELECT a_id, b_id,
        |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
        |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id)""".stripMargin
+
+  // LSH-verified near-dup edges — mirrors [[lshVerifiedPairs]]: band
+  // candidates verified by exact Jaccard over FULL shingle sets.
+  // Shared by d04 (canonical map) and d06/d07 (components).
+  private val LSH_EDGES =
+    s"""$JACCARD_PAIRS,
+       |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs),
+       |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
+       |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |edges AS (SELECT cand.a_id, cand.b_id FROM cand
+       |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)""".stripMargin
+
+  // components over the LSH-verified edges (d06 = min-label
+  // propagation, d07 = large/small-star; same fixed point, same SQL)
+  private val COMPONENTS_SQL =
+    s"""WITH RECURSIVE $LSH_EDGES,
+       |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+       |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |       UNION SELECT b_id, a_id FROM edges),
+       |comp(id, lbl) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src)
+       |SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "d01_exact_dedup" ->
@@ -263,28 +412,12 @@ object Dedup {
          |ORDER BY doc_id, perm_index""".stripMargin,
 
     "d04_minhash_lsh_dedup" ->
-      s"""WITH $JACCARD_PAIRS,
-         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM docs),
-         |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
-         |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ver AS (SELECT cand.a_id, cand.b_id FROM cand
-         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)
-         |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM ver GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $LSH_EDGES
+         |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM edges GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    "d06_dedup_components" ->
-      s"""WITH RECURSIVE $JACCARD_PAIRS_CAPPED,
-         |edges AS (SELECT a_id, b_id FROM jp WHERE jaccard >= 0.5),
-         |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
-         |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
-         |       UNION SELECT b_id, a_id FROM edges),
-         |comp(id, lbl) AS (
-         |  SELECT id, id FROM verts
-         |  UNION
-         |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src)
-         |SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "d06_dedup_components" -> COMPONENTS_SQL,
+
+    "d07_dedup_components_star" -> COMPONENTS_SQL,
 
     // blocking is lossless for ed <= 5, so the oracle is the plain
     // quadratic formulation — same semantics, no block to mirror
