@@ -24,10 +24,21 @@ object Bench {
     // let Catalyst prune the expensive expressions out of the plan).
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // optional comma-separated name filter for local iteration on a few
+    // queries (the driver sets no filter and measures everything)
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a filter entry that matches nothing (e.g. a typo) would otherwise
+    // silently produce an empty run with total 0.000; stderr so the
+    // diagnostic can never land after (and break) the JSON result line
+    filter.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
+      System.err.println(s"WARNING: SPARK_GRAFT_QUERIES entry matches no query: $n")))
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => filter.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try run(fn, warmDir) catch { case _: Throwable => () }
+      names.foreach { n =>
+        try run(SparkEntry.queries(n), warmDir) catch { case _: Throwable => () }
       }
     // min of `passes` timed passes (default 3): the first pass at full SF
     // still pays JIT compilation of the per-query codegen classes
@@ -38,12 +49,6 @@ object Bench {
     // multi-second host contention spike then poisons one sample of many
     // queries instead of every sample of one query — back-to-back passes
     // gave a 0.23 s query a 9.8 s "min" on a contended driver machine.
-    // optional comma-separated name filter for local iteration on a few
-    // queries (the driver sets no filter and measures everything)
-    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.queries.keys.toSeq
-      .filter(n => filter.forall(_.contains(n)))
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()

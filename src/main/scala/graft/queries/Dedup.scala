@@ -72,14 +72,20 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
   }
 
-  /** Reliable checkpoint when the session has a checkpoint dir
-    * configured (cluster: HDFS/S3 — lineage truncation that survives
-    * executor loss), executor-local otherwise (tests, single node).
-    * d06's iteration is the only consumer.
+  /** LAZY checkpoint: reliable (HDFS/S3) when the session has a
+    * checkpoint dir configured — lineage truncation that survives
+    * executor loss — executor-local otherwise (tests, single node).
+    * `eager = false` is the round-6 constant-factor fix: the eager
+    * form ran a dedicated blocking job to materialize the relation
+    * BEFORE any consumer (one full extra job per call — measured ~2×
+    * on d02); lazily the first consuming action materializes it, every
+    * later consumer reads the persisted blocks, and lineage still
+    * truncates after that first action (the iterative-loop guarantee
+    * d06/d07 need).
     */
   private def cp(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
 
   /** Document-frequency cap for the inverted-index path: a shingle in
     * more than MaxDf documents is a stop-shingle — it carries no dedup
@@ -104,41 +110,56 @@ object Dedup {
     *    computes the identical fp sets, so even a cross-doc collision
     *    (odds ~df²/2³¹) changes both engines the same way;
     *  - stop-shingles are dropped by the df cap (MaxDf);
-    *  - each doc then indexes only its PREFIX — the n−⌈t·n⌉+1 rarest
-    *    fps under the global (df, fp) total order. Lemma: if
-    *    |A∩B| ≥ α then the first |A|−α+1 of A and |B|−α+1 of B share
-    *    an element; J ≥ t gives α = ⌈t·max(|A|,|B|)⌉, so any
-    *    qualifying pair shares a prefix fp and the candidate join is
-    *    EXACT for the ≥ t predicate. Posting lists shrink to the rare
-    *    half of each doc — the pair shuffle drops from Σ df² over all
-    *    kept shingles (1.27 M rows at sf0.1) to the near-dup
-    *    candidates (~10³);
-    *  - candidates join back to the per-doc fp arrays and pay one
-    *    exact intersect/union each — same integers as the oracle's
-    *    n_common/(na+nb−n_common), so the double divides identically.
+    *  - ONE checkpointed base relation (doc_id, fp, rank, set size):
+    *    rank = the fp's position in the doc's set under the global
+    *    (df, fp) total order, from a per-doc window over the df join —
+    *    everything downstream (prefix, verify corpus, set sizes) is a
+    *    narrow filter/projection of it, so the shingle+fp kernels run
+    *    once and lineage truncates at the base;
+    *  - each doc indexes only its PREFIX — the n−⌈t·n⌉+1 rarest fps
+    *    (rank filter, no arrays built). Lemma: if |A∩B| ≥ α then the
+    *    first |A|−α+1 of A and |B|−α+1 of B share an element; J ≥ t
+    *    gives α = ⌈t·max(|A|,|B|)⌉, so any qualifying pair shares a
+    *    prefix fp and the candidate join is EXACT for ≥ t. The pair
+    *    shuffle drops from Σ df² over all kept shingles (1.27 M rows
+    *    at sf0.1) to the prefix posting lists (~the rare half);
+    *  - verification is a COUNTING join over the candidate-DOC
+    *    sub-corpus (left-semi restriction, no pair-distinct needed):
+    *    |A∩B| = count(*) of shared fps, |A∪B| = na+nb−|A∩B| from the
+    *    carried sizes — same integers as the oracle, so the double
+    *    divides identically. Over-generation is safe: any pair the
+    *    sub-corpus join emits that was NOT a true candidate pair
+    *    fails J ≥ t by the prefix lemma (contrapositive), so the
+    *    final filter removes exactly the non-qualifying pairs.
     */
   private def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ex = docs.select(col("doc_id"),
       explode(array_distinct(Text.fps(col("sh")))).as("s"))
-    // (doc_id, sorted capped fp set): materialized once — it fans out
-    // to the prefix explode and both verify sides, and re-running the
-    // shingle+fp kernels per consumer measured ~4x the map-side work
-    val sets = cp(ex
+    val byDoc = Window.partitionBy("doc_id")
+    val base = cp(ex
       .join(ex.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxDf), "s")
-      .groupBy("doc_id")
-      .agg(expr("transform(sort_array(collect_list(struct(df, s))), p -> p.s)").as("fps")))
-    val pref = sets.select(col("doc_id"), explode(expr(
-      s"slice(fps, 1, size(fps) - CAST(ceil(size(fps) * $t) AS INT) + 1)")).as("s"))
-    val cand = pref.as("a").join(pref.as("b"),
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy("df", "s")).as("rk"),
+        count(lit(1)).over(byDoc).as("n")))
+    val pref = base
+      .filter(col("rk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
+      .select("doc_id", "s")
+    val ids = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id")).distinct()
-    cand
-      .join(sets.select(col("doc_id").as("a_id"), col("fps").as("fa")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("fps").as("fb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("fa"), col("fb"))).cast("double") /
-          size(array_union(col("fa"), col("fb")))).as("jaccard"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id2"))
+    val exc = base
+      .join(ids.select("doc_id").union(ids.select(col("doc_id2"))),
+        Seq("doc_id"), "left_semi")
+      .select("doc_id", "s", "n")
+    exc.as("a").join(exc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("a_id"), col("b_id"), (col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= t)
   }
 
@@ -167,6 +188,9 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"minLabelComponents did not converge in $iter rounds (component " +
+        "diameter exceeds the cap — use starComponents for deep graphs)")
     labels.select("id", "lbl")
   }
 
@@ -216,10 +240,16 @@ object Dedup {
         .filter(col("h") =!= col("m"))
         .select(col("h").as("hi"), col("m").as("lo")).distinct()
       val next = cp(ss)
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      // single-action set-equality check (both sides are distinct): one
+      // job materializes the lazy checkpoint of `next` AND evaluates the
+      // symmetric difference — vs the former count+count+except (3 jobs
+      // per round on top of an eager-checkpoint job)
+      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
       edges = next
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"starComponents did not converge in $iter rounds — labels would be unreliable")
     val lbls = verts
       .join(edges.groupBy(col("hi").as("id")).agg(min(col("lo")).as("l")), Seq("id"), "left")
       .select(col("id"), coalesce(col("l"), col("id")).as("lbl"))
@@ -419,8 +449,9 @@ object Dedup {
 
     "d07_dedup_components_star" -> COMPONENTS_SQL,
 
-    // blocking is lossless for ed <= 5, so the oracle is the plain
-    // quadratic formulation — same semantics, no block to mirror
+    // blocking is lossless for ed <= Segments.Tau (= 2, the predicate
+    // below), so the oracle is the plain quadratic formulation — same
+    // semantics, no block to mirror
     "d08_editdist_neardup" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS d

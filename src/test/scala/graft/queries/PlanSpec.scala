@@ -40,11 +40,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("d02: jaccard pairs via aggregate on the shingle join, no array intersect") {
+  test("d02: prefix-filter candidates via equi-join; counting verify; no all-pairs shape") {
     val p = plan("d02_jaccard_pairs")
-    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
-    assert(!p.toLowerCase.contains("array_intersect"), p)
+    // candidate generation and verification must be equi-joins on the
+    // fingerprint (hash/merge join), never an all-pairs shape
     assert(!p.contains("CartesianProduct"), "pair generation must not be a cross join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair generation must not be all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    // df counts and the |A∩B| counting verify are hash aggregates
+    // (map-side partial); no per-pair array materialization anywhere
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.toLowerCase.contains("array_intersect"),
+      "verify is the counting join, not array intersection")
   }
 
   test("v03: blocked pairs shuffle on label, never cross-join globally") {
