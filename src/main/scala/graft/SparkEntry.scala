@@ -36,15 +36,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Temporal.queries ++ Pipeline.queries ++ Map(
-      // multimodal plumbing (decode step stubbed — graft.multimodal doc);
-      // no oracle entry: engine-side stub, driver records rows-only check
-      "m01_media_features" -> ((s, dir) => graft.multimodal.Multimodal.featureSummary(s, dir)))
+      Temporal.queries ++ Pipeline.queries ++ graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted entries get a rows-only check.
+    * the same parquet tables. Omitted entries get a rows-only check
+    * (m01: engine-side decode stub is not SQL-expressible).
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++
-      Temporal.oracleSql ++ Pipeline.oracleSql
+      Temporal.oracleSql ++ Pipeline.oracleSql ++ graft.multimodal.Multimodal.oracleSql
 }

@@ -87,6 +87,15 @@ object Multimodal {
     }
   }
 
+  /** Frame indices sampled for one media row: k evenly-spaced frames
+    * for video with positive duration, the single frame 0 otherwise.
+    * Shared by [[sampleFrames]] (decode path, m01) and [[metaTable]]
+    * (metadata-only path, m02) so the row multiplication the oracle
+    * gates is the code path the decode pipeline uses.
+    */
+  def frameIndices(meta: MediaMeta, k: Int): Range =
+    if (meta.mediaType == "video" && meta.durationMs > 0) 0 until k else 0 until 1
+
   /** Frame sampling for video rows: k evenly-spaced frame indices, each
     * decoded independently — explodes one row into k feature rows.
     * Non-video rows pass through as frame 0.
@@ -96,11 +105,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       val decoder: (Array[Byte], Int) => Array[Float] =
         (bytes, frame) => decodeStub(bytes :+ frame.toByte, dim)
-      rows.flatMap { r =>
-        if (r.meta.mediaType == "video" && r.meta.durationMs > 0) {
-          (0 until k).iterator.map(f => MediaFeature(r.doc_id, f, decoder(r.content, f)))
-        } else Iterator(MediaFeature(r.doc_id, 0, decoder(r.content, 0)))
-      }
+      rows.flatMap(r => frameIndices(r.meta, k).iterator
+        .map(f => MediaFeature(r.doc_id, f, decoder(r.content, f))))
     }
   }
 
@@ -122,6 +128,28 @@ object Multimodal {
     }
   }
 
+  /** m02: the metadata half of the multimodal pipeline — attach →
+    * [[resizeMeta]] → [[frameIndices]] row multiplication — with the
+    * payload untouched. Everything here is pure arithmetic on
+    * (doc_id, meta), so it IS SQL-expressible and oracle-gated
+    * (hash-exact vs DuckDB), leaving only the decode stub (m01)
+    * rows-only. The resize arithmetic goes through the same double
+    * ops in both engines (scale = maxSide/s first, then w·scale,
+    * truncated toward zero) so the dims are bit-identical.
+    */
+  def metaTable(spark: SparkSession, dir: String, maxSide: Int = 96,
+      k: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media = resizeMeta(attachMedia(graft.Tables(spark, dir, "documents")), maxSide)
+    media.flatMap { r =>
+      frameIndices(r.meta, k).map(f =>
+        (r.doc_id, r.meta.mediaType, r.meta.width, r.meta.height,
+          r.meta.sampleRateHz, r.meta.durationMs, f))
+    }.toDF("doc_id", "media_type", "width", "height",
+        "sample_rate_hz", "duration_ms", "frame_index")
+      .orderBy("doc_id", "frame_index")
+  }
+
   /** Media feature summary exposed through the driver contract (rows-only
     * check: the decode stub is engine-side, not SQL-expressible).
     */
@@ -133,4 +161,36 @@ object Multimodal {
       .toDF("doc_id", "dim", "feature_sum")
       .orderBy("doc_id")
   }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // decode path: rows-only by necessity (stubbed decoder is
+    // engine-side, not SQL-expressible)
+    "m01_media_features" -> ((s, dir) => featureSummary(s, dir)),
+    // metadata path: fully oracle-gated (pure arithmetic on doc_id and
+    // n_chars in both engines)
+    "m02_media_meta" -> ((s, dir) => metaTable(s, dir)))
+
+  /** DuckDB mirror of [[attachMedia]] → [[resizeMeta]] (maxSide 96) →
+    * [[frameIndices]] (k = 4): same integer arithmetic, same double op
+    * order for the resize scale (96.0 / s first, then w·scale, floor =
+    * truncation for positives), same conditional frame multiplication.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "m02_media_meta" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(64 + (doc_id % 8) * 16 AS INT) AS w0, CAST(64 AS INT) AS h0 FROM documents),
+        |r AS (SELECT doc_id, media_type,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 96 THEN w0
+        |       ELSE greatest(1, CAST(floor(w0 * (96.0 / greatest(w0, h0))) AS INT)) END AS INT) AS width,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 96 THEN h0
+        |       ELSE greatest(1, CAST(floor(h0 * (96.0 / greatest(w0, h0))) AS INT)) END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate_hz,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars * 10 END AS BIGINT) AS duration_ms
+        |  FROM m),
+        |f AS (SELECT r.*, unnest(CASE WHEN media_type = 'video' AND duration_ms > 0
+        |  THEN range(0, 4) ELSE [CAST(0 AS BIGINT)] END) AS fi FROM r)
+        |SELECT doc_id, media_type, width, height, sample_rate_hz, duration_ms,
+        |  CAST(fi AS INT) AS frame_index
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin)
 }

@@ -52,23 +52,51 @@ object Dedup {
     * verification of candidates only. The single near-dup pair
     * definition shared by d04 (canonical map), d06/d07 (connected
     * components) and p01 (pipeline near-dup stage).
+    *
+    * Verification is the same COUNTING join d02 uses: restrict the
+    * corpus to candidate DOCS (left-semi), self-join the exploded
+    * shingles, |A∩B| = count(*), |A∪B| = na+nb−|A∩B| from the carried
+    * set sizes — the full shingle ARRAYS never cross a shuffle. Unlike
+    * d02, over-generated pairs (both docs candidates, but not with
+    * each other) must be dropped explicitly (the final semi-join on
+    * the band-candidate pairs): LSH is approximate by design, so a
+    * high-Jaccard pair that never band-collides is NOT an edge here,
+    * and the oracle's cand CTE agrees.
     */
-  def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+  /** The 4×4 MinHash band keys of a `(doc_id, sh)` relation — one row
+    * per (doc, band): (doc_id, j, bkey). THE near-dup blocking key:
+    * two docs are LSH candidates iff they share a (j, bkey). Public so
+    * the incremental pipeline (graft.streaming.DocPipeline) can
+    * persist the same index and match new docs against it.
+    */
+  def bandKeys(docs: DataFrame): DataFrame = {
     val sig = docs
       .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
       .select(col("doc_id"), Text.minhashSig(col("fps")).as("sig"))
-    val bands = sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
+    sig.select(col("doc_id"), explode(array((0 until 4).map(j =>
         struct(lit(j).as("j"), slice(col("sig"), j * 4 + 1, 4).as("bkey"))): _*)).as("b"))
       .select(col("doc_id"), col("b.j").as("j"), col("b.bkey").as("bkey"))
-    val cand = bands.as("x").join(bands.as("y"),
+  }
+
+  def lshVerifiedPairs(docs: DataFrame): DataFrame = {
+    val d = cp(docs)
+    val bands = bandKeys(d)
+    val cand = cp(bands.as("x").join(bands.as("y"),
         col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-    cand
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
-      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        size(array_union(col("sha"), col("shb"))) >= 0.5)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct())
+    val exc = d
+      .join(cand.select(col("a_id").as("doc_id")).union(cand.select(col("b_id"))),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    exc.as("a").join(exc.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(cand, Seq("a_id", "b_id"), "left_semi")
+      .filter(col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")) >= 0.5)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -221,6 +249,7 @@ object Dedup {
       .select(greatest(col("a_id"), col("b_id")).as("hi"),
         least(col("a_id"), col("b_id")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct())
+    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
@@ -240,11 +269,16 @@ object Dedup {
         .filter(col("h") =!= col("m"))
         .select(col("h").as("hi"), col("m").as("lo")).distinct()
       val next = cp(ss)
-      // single-action set-equality check (both sides are distinct): one
-      // job materializes the lazy checkpoint of `next` AND evaluates the
-      // symmetric difference — vs the former count+count+except (3 jobs
-      // per round on top of an eager-checkpoint job)
-      converged = next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      // convergence = edge-set stability. The cheap count (one scan of
+      // the fresh checkpoint, which it also materializes) gates the
+      // exact symmetric-difference check: rounds that change the edge
+      // count — most of them — pay one light action; only
+      // count-stable rounds pay the except shuffles, and the final
+      // verdict is always the EXACT set equality, never the count.
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
+      edgeCount = nextCount
       edges = next
       iter += 1
     }

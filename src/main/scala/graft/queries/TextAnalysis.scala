@@ -178,29 +178,10 @@ object TextAnalysis {
     }),
 
     // t09's skew-safe twin — the 100 TB formulation, oracle-verified to
-    // produce the IDENTICAL result. The prefix sum over a hot source is
-    // a two-level scan: salt = contiguous doc_id blocks of 64, the heavy
-    // running sum windows over (source, salt) — parallel across salts —
-    // and only the tiny per-salt totals (rows = #salts, not #docs) go
-    // through a per-source window to compute each salt's global base
-    // offset. global_cum = base + local_cum is exactly t09's prefix sum.
+    // produce the IDENTICAL result (the shared prefix sum lives in
+    // saltedCum below).
     "t11_pack_salted" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
-          floor(col("doc_id") / lit(64)).cast("long").as("salt"))
-      val localW = Window.partitionBy("source", "salt").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = base.withColumn("local_cum", sum(col("n_tokens")).over(localW))
-      val saltW = Window.partitionBy("source").orderBy("salt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bases = base.groupBy("source", "salt")
-        .agg(sum(col("n_tokens")).as("tot"))
-        .select(col("source"), col("salt"),
-          (sum(col("tot")).over(saltW) - col("tot")).as("base_off"))
-      local.join(bases, Seq("source", "salt"))
-        .withColumn("cum", col("base_off") + col("local_cum"))
+      saltedCum(s, dir)
         .withColumn("chunk_id",
           floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
         .groupBy("source", "chunk_id")
@@ -209,8 +190,53 @@ object TextAnalysis {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("source", "chunk_id")
+    }),
+
+    // The per-document chunk ASSIGNMENT map a training job actually
+    // consumes: doc_id → (chunk_id, global token_start, offset within
+    // the chunk). t09/t11 aggregate per chunk; this is the same salted
+    // prefix sum projected per doc — one row per document, no extra
+    // shuffle beyond the windows it already pays.
+    "p02_chunk_assignments" -> ((s, dir) => {
+      val start = col("cum") - col("n_tokens")
+      saltedCum(s, dir)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor(start / lit(512.0)).cast("int").as("chunk_id"),
+          start.as("token_start"),
+          (start - floor(start / lit(512.0)).cast("int") * 512).as("offset_in_chunk"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Global per-doc running token sum within each source, skew-safely:
+    * salt = contiguous doc_id blocks of 64, the heavy running sum
+    * windows over (source, salt) — parallel across salts — and only the
+    * tiny per-salt totals (rows = #salts, not #docs) go through a
+    * per-source window to compute each salt's global base offset.
+    * global cum = base + local_cum is exactly the naive per-source
+    * prefix sum (t09's window), without ever sorting a whole hot source
+    * in one task. Shared by t11 (per-chunk aggregate) and p02 (per-doc
+    * assignment map). Columns: doc_id, source, n_tokens, cum.
+    */
+  private def saltedCum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+        floor(col("doc_id") / lit(64)).cast("long").as("salt"))
+    val localW = Window.partitionBy("source", "salt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+    val saltW = Window.partitionBy("source").orderBy("salt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = base.groupBy("source", "salt")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("source"), col("salt"),
+        (sum(col("tot")).over(saltW) - col("tot")).as("base_off"))
+    local.join(bases, Seq("source", "salt"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("base_off") + col("local_cum")).as("cum"))
+  }
 
   private[queries] val SCORE =
     s"0.25 * least(1.0, CAST(len(tk) AS DOUBLE) / 80) " +
@@ -303,6 +329,21 @@ object TextAnalysis {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the oracle is the NAIVE per-source prefix sum — the salted
+    // two-level scan must be indistinguishable from it (same contract
+    // as t11)
+    "p02_chunk_assignments" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |x AS (SELECT doc_id, source, n_tokens,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 512.0) AS INT) AS chunk_id,
+         |  CAST(cum - n_tokens AS BIGINT) AS token_start,
+         |  CAST((cum - n_tokens) - CAST(floor((cum - n_tokens) / 512.0) AS INT) * 512 AS BIGINT)
+         |    AS offset_in_chunk
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "t09_pack_chunks" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),

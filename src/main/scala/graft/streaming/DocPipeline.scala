@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.functions.Text
+import graft.queries.Dedup
+
+/** Incremental (streaming) form of the p01 training-data pipeline —
+  * the "real-time" half of the north star applied to the LLM-pipeline
+  * tier. Documents arrive as a stream; each micro-batch flows through
+  * the SAME stages the oracle-gated batch p01 composes, but
+  * incrementally, against two append-only state relations:
+  *
+  *   - `docs`  — every exact-dedup survivor seen so far, with its
+  *               shingle set and a final `is_neardup` verdict;
+  *   - `bands` — the LSH band-key index of those docs
+  *               ([[Dedup.bandKeys]] — the same blocking key the batch
+  *               path uses), so a new doc is matched against history by
+  *               an equi-join on (j, bkey), never by rescanning texts.
+  *
+  * Stage mapping (batch p01 → here):
+  *   1. exact dedup      → `dropDuplicatesWithinWatermark(text_hash)`
+  *      in the streaming graph (streaming-native, state bounded by the
+  *      watermark) PLUS an anti-join against the `docs` store inside
+  *      `foreachBatch` (exactness across ALL history, beyond the
+  *      watermark horizon);
+  *   2. near-dup dedup   → band-key join of the batch's new docs
+  *      against store ∪ batch, exact-Jaccard verify of candidates only
+  *      — per-batch work scales with batch size + matches, not corpus
+  *      size;
+  *   3-5. filter/split/agg → [[aggregate]], the identical expressions
+  *      over the survivor store.
+  *
+  * A doc's near-dup verdict depends only on SMALLER doc_ids (the
+  * canonical-keep-first contract, s02 semantics), so under in-order
+  * arrival every verdict is FINAL at arrival time and the incremental
+  * result equals batch p01 exactly (pinned by DocPipelineSpec).
+  */
+object DocPipeline {
+
+  private def docsPath(stateDir: String) = s"$stateDir/docs"
+  private def bandsPath(stateDir: String) = s"$stateDir/bands"
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("text_hash", StringType),
+    StructField("sh", ArrayType(StringType)),
+    StructField("is_neardup", BooleanType)))
+
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("j", IntegerType),
+    StructField("bkey", ArrayType(LongType))))
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Start the incremental pipeline over a document stream with an
+    * event-time column `ts` and the `documents` columns
+    * (doc_id, text, lang, source). State accumulates under `stateDir`;
+    * read the current result any time with [[aggregate]].
+    */
+  def start(stream: DataFrame, stateDir: String,
+      watermark: String = "1 hour"): StreamingQuery =
+    stream
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, stateDir) }
+      .start()
+
+  /** One micro-batch: exact dedup vs history, near-dup verdict vs
+    * (history ∪ batch), append survivors + their band keys.
+    */
+  def processBatch(batch0: DataFrame, stateDir: String): Unit = {
+    val spark = batch0.sparkSession
+    // within-batch exact dedup keeps the SMALLEST doc_id per hash (the
+    // stream stage keeps at most one per hash per batch already; this
+    // pins min-id determinism regardless of intra-batch row order)
+    val batch = batch0
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("text_hash").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select("doc_id", "text", "lang", "source", "text_hash")
+    val store = readOrEmpty(spark, docsPath(stateDir), docsSchema)
+    // stage 1b: exact dedup against ALL history (the watermark stage
+    // already dropped duplicates within its horizon; this closes it)
+    val fresh = batch
+      .join(store.select("text_hash"), Seq("text_hash"), "left_anti")
+      .withColumn("sh", Text.distinctShingles(col("text")))
+      .localCheckpoint(eager = false)
+    // stage 2: near-dup verdict — band-key candidates vs history + batch
+    val newBands = Dedup.bandKeys(fresh.select("doc_id", "sh"))
+      .localCheckpoint(eager = false)
+    val allBands = readOrEmpty(spark, bandsPath(stateDir), bandsSchema)
+      .union(newBands)
+    val cand = allBands.as("x").join(newBands.as("y"),
+        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val corpusSh = store.select(col("doc_id"), col("sh"))
+      .union(fresh.select(col("doc_id"), col("sh")))
+    val dropIds = cand
+      .join(corpusSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
+      .join(corpusSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))) >= 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    val marked = fresh.join(dropIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("text_hash"), col("sh"),
+        coalesce(col("hit"), lit(false)).as("is_neardup"))
+    // append-only state writes (idempotent per batch at-least-once is
+    // acceptable for the store because doc_ids re-deduplicate on read
+    // in aggregate()'s exact stage — but Spark's foreachBatch replays
+    // whole batches, and the anti-join above drops replayed rows)
+    marked.write.mode("append").parquet(docsPath(stateDir))
+    // index ALL exact-dedup survivors, near-dups included: the batch
+    // pair relation is over d1 (a doc may be dropped via a neighbor
+    // that is itself a near-dup — chains 1~2, 2~3 must still drop 3)
+    newBands.write.mode("append").parquet(bandsPath(stateDir))
+  }
+
+  /** The pipeline result over everything ingested so far — identical
+    * expressions to batch p01's stages 3-5 (language filter, quality
+    * score, hash split, per-source token accounting).
+    */
+  def aggregate(spark: SparkSession, stateDir: String): DataFrame = {
+    val d2 = readOrEmpty(spark, docsPath(stateDir), docsSchema)
+      .filter(!col("is_neardup") && col("lang") === "en")
+    d2.select(col("source"),
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+        Text.qualityScore(col("text")).as("q"),
+        pmod(Text.charFp(col("text")), lit(100L)).as("h100"))
+      .filter(col("q") >= 0.3 && col("h100") < 80)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
+      .orderBy("source")
+  }
+}
