@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Dedup, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
+import graft.queries.{Curation, Dedup, Pipeline, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,7 +36,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Temporal.queries ++ Pipeline.queries ++ graft.multimodal.Multimodal.queries
+      Temporal.queries ++ Pipeline.queries ++ Curation.queries ++
+      graft.multimodal.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check
@@ -44,5 +45,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++
-      Temporal.oracleSql ++ Pipeline.oracleSql ++ graft.multimodal.Multimodal.oracleSql
+      Temporal.oracleSql ++ Pipeline.oracleSql ++ Curation.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql
 }

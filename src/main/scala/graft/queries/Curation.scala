@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import OracleDialect._
+
+/** Corpus-curation operators (training-data pipeline tier): benchmark
+  * decontamination and quality-budgeted selection — the two steps that
+  * sit between dedup (d-queries) and packing (t09/t11/p02) in a real
+  * LLM data pipeline.
+  *
+  * Scale shapes:
+  *  - c01 joins the exploded train shingles against the (distinct)
+  *    eval vocabulary — shuffle on the shingle fingerprint with
+  *    map-side partial agg on the hit counts; the eval vocabulary is
+  *    the SMALL side (benchmarks are tiny next to a 100 TB corpus) so
+  *    AQE broadcasts it and the train side never reshuffles.
+  *  - p03's per-source quality ranking is a window; a hot source at
+  *    100 TB takes the same two-level salted treatment as t11 (the
+  *    budget cut only needs the running sum, which salts exactly like
+  *    the packing prefix sum).
+  */
+object Curation {
+
+  /** Deterministic pseudo-benchmark membership: every 50th doc_id.
+    * A real pipeline would read the benchmark corpus as its own table;
+    * the fixtures ship only `documents`, so the eval set is carved out
+    * deterministically (both engines compute the same predicate).
+    */
+  private val isEval = col("doc_id") % 50 === 0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark contamination: for each train doc, the fraction of its
+    // distinct 3-gram shingles that appear ANYWHERE in the eval set.
+    // Per-source report: docs, contaminated count (frac ≥ 0.5), and
+    // the summed contamination mass (floor-micros — order-independent).
+    "c01_contamination" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.distinctShingles(col("text")).as("sh"))
+      val evalVocab = docs.filter(isEval)
+        .select(explode(col("sh")).as("s")).distinct()
+      val train = docs.filter(!isEval)
+      val hits = train
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(evalVocab, Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val frac = train
+        .select(col("doc_id"), col("source"), size(col("sh")).as("n"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("source"),
+          when(col("n") > 0,
+            coalesce(col("n_hit"), lit(0L)).cast("double") / col("n"))
+            .otherwise(lit(0.0)).as("frac"))
+      frac.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("frac") >= 0.5, 1L).otherwise(0L)).as("n_contaminated"),
+          sum(floor(col("frac") * lit(1000000.0)).cast("long")).as("sum_frac_micros"))
+        .orderBy("source")
+    }),
+
+    // Quality-budgeted selection: per source, rank docs by quality
+    // score (desc, doc_id tiebreak) and keep the prefix whose running
+    // token count stays within the budget — the curation cut that
+    // turns "all data" into "the best N tokens per source".
+    "p03_token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 5000L
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+          Text.qualityScore(col("text")).as("q"))
+      val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_tokens")).as("tokens_selected"),
+          sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
+        .orderBy("source")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "c01_contamination" ->
+      s"""WITH docs AS (SELECT doc_id, source, list_distinct(${shingles(TOKS)}) AS sh FROM documents),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 50 = 0),
+         |train AS (SELECT * FROM docs WHERE doc_id % 50 <> 0),
+         |tx AS (SELECT doc_id, unnest(sh) AS s FROM train),
+         |hits AS (SELECT doc_id, count(*) AS n_hit FROM tx
+         |  WHERE s IN (SELECT s FROM ev) GROUP BY 1),
+         |frac AS (SELECT t.source,
+         |    CASE WHEN len(t.sh) > 0
+         |      THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(t.sh)
+         |      ELSE 0.0 END AS frac
+         |  FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(CAST(floor(frac * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_frac_micros
+         |FROM frac GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p03_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len(tk) AS INT) AS n_tokens,
+         |    ${TextAnalysis.SCORE} AS q
+         |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)),
+         |x AS (SELECT source, n_tokens, q,
+         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         |SELECT source, count(*) AS n_selected,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+         |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
+         |FROM x WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

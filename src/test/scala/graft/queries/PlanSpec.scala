@@ -88,6 +88,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("c01: contamination join is a semi-join on the shingle, never all-pairs") {
+    val p = plan("c01_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), "eval-vocabulary membership must be a semi join")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "hit counts need partial aggregation")
+  }
+
   test("t07: bigram counts partially aggregate before the shuffle") {
     val p = plan("t07_bigram_topk")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
