@@ -173,10 +173,21 @@ object Dedup {
         count(lit(1)).over(byDoc).as("n")))
     val pref = base
       .filter(col("rk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
-      .select("doc_id", "s")
+      .select("doc_id", "s", "n")
+    // PPJoin length filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so pairs
+    // with incompatible sizes never qualify — lossless prune of the
+    // candidate join output (the ε guards double-rounding at the
+    // boundary: it can only keep an extra pair, never drop one; the
+    // exact jaccard filter below decides the boundary)
     val ids = pref.as("a").join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n").cast("double") >= lit(t) * col("b.n") - lit(1e-9) &&
+          col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id2"))
+    // the counting verify below stays near-linear even if many docs are
+    // candidates: the global df cap bounds per-shingle join fan-out at
+    // C(MaxDf, 2), so total verify work ≤ MaxDf · Σ df — linear in the
+    // kept index, never quadratic in the corpus
     val exc = base
       .join(ids.select("doc_id").union(ids.select(col("doc_id2"))),
         Seq("doc_id"), "left_semi")
