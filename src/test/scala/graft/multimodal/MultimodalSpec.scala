@@ -49,4 +49,19 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.forall(r => math.max(r.meta.width, r.meta.height) <= 32))
     assert(new String(resized(0).content, "UTF-8") === "an image document")
   }
+
+  test("m02 metadata rows multiply exactly like the decode path's sampleFrames") {
+    // the oracle-gated metadata table and the stub-decode feature table
+    // must agree on (doc_id, frame_index) multiplicity — both derive it
+    // from the shared frameIndices
+    val dir = "/root/testdata/sf0.001"
+    val metaRows = Multimodal.metaTable(spark, dir, maxSide = 96, k = 4)
+      .select("doc_id", "frame_index").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val media = Multimodal.attachMedia(graft.Tables(spark, dir, "documents"))
+    val featRows = Multimodal.sampleFrames(media, k = 4, dim = 4).collect()
+      .map(f => (f.doc_id, f.frame_index)).toSet
+    assert(metaRows === featRows)
+    assert(metaRows.nonEmpty)
+  }
 }

@@ -45,6 +45,19 @@ class DedupComponentsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("min-label THROWS past its diameter cap instead of returning wrong labels; star handles the same graph") {
+    // a 30-node chain has diameter 29 > the 20-round min-label cap: the
+    // guard must refuse to return unconverged (wrong) labels...
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      Dedup.minLabelComponents(pairsOf(chain)).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // ...while the logarithmic-round variant solves it comfortably
+    val m = labelsOf(Dedup.starComponents(pairsOf(chain)))
+    assert(m.values.toSet === Set(1L))
+  }
+
   test("star components agree with min-label propagation on a random graph") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
