@@ -159,6 +159,32 @@ object Similarity {
         .orderBy("bucket", "a_id", "b_id")
     }),
 
+    // embedding-space contamination — c01's twin in the vector modality
+    // (SEMANTIC eval/train overlap that survives paraphrase, which the
+    // shingle check can't see). Eval set = the same deterministic %50
+    // carve-out; candidates share an LSH bucket (v05/v06's blocking, so
+    // each train vec scans ~1/256 of the eval set, declared-approximate
+    // like v06 and mirrored in the oracle); verdict = best same-bucket
+    // eval match with cosine above threshold.
+    "c02_embedding_contamination" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+      val ev = e.filter(col("vec_id") % 50 === 0)
+        .select(col("bucket"), col("vec_id").as("eval_id"),
+          col("v").as("evv"), col("nrm").as("en"))
+      val tr = e.filter(col("vec_id") % 50 =!= 0)
+        .select(col("bucket"), col("vec_id").as("train_id"),
+          col("v").as("tv"), col("nrm").as("tn"))
+      val w = Window.partitionBy(col("train_id"))
+        .orderBy(col("cosine").desc, col("eval_id"))
+      tr.join(ev, Seq("bucket"))
+        .select(col("train_id"), col("eval_id"),
+          cosPre(col("tv"), col("evv"), col("tn"), col("en")).as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .filter(col("cosine") >= 0.3)
+        .select("train_id", "eval_id", "cosine")
+        .orderBy("train_id")
+    }),
+
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
@@ -239,6 +265,23 @@ object Similarity {
          |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT bucket, a_id, b_id, cosine FROM p WHERE cosine >= 0.3
          |ORDER BY bucket, a_id, b_id""".stripMargin
+    },
+
+    "c02_embedding_contamination" -> {
+      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      s"""WITH e AS ($EMB),
+         |bk AS (SELECT vec_id, v, CAST(list_sum(
+         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
+         |  FROM e),
+         |ev AS (SELECT bucket, vec_id AS eval_id, v AS evv FROM bk WHERE vec_id % 50 = 0),
+         |tr AS (SELECT bucket, vec_id AS train_id, v AS tv FROM bk WHERE vec_id % 50 <> 0),
+         |p AS (SELECT tr.train_id, ev.eval_id, ${cosSql("tr.tv", "ev.evv")} AS cosine
+         |  FROM tr JOIN ev USING (bucket)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY train_id ORDER BY cosine DESC, eval_id) AS rn FROM p)
+         |SELECT train_id, eval_id, cosine FROM r WHERE rn = 1 AND cosine >= 0.3
+         |ORDER BY train_id""".stripMargin
     },
 
     "v03_neardup_blocked" ->
