@@ -187,9 +187,11 @@ object Dedup {
     // the counting verify below stays near-linear even if many docs are
     // candidates: the global df cap bounds per-shingle join fan-out at
     // C(MaxDf, 2), so total verify work ≤ MaxDf · Σ df — linear in the
-    // kept index, never quadratic in the corpus
+    // kept index, never quadratic in the corpus. (explode, not
+    // union-of-selects: a union would consume — and recompute — the
+    // candidate join once per side)
     val exc = base
-      .join(ids.select("doc_id").union(ids.select(col("doc_id2"))),
+      .join(ids.select(explode(array(col("doc_id"), col("doc_id2"))).as("doc_id")),
         Seq("doc_id"), "left_semi")
       .select("doc_id", "s", "n")
     exc.as("a").join(exc.as("b"),
