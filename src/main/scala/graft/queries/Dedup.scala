@@ -160,7 +160,7 @@ object Dedup {
     *    fails J ≥ t by the prefix lemma (contrapositive), so the
     *    final filter removes exactly the non-qualifying pairs.
     */
-  private def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
+  private[queries] def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ex = docs.select(col("doc_id"),
       explode(array_distinct(Text.fps(col("sh")))).as("s"))
