@@ -267,18 +267,22 @@ object Dedup {
     var iter = 0
     while (!converged && iter < 30) {
       // large-star: per node u over BIDIRECTED neighbors, connect every
-      // larger neighbor to m = min(Γ(u) ∪ {u})
+      // larger neighbor to m = min(Γ(u) ∪ {u}). Checkpointed: both
+      // small-star consumers (minsS, withMin) read it, and without the
+      // checkpoint the whole large-star subtree runs twice per round.
       val nbrs = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = nbrs.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
-      val ls = nbrs.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("hi"), col("m").as("lo")).distinct()
+      val ls = cp(nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")).distinct())
       // small-star: per node u over its SMALLER neighbors Γ⁻(u) (the
-      // (hi=u, lo) edges), connect u and all of Γ⁻(u) to min(Γ⁻(u))
+      // (hi=u, lo) edges), connect u and all of Γ⁻(u) to min(Γ⁻(u)).
+      // (explode, not union-of-selects: a union would consume — and
+      // recompute — the withMin join once per side)
       val minsS = ls.groupBy(col("hi").as("u")).agg(min(col("lo")).as("m"))
       val withMin = ls.select(col("hi").as("u"), col("lo").as("v")).join(minsS, "u")
-      val ss = withMin.select(col("v").as("h"), col("m"))
-        .union(withMin.select(col("u").as("h"), col("m")))
+      val ss = withMin
+        .select(explode(array(col("v"), col("u"))).as("h"), col("m"))
         .filter(col("h") =!= col("m"))
         .select(col("h").as("hi"), col("m").as("lo")).distinct()
       val next = cp(ss)
