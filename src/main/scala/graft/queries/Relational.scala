@@ -522,6 +522,24 @@ object Relational {
         .orderBy("user_id", "session_seq")
     }),
 
+    // the NATIVE session-window operator (same gap sessions as s01's
+    // gaps-and-islands, via the built-in session_window function —
+    // streaming-ready group key, merge-on-overlap semantics). Boundary
+    // differs from s01 BY DESIGN: session_window merges iff the gap is
+    // STRICTLY under 15 min (window [ts, ts+gap) overlap), and the
+    // session end is last-event ts + gap; the oracle mirrors both.
+    "s03_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          out2(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ---- keep-first dedup (batch twin of dropDuplicatesWithinWatermark,
     //      SURVEY.md §2.10 dedup row) -------------------------------------
     "s02_dedup_keep_first" -> ((s, dir) => {
@@ -753,6 +771,23 @@ object Relational {
         | date_diff('microsecond', min(ts), max(ts)) AS duration_us,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // is_new uses >= (strict-overlap merge) and end = max(ts) + gap —
+    // the session_window semantics, not s01's <= boundary
+    "s03_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('microsecond', lag(ts) OVER w, ts) >= 900000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 15 MINUTE AS session_end,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin,
 
     "s02_dedup_keep_first" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (
