@@ -12,6 +12,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the default 100-entry codegen class cache thrashes across ~68
+      // interleaved queries (hundreds of distinct codegen units), so
+      // every pass re-runs janino on every stage; size it to the suite
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     // ERROR, not WARN: any log line printed after the JSON result line
     // would break the driver's tail parse (it reads the last line of the

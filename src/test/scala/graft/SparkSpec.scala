@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // see Bench: the 100-entry default codegen class cache thrashes
+    // across the many distinct plans the suites compile
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     .getOrCreate()
 
   override protected def beforeAll(): Unit = {
