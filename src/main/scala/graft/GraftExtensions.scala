@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DotProduct}
+import graft.functions.{CharFp, DotProduct, MinHashSig}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot(arrayA, arrayB) takes two arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_minhash(fps) takes one argument")
+        MinHashSig(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_charfp"),

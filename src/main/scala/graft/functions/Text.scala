@@ -53,7 +53,7 @@ object Text {
     a
   }
 
-  private def minhashOf(fps: Array[Long], k: Int): Array[Long] =
+  private[functions] def minhashOf(fps: Array[Long], k: Int): Array[Long] =
     Array.tabulate(k) { i =>
       val A = 37L + 101L * i
       val B = 17L + 1009L * i
@@ -153,8 +153,8 @@ object Text {
     * null (array_min-over-empty semantics).
     */
   def minhashSig(fpsCol: Column, k: Int = 16): Column =
-    udf((xs: Seq[Long]) =>
-      if (xs == null || xs.isEmpty) null else minhashOf(xs.toArray, k)).apply(fpsCol)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      MinHashSig(org.apache.spark.sql.GraftSqlBridge.expression(fpsCol), k))
 
   /** 32-bit SimHash over an array of feature fingerprints: bit b is set
     * iff the count of features with bit b set exceeds those without.
