@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DotProduct, MinHashSig}
+import graft.functions.{CharFp, DotProduct, FpsExpr, MinHashSig, SimHash32}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -32,6 +32,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_minhash(fps) takes one argument")
         MinHashSig(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fps"),
+      new ExpressionInfo(classOf[FpsExpr].getName, "graft_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_fps(shingles) takes one argument")
+        FpsExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_simhash(fps) takes one argument")
+        SimHash32(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_charfp"),

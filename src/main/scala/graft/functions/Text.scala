@@ -67,7 +67,7 @@ object Text {
       m
     }
 
-  private def simhashOf(fps: Array[Long]): Long = {
+  private[functions] def simhashOf(fps: Array[Long]): Long = {
     val counts = new Array[Int](32)
     var j = 0
     while (j < fps.length) {
@@ -143,9 +143,11 @@ object Text {
     org.apache.spark.sql.GraftSqlBridge.column(
       CharFp(org.apache.spark.sql.GraftSqlBridge.expression(s)))
 
-  /** Fingerprints of an array of shingles — one kernel call per row. */
+  /** Fingerprints of an array of shingles — native codegen'd
+    * [[FpsExpr]], one charFp per element, primitive-array output. */
   def fps(sh: Column): Column =
-    udf((xs: Seq[String]) => if (xs == null) null else xs.map(charFpStr).toArray).apply(sh)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      FpsExpr(org.apache.spark.sql.GraftSqlBridge.expression(sh)))
 
   /** MinHash signature over an array of shingle fingerprints: k universal
     * permutations `h_i(x) = (A_i x + B_i) mod P` with A_i = 37 + 101 i,
@@ -160,8 +162,8 @@ object Text {
     * iff the count of features with bit b set exceeds those without.
     */
   def simhash32(fpsCol: Column): Column =
-    udf((xs: Seq[Long]) =>
-      if (xs == null) null else java.lang.Long.valueOf(simhashOf(xs.toArray))).apply(fpsCol)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SimHash32(org.apache.spark.sql.GraftSqlBridge.expression(fpsCol)))
 
   /** JVM kernel of the t03 quality score — the SAME IEEE double op
     * sequence as the oracle SQL (term order, left-assoc adds, one

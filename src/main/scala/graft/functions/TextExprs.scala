@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native Catalyst form of the per-element fingerprint map
+  * [[Text.fps]]: charFp applied to every shingle of an array<string> —
+  * promoted from a Scala UDF (per-row Seq conversion) to a codegen'd
+  * expression emitting a primitive long array. Same recurrence as
+  * [[Text.charFpStr]] / `OracleDialect.fp` — the portability contract.
+  * Null input → null; empty array → empty array (the UDF's behavior).
+  */
+case class FpsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_fps expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_fps"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = Text.charFpStr(arr.getUTF8String(i).toString); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $c.numElements();
+         |final long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.functions.Text.charFpStr($c.getUTF8String($i).toString());
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FpsExpr =
+    copy(child = newChild)
+}
+
+/** Native Catalyst form of the 32-bit SimHash [[Text.simhash32]]:
+  * bit b of the signature is set iff more fingerprints have bit b set
+  * than not. Null input → null; empty array → 0L (no majority bits) —
+  * the UDF's behavior. Kernel contract shared with [[Text.simhashOf]]
+  * and `OracleDialect.simhash32`.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash expects array<bigint>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.simhashOf(input.asInstanceOf[ArrayData].toLongArray())
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val j = ctx.freshName("j")
+      val fp = ctx.freshName("fp")
+      val b = ctx.freshName("b")
+      val sig = ctx.freshName("sig")
+      s"""
+         |final int $n = $c.numElements();
+         |final int[] $counts = new int[32];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  final long $fp = $c.getLong($j);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    if ((($fp >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 32; $b++) {
+         |  if ($counts[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}

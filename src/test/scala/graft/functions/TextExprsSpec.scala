@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Native FpsExpr/SimHash32 vs the UDF kernels they replaced. */
+class TextExprsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fps matches the per-element kernel; empty stays empty, null stays null") {
+    val rows = Seq(
+      (1L, Seq("a b c", "b c d", "weather report")),
+      (2L, Seq.empty[String]))
+    val df = rows.toDF("id", "sh")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "sh"))
+    val out = df.select(col("id"), Text.fps(col("sh")).as("f"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(out(1L) === rows.head._2.map(Text.charFpStr))
+    assert(out(2L) === Seq.empty[Long])
+    assert(out(3L) === null)
+  }
+
+  test("simhash32 matches the kernel on random sets; empty -> 0, null -> null") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(100)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % Text.P)))
+    val df = rows.toDF("id", "fps")
+    val got = df.select(col("id"), Text.simhash32(col("fps")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, fps) =>
+      assert(got(id) === Text.simhashOf(fps.toArray), s"id=$id")
+    }
+    val edge = Seq((1L, Seq.empty[Long])).toDF("id", "fps")
+      .union(Seq((2L, null.asInstanceOf[Seq[Long]])).toDF("id", "fps"))
+      .select(col("id"), Text.simhash32(col("fps")).as("s"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(edge(1L) === 0L)
+    assert(edge(2L) === null)
+  }
+
+  test("graft_fps and graft_simhash are callable from SQL") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(ext, spark)
+    val r = spark.sql(
+      "SELECT graft_simhash(graft_fps(array('a b c', 'x y z'))) AS s").collect().head.getLong(0)
+    assert(r === Text.simhashOf(Array(Text.charFpStr("a b c"), Text.charFpStr("x y z"))))
+  }
+}
