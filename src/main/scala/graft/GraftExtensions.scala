@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DotProduct, FpsExpr, MinHashSig, SimHash32}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, MinHashSig, SimHash32}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_minhash(fps) takes one argument")
         MinHashSig(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[DistinctShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_shingles(text) takes one argument")
+        DistinctShingles(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_fps"),

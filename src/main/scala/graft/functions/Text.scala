@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Text primitives for the LLM-data-pipeline operators (SURVEY.md §7.4):
   * tokenization, shingling, portable hashing, MinHash, SimHash, stopword
-  * scoring. Everything is built from Spark higher-order functions — no
-  * UDFs — so expressions stay inside Catalyst and serialize into the
-  * plan (codegen-fallback for HOF lambdas, but no JVM closure shipping,
-  * no Python).
+  * scoring. The dedup hot path (shingling, fingerprints, MinHash,
+  * SimHash) runs as NATIVE codegen expressions (TextExprs/MinHashSig/
+  * CharFp — no ScalaUDF conversion layer, inlined into whole-stage
+  * codegen); the remaining per-row scorers are compiled-Scala UDFs
+  * (still JVM loops, never interpreted HOF lambdas, no Python).
   *
   * Cross-engine determinism: the polynomial hash [[charFp]] is defined
   * over Unicode code points with BIGINT arithmetic mod 2^31-1, an
@@ -36,7 +37,8 @@ object Text {
       .otherwise(array().cast("array<string>"))
 
   // -- hash kernels ---------------------------------------------------
-  // These run as compiled-Scala UDFs, not Catalyst higher-order
+  // These run as compiled JVM loops (native codegen expressions where
+  // hot, compiled-Scala UDFs otherwise), never Catalyst higher-order
   // functions: HOF lambdas evaluate interpreted (HigherOrderFunction is
   // CodegenFallback) and profiled ~25-50x slower than compiled loops on
   // the minhash inner loop (200s+ cold for 500 docs). Semantics are the
@@ -107,11 +109,29 @@ object Text {
     }
   }
 
-  /** Distinct word-3-gram shingles of a raw text column (compiled
-    * kernel; the hot first stage of every dedup query).
+  /** [[distinctShinglesStr]] on UTF8String, returning Catalyst
+    * ArrayData — the eval/codegen entry of the native
+    * [[DistinctShingles]] expression (also called from generated code,
+    * hence public).
+    */
+  def distinctShinglesArrayData(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = distinctShinglesStr(s.toString, n)
+    val out = new Array[AnyRef](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i)); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Distinct word-3-gram shingles of a raw text column — native
+    * codegen'd [[DistinctShingles]]; the hot first stage of every
+    * dedup query.
     */
   def distinctShingles(text: Column, n: Int = 3): Column =
-    udf((s: String) => if (s == null) null else distinctShinglesStr(s, n)).apply(text)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DistinctShingles(org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** ALL word n-gram shingles, duplicates kept in document order —
     * compiled twin of the HOF [[shingles]], for frequency counting

@@ -53,6 +53,36 @@ case class FpsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the distinct-shingle kernel
+  * [[Text.distinctShingles]] — the first stage of EVERY dedup query.
+  * The string kernel itself stays [[Text.distinctShinglesStr]] (the
+  * portability contract with the oracle's `shingles()` snippet); the
+  * promotion removes the ScalaUDF converter layer and inlines into
+  * whole-stage codegen via a single static call.
+  */
+case class DistinctShingles(child: Expression, n: Int = 3) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.distinctShinglesArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.distinctShinglesArrayData($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the 32-bit SimHash [[Text.simhash32]]:
   * bit b of the signature is set iff more fingerprints have bit b set
   * than not. Null input → null; empty array → 0L (no majority bits) —

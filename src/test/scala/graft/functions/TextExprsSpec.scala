@@ -41,6 +41,21 @@ class TextExprsSpec extends SparkSpec {
     assert(edge(2L) === null)
   }
 
+  test("distinctShingles (native) matches the string kernel incl. short/null docs") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two", "", "a a a a a", "x y z x y z x y")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .union(Seq((99L, null.asInstanceOf[String])).toDF("id", "text"))
+    val out = df.select(col("id"), Text.distinctShingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1)))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(out(i.toLong) === Text.distinctShinglesStr(t, 3).toSeq, s"text=$t")
+    }
+    assert(out(99L) === null)
+  }
+
   test("graft_fps and graft_simhash are callable from SQL") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
