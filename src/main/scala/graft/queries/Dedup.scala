@@ -403,25 +403,34 @@ object Dedup {
         .orderBy("a_id", "b_id")
     }),
 
-    "d05_simhash_neardup" -> ((s, dir) => {
-      val sig = shingleDocs(s, dir)
-        .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
-        .select(col("doc_id"), Text.simhash32(col("fps")).as("simhash"))
-      val bands = sig.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map(j =>
-          struct(lit(j).as("j"), shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("b"))
-        .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.byte").as("byte"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.j") === col("y.j") && col("x.byte") === col("y.byte") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sig"),
-          col("y.doc_id").as("b_id"), col("y.simhash").as("b_sig"))
-        .distinct()
-      cand.filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 3)
-        .select(col("a_id"), col("b_id"),
-          bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int").as("hamming"))
-        .orderBy("a_id", "b_id")
-    })
+    "d05_simhash_neardup" -> ((s, dir) =>
+      simhashPairs(shingleDocs(s, dir)).orderBy("a_id", "b_id"))
   )
+
+  /** SimHash near-dup pairs over a `(doc_id, sh)` relation: 32-bit
+    * signature, 4×8-bit bands. By pigeonhole any pair within Hamming
+    * distance 3 agrees on ≥ 1 band, so the band join is EXACT (no
+    * recall loss) for the ≤ 3 predicate — pinned against brute force
+    * on random corpora in SimHashPropertySpec. Columns: a_id, b_id,
+    * hamming.
+    */
+  private[queries] def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
+      .select(col("doc_id"), Text.simhash32(col("fps")).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L)).as("byte"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.j").as("j"), col("b.byte").as("byte"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.byte") === col("y.byte") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash").as("a_sig"),
+        col("y.doc_id").as("b_id"), col("y.simhash").as("b_sig"))
+      .distinct()
+    cand.filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int").as("hamming"))
+  }
 
   private val DOCS = s"SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM documents"
   // uncapped pairs — d04's verification semantics (full shingle sets)
