@@ -226,12 +226,13 @@ object Text {
     s
   }
 
-  /** Compiled quality score over the raw text column (tokenize + score in
-    * one pass; null text → null score).
+  /** Compiled quality score over the raw text column (tokenize + score
+    * in one pass; null text → null score) — native codegen'd
+    * [[QualityScore]].
     */
   def qualityScore(text: Column): Column =
-    udf((s: String) =>
-      if (s == null) null else java.lang.Double.valueOf(qualityScoreStr(s))).apply(text)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      QualityScore(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
   /** JVM kernel of t01's per-document token statistics: token count,
     * distinct count, summed token length — one compiled pass replacing
@@ -251,9 +252,21 @@ object Text {
     (n, seen.size, sumLen)
   }
 
-  /** Token stats as a struct column (n_tokens, n_distinct, sum_len). */
+  /** [[tokenStatsStr]] on UTF8String, returning a Catalyst row — the
+    * eval/codegen entry of the native [[TokenStats]] expression (also
+    * called from generated code, hence public).
+    */
+  def tokenStatsRow(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val (n, d, l) = tokenStatsStr(s.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, d, l))
+  }
+
+  /** Token stats as a struct column (n_tokens, n_distinct, sum_len) —
+    * native codegen'd [[TokenStats]], tuple field names preserved. */
   def tokenStats(text: Column): Column =
-    udf((s: String) => if (s == null) null else tokenStatsStr(s)).apply(text)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TokenStats(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
   /** Tiny function-word lists for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Native Catalyst form of the per-element fingerprint map
   * [[Text.fps]]: charFp applied to every shingle of an array<string> —
@@ -80,6 +80,62 @@ case class DistinctShingles(child: Expression, n: Int = 3) extends UnaryExpressi
       s"${ev.value} = graft.functions.Text.distinctShinglesArrayData($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): DistinctShingles =
+    copy(child = newChild)
+}
+
+/** Native Catalyst form of the per-document token statistics
+  * [[Text.tokenStats]] — (n_tokens, n_distinct, sum_len) as a struct
+  * with the tuple field names (`_1`, `_2`, `_3`) the UDF version
+  * produced, so every `.getField("_1")` call site is unchanged.
+  */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_tokenstats expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("_1", IntegerType, nullable = false),
+    StructField("_2", IntegerType, nullable = false),
+    StructField("_3", LongType, nullable = false)))
+
+  override def prettyName: String = "graft_tokenstats"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.tokenStatsRow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.tokenStatsRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+/** Native Catalyst form of the t03 quality score
+  * [[Text.qualityScore]] — same IEEE double op sequence as the kernel
+  * and the oracle SQL.
+  */
+case class QualityScore(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_quality expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_quality"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.qualityScoreStr(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.qualityScoreStr($c.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
     copy(child = newChild)
 }
 
