@@ -148,9 +148,25 @@ object Text {
     }
   }
 
-  /** All word n-gram shingles of a raw text column (non-distinct). */
+  /** [[shinglesAllStr]] on UTF8String, returning Catalyst ArrayData —
+    * the eval/codegen entry of the native [[ShinglesAll]] expression.
+    */
+  def shinglesAllArrayData(s: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = shinglesAllStr(s.toString, n)
+    val out = new Array[AnyRef](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i)); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All word n-gram shingles of a raw text column (non-distinct) —
+    * native codegen'd [[ShinglesAll]]. */
   def shinglesAll(text: Column, n: Int = 2): Column =
-    udf((s: String) => if (s == null) null else shinglesAllStr(s, n)).apply(text)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShinglesAll(org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** Portable polynomial rolling hash: fold over code points,
     * `acc = (acc * 31 + codepoint) mod P`, acc0 = 0. Equivalent DuckDB:

@@ -83,6 +83,98 @@ case class DistinctShingles(child: Expression, n: Int = 3) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the all-shingles kernel
+  * [[Text.shinglesAll]] (duplicates kept, document order — the
+  * frequency-counting twin of [[DistinctShingles]]).
+  */
+case class ShinglesAll(child: Expression, n: Int = 2) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingles_all expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles_all"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.shinglesAllArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.shinglesAllArrayData($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesAll =
+    copy(child = newChild)
+}
+
+/** Native Catalyst form of the random-hyperplane LSH bucket
+  * [[graft.functions.Vectors.lshBucket]]: bit p set iff
+  * Σ_d v[d]·s(p,d) > 0, signs derived from the portable hash of
+  * "p:d" (the symbolic contract the DuckDB oracle reproduces). The
+  * sign matrix is embedded in the plan as a flat reference object;
+  * the double loop inlines into whole-stage codegen.
+  */
+case class LshBucket(child: Expression, nPlanes: Int = 8, dim: Int = 64)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_lshbucket expects array<double>, got $t")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_lshbucket"
+
+  // flat [p * dim + d] — same derivation as the Column-API signs matrix
+  @transient private lazy val signs: Array[Double] =
+    Array.tabulate(nPlanes * dim)(i =>
+      if (Text.charFpStr(s"${i / dim}:${i % dim}") % 2 == 1) 1.0 else -1.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = math.min(dim, arr.numElements())
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var acc = 0.0
+      var d = 0
+      while (d < len) { acc += arr.getDouble(d) * signs(p * dim + d); d += 1 }
+      if (acc > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sgn = ctx.addReferenceObj("signs", signs, "double[]")
+      val len = ctx.freshName("len")
+      val bkt = ctx.freshName("bkt")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $len = java.lang.Math.min($dim, $c.numElements());
+         |int $bkt = 0;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $len; $d++) {
+         |    $acc += $c.getDouble($d) * $sgn[$p * $dim + $d];
+         |  }
+         |  if ($acc > 0) $bkt |= (1 << $p);
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the per-document token statistics
   * [[Text.tokenStats]] — (n_tokens, n_distinct, sum_len) as a struct
   * with the tuple field names (`_1`, `_2`, `_3`) the UDF version

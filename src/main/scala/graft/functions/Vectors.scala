@@ -57,27 +57,10 @@ object Vectors {
     * oracle reproduces the same hyperplanes symbolically). Left-fold
     * accumulation keeps the dot bit-exact cross-engine.
     */
-  def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column = {
-    val signs: Array[Array[Double]] = Array.tabulate(nPlanes, dim) { (p, d) =>
-      if (Text.charFpStr(s"$p:$d") % 2 == 1) 1.0 else -1.0
-    }
-    udf((x: Seq[Double]) => {
-      if (x == null) null
-      else {
-        var bucket = 0
-        var p = 0
-        while (p < nPlanes) {
-          var acc = 0.0
-          var d = 0
-          val n = math.min(dim, x.length)
-          while (d < n) { acc += x(d) * signs(p)(d); d += 1 }
-          if (acc > 0) bucket |= (1 << p)
-          p += 1
-        }
-        java.lang.Integer.valueOf(bucket)
-      }
-    }).apply(v)
-  }
+  def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.LshBucket(
+        org.apache.spark.sql.GraftSqlBridge.expression(v), nPlanes, dim))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }
