@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, MinHashSig, SimHash32}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, LshBucket, MinHashSig, QualityScore, SimHash32, TokenStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -53,6 +53,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_simhash(fps) takes one argument")
         SimHash32(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tokenstats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_tokenstats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_tokenstats(text) takes one argument")
+        TokenStats(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_quality"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_quality(text) takes one argument")
+        QualityScore(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lshbucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lshbucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lshbucket(vec) takes one argument")
+        LshBucket(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_charfp"),

@@ -192,6 +192,27 @@ object TextAnalysis {
         .orderBy("source", "chunk_id")
     }),
 
+    // N-gram repetition ratio — the pretraining quality heuristic that
+    // catches boilerplate/templated text (high duplicate-3-gram mass):
+    // rep = 1 − distinct/total shingles. Pure per-row map + one tiny
+    // per-source agg; both engines derive the double from the same two
+    // integers.
+    "t12_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          size(Text.shinglesAll(col("text"), 3)).as("tot"),
+          size(Text.distinctShingles(col("text"))).as("dst"))
+        .select(col("source"),
+          when(col("tot") > 0,
+            lit(1.0) - col("dst").cast("double") / col("tot"))
+            .otherwise(lit(0.0)).as("rep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"),
+          sum(floor(col("rep") * lit(1000000.0)).cast("long")).as("sum_rep_micros"))
+        .orderBy("source")
+    }),
+
     // The per-document chunk ASSIGNMENT map a training job actually
     // consumes: doc_id → (chunk_id, global token_start, offset within
     // the chunk). t09/t11 aggregate per chunk; this is the same salted
@@ -329,6 +350,16 @@ object TextAnalysis {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "t12_repetition" ->
+      s"""WITH d AS (SELECT source, ${shingles(TOKS)} AS sa,
+         |    list_distinct(${shingles(TOKS)}) AS sd FROM documents),
+         |r AS (SELECT source, CASE WHEN len(sa) > 0
+         |    THEN 1.0 - CAST(len(sd) AS DOUBLE) / len(sa) ELSE 0.0 END AS rep FROM d)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(sum(CAST(floor(rep * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_rep_micros
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle is the NAIVE per-source prefix sum — the salted
     // two-level scan must be indistinguishable from it (same contract
