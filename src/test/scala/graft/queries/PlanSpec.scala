@@ -95,6 +95,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "hit counts need partial aggregation")
   }
 
+  test("t12: repetition ratio partially aggregates; no all-pairs shape") {
+    val p = plan("t12_repetition")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "per-source agg needs a map-side partial")
+  }
+
+  test("p03: budget cut is one window + one aggregate, no cross join") {
+    val p = plan("p03_token_budget")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("m02: metadata synthesis is narrow — no exchange below the final sort") {
+    val p = plan("m02_media_meta")
+    assert("Exchange".r.findAllIn(p).length === 1, s"only the orderBy may shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("t07: bigram counts partially aggregate before the shuffle") {
     val p = plan("t07_bigram_topk")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
