@@ -19,7 +19,7 @@ class DocPipelineSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("incremental pipeline over a replayed stream equals batch p01") {
+  test("incremental pipeline over a replayed stream equals batch p01, for ANY batch boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -31,24 +31,28 @@ class DocPipelineSpec extends SparkSpec {
       .map(r => DocEvent(r.getLong(0), new Timestamp(base + r.getLong(0) * 1000L),
         r.getString(1), r.getString(2), r.getString(3)))
 
-    val stateDir = java.nio.file.Files.createTempDirectory("docpipe").toString
-    val mem = MemoryStream[DocEvent]
-    val q = DocPipeline.start(mem.toDF(), stateDir)
-    try {
-      // in-order arrival (the canonical-keep-first contract): several
-      // micro-batches so cross-batch exact + near-dup state is exercised
-      docs.grouped(13).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-
-    val streamed = DocPipeline.aggregate(spark, stateDir)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val batch = graft.SparkEntry.queries("p01_training_pipeline")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(streamed === batch)
     assert(batch.nonEmpty)
+
+    // two different micro-batch chunkings must both agree with the
+    // batch result — verdicts depend on arrival ORDER, never on where
+    // the batch boundaries fall
+    for (chunkSize <- Seq(13, 7)) {
+      val stateDir =
+        java.nio.file.Files.createTempDirectory(s"docpipe$chunkSize").toString
+      val mem = MemoryStream[DocEvent]
+      val q = DocPipeline.start(mem.toDF(), stateDir)
+      try {
+        docs.grouped(chunkSize).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = DocPipeline.aggregate(spark, stateDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(streamed === batch, s"chunkSize=$chunkSize")
+    }
   }
 
   test("a duplicate text arriving in a later batch is dropped (exact stage)") {
