@@ -133,6 +133,33 @@ object DocPipeline {
     newBands.write.mode("append").parquet(bandsPath(stateDir))
   }
 
+  /** Compact the append-only state stores: every micro-batch appends a
+    * file, so a long-running pipeline accretes small files and store
+    * reads slow down. Rewrites each store to `targetFiles` files and
+    * swaps it in with a rename (write-new → rename-old-away →
+    * rename-new-in → delete-old; a crash mid-swap leaves either the
+    * old or the new store intact, never a half-written mix). Run
+    * between batches (e.g. every N batches from the driving loop) —
+    * not concurrently with one.
+    */
+  def compact(spark: SparkSession, stateDir: String, targetFiles: Int = 4): Unit =
+    Seq(docsPath(stateDir) -> docsSchema, bandsPath(stateDir) -> bandsSchema)
+      .foreach { case (path, schema) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) {
+          val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+          val old = new org.apache.hadoop.fs.Path(path + ".old")
+          spark.read.schema(schema).parquet(path)
+            .repartition(targetFiles)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(old, true)
+          fs.rename(p, old)
+          fs.rename(tmp, p)
+          fs.delete(old, true)
+        }
+      }
+
   /** The pipeline result over everything ingested so far — identical
     * expressions to batch p01's stages 3-5 (language filter, quality
     * score, hash split, per-source token accounting).

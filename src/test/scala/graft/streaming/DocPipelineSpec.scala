@@ -55,6 +55,29 @@ class DocPipelineSpec extends SparkSpec {
     }
   }
 
+  test("compaction shrinks the store file count and changes nothing observable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source").orderBy("doc_id").collect()
+      .map(r => DocEvent(r.getLong(0), new Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipec").toString
+    val mem = MemoryStream[DocEvent]
+    val q = DocPipeline.start(mem.toDF(), stateDir)
+    try {
+      docs.grouped(10).foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val before = DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq
+    val filesBefore = parquetFiles(s"$stateDir/docs")
+    DocPipeline.compact(spark, stateDir, targetFiles = 1)
+    assert(parquetFiles(s"$stateDir/docs") < filesBefore)
+    assert(DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq === before)
+  }
+
   test("a duplicate text arriving in a later batch is dropped (exact stage)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
