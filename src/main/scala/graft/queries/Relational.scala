@@ -236,15 +236,24 @@ object Relational {
     // ---- event-time tumbling window (§2.10 streaming analytics, batch
     //      form; streaming form covered in streaming/EventStreamsSpec) --
     "q13_events_hourly" -> ((s, dir) => {
+      // avg derives from the EXACT decimal sum (never avg(double),
+      // whose partial-agg accumulation order shifts the last ulp), and
+      // publishes as floor-micros: with a 2-decimal exact sum the
+      // quotient lands exactly on .xxx5 round boundaries, where Spark
+      // (HALF_UP on the double's decimal string) and DuckDB (rounds
+      // the binary value) disagree — floor of the identical quotient
+      // double has no half-case. Caught by the sf0.1 sweep; the t03
+      // pattern.
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          out2(sum(dec2(col("value")))).as("sum_value"),
-          round(avg(col("value")), 4).as("avg_value"))
+          out2(sum(dec2(col("value")))).as("sum_value"))
         .select(
           col("window.start").as("hour_start"),
-          col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+          col("event_type"), col("n_events"), col("sum_value"),
+          floor(col("sum_value") / col("n_events") * lit(1000000.0))
+            .cast("long").as("avg_value_micros"))
         .orderBy("hour_start", "event_type")
     }),
 
@@ -280,13 +289,21 @@ object Relational {
     }),
 
     "q15_part_type_stats" -> ((s, dir) => {
+      // integer avg publishes as floor-micros of exact-sum/count: a
+      // group with count = 32 and odd sum lands round(x, 4) exactly on
+      // the half, where Spark and DuckDB round differently (q13's
+      // cross-engine half-case, caught by the sf0.1 sweep)
       Tables(s, dir, "part")
         .groupBy(upper(element_at(split(col("p_type"), " "), 1)).as("type_head"))
         .agg(
           count(lit(1)).as("n_parts"),
-          round(avg(col("p_size")), 4).as("avg_size"),
+          sum(col("p_size")).as("sum_size"),
           min(col("p_name")).as("min_name"),
           max(col("p_name")).as("max_name"))
+        .select(col("type_head"), col("n_parts"),
+          floor(col("sum_size").cast("double") / col("n_parts") * lit(1000000.0))
+            .cast("long").as("avg_size_micros"),
+          col("min_name"), col("max_name"))
         .orderBy("type_head")
     }),
 
@@ -638,10 +655,12 @@ object Relational {
         |  AND l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01')
         |ORDER BY s_suppkey""".stripMargin,
 
+    // avg = floor-micros of exact-decimal sum / count (see the Spark
+    // twin's comment on round()'s cross-engine half-case)
     "q13_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        | round(avg(value), 4) AS avg_value
+        | CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS avg_value_micros
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_priority_by_year" ->
@@ -662,7 +681,8 @@ object Relational {
 
     "q15_part_type_stats" ->
       """SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
-        | count(*) AS n_parts, round(avg(p_size), 4) AS avg_size,
+        | count(*) AS n_parts,
+        | CAST(floor(CAST(sum(p_size) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS avg_size_micros,
         | min(p_name) AS min_name, max(p_name) AS max_name
         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
 
