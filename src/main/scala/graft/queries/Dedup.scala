@@ -13,11 +13,12 @@ import OracleDialect._
   * Scale design (the 100 TB story):
   *  - Exact dedup is a hash groupBy on md5(text) — one shuffle on the
   *    digest, map-side partial agg; never groups on the raw text bytes.
-  *  - Jaccard avoids the O(n²) cross join: an inverted-index self-join
-  *    on distinct shingles yields |A∩B| directly as `count(*)` per pair
-  *    (no pairwise array intersection), |A∪B| = |A|+|B|-|A∩B| from
-  *    per-doc sizes. Work is Σ_shingle df(s)², bounded by banding in the
-  *    MinHash variant when posting lists explode.
+  *  - Jaccard avoids the O(n²) cross join via PREFIX FILTERING
+  *    (SSJoin/PPJoin): each doc indexes only its rarest n−⌈t·n⌉+1
+  *    fingerprints, candidates come from an equi-join of those
+  *    prefixes (+ length filter), and |A∩B| is counted — never
+  *    array-intersected — over the candidate-doc sub-corpus; the df
+  *    cap keeps every posting list sub-quadratic.
   *  - MinHash/LSH: 16-perm signature per doc (one pass), 4 bands × 4
   *    rows; candidates = band-bucket join (shuffle on the 4-long band
   *    key, NOT all-pairs), then exact-Jaccard verification of the
