@@ -22,68 +22,115 @@ case class MediaFeature(doc_id: Long, frame_index: Int, features: Array[Float])
   * payload columns with typed metadata, batch-shaped decode/feature
   * extraction, frame sampling, and metadata-level resize.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs,
-  * so [[decodeStub]] produces a deterministic fake (seeded by the
-  * payload bytes). Everything AROUND it is the real Spark shape — per
-  * partition batching via `mapPartitions` (one decoder init per
-  * partition, not per row — the same batching contract a Pandas UDF /
-  * `mapInPandas` gives PySpark), typed schemas, and narrow (shuffle-
-  * free) execution. Swapping the stub for a real codec changes no plan.
+  * The decode step is REAL: payloads are genuine 24-bit BMP images and
+  * PCM16 WAV audio (the two formats a pure JVM can encode/decode with
+  * no native codecs — see [[MediaCodec]]), and [[featureSummary]] (m01)
+  * parses headers, undoes BMP's bottom-up BGR row layout / walks WAV's
+  * RIFF chunks, and aggregates the recovered values. Because the
+  * synthesized pixel/sample values follow a closed-form generator (a
+  * linear function of doc_id and index — see [[attachMedia]]), the
+  * decoded aggregates are independently recomputable in DuckDB SQL, so
+  * m01 is hash-exact oracle-gated like every other query: any header
+  * mis-parse, row-order or byte-order mistake changes the sum and fails
+  * the gate.
+  *
+  * Execution shape: per-partition batching via `mapPartitions` (one
+  * decoder init per partition, not per row — the same batching contract
+  * a Pandas UDF / `mapInPandas` gives PySpark), typed schemas, narrow
+  * (shuffle-free) decode. Swapping the synthetic payloads for real
+  * JPEG/FLAC bytes changes only the codec dispatch, no plan.
   */
 object Multimodal {
 
-  /** STUB — deterministic fake "decoder": seeds a tiny xorshift PRNG
-    * with a fingerprint of the payload and emits `dim` floats in [0,1).
-    * A real implementation decodes pixels/samples here; marked clearly
-    * so no result of it is mistaken for real vision/audio features.
+  /** Pixel-value generator for image payloads: value of logical pixel
+    * byte `i` (top-down row-major RGB) — linear in (doc_id, i) so the
+    * oracle can recompute it in SQL.
     */
-  def decodeStub(content: Array[Byte], dim: Int): Array[Float] = {
-    var seed = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < content.length) { seed = (seed ^ content(i)) * 0x100000001b3L; i += 1 }
-    val out = new Array[Float](dim)
-    var x = if (seed == 0) 1L else seed
-    i = 0
-    while (i < dim) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
-      out(i) = ((x >>> 11).toDouble / (1L << 53).toDouble).toFloat
-      i += 1
-    }
-    out
-  }
+  def pixelValue(docId: Long, i: Long): Int = ((docId * 31 + i * 7) % 256).toInt
 
-  /** Synthesize a media table from `documents` — deterministic fake
-    * payloads (the fixtures ship no real media). Payload = UTF-8 of the
-    * text; metadata derived from doc_id. Synthetic by construction,
-    * used so the plumbing is exercised end-to-end on the driver tables.
+  /** Sample-value generator for audio/video payloads: PCM16 sample `i`. */
+  def sampleValue(docId: Long, i: Long): Int =
+    ((docId * 131 + i * 17) % 65536).toInt - 32768
+
+  /** Payload length in values: image = width*height*3 pixel bytes;
+    * audio = 256 + (doc_id % 256) samples; video = 1024 samples (the
+    * fixed-length audio-track proxy the frame sampler slices).
+    */
+  def valueCount(docId: Long, mediaType: String, width: Int, height: Int): Int =
+    mediaType match {
+      case "image" => width * height * 3
+      case "audio" => 256 + (docId % 256).toInt
+      case _       => 1024
+    }
+
+  /** Synthesize a media table from `documents` — REAL encoded payloads
+    * (24-bit BMP for images, PCM16 WAV for audio/video) over
+    * deterministic generated values (the fixtures ship no real media;
+    * closed-form values keep m01 oracle-checkable). Metadata derived
+    * from doc_id/n_chars exactly as m02's oracle mirrors.
     */
   def attachMedia(documents: DataFrame): Dataset[MediaRow] = {
     import documents.sparkSession.implicits._
-    documents.select(col("doc_id"), col("text"), col("n_chars")).as[(Long, String, Long)]
-      .map { case (id, text, nChars) =>
+    documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .map { case (id, nChars) =>
         val mt = (id % 3) match {
           case 0 => "image"
           case 1 => "audio"
           case _ => "video"
         }
-        MediaRow(id, text.getBytes("UTF-8"),
-          MediaMeta(mt, width = 64 + (id % 8).toInt * 16, height = 64,
+        val w = 64 + (id % 8).toInt * 16
+        val h = 64
+        val n = valueCount(id, mt, w, h)
+        val payload = mt match {
+          case "image" =>
+            val px = Array.tabulate(n)(i => pixelValue(id, i))
+            MediaCodec.encodeBmp(px, w, h)
+          case _ =>
+            val sm = Array.tabulate(n)(i => sampleValue(id, i))
+            MediaCodec.encodeWav(sm, 16000)
+        }
+        MediaRow(id, payload,
+          MediaMeta(mt, width = w, height = h,
             sampleRateHz = if (mt == "audio") 16000 else 0,
             durationMs = if (mt == "image") 0L else nChars * 10L))
       }
   }
 
+  /** Mean-pool `values` into `dim` equal segments — the fixed-dim
+    * feature a variable-length decode feeds downstream (empty segments,
+    * when values.length < dim, pool to 0).
+    */
+  private[multimodal] def meanPool(values: Array[Int], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = values.length
+    var j = 0
+    while (j < dim) {
+      val start = (j.toLong * n / dim).toInt
+      val end = ((j + 1).toLong * n / dim).toInt
+      if (end > start) {
+        var s = 0L
+        var i = start
+        while (i < end) { s += values(i); i += 1 }
+        out(j) = (s.toDouble / (end - start)).toFloat
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Batch-shaped feature extraction: one decoder "session" per
-    * partition (the `init` thunk), then row-at-a-time decode within the
-    * partition — the Scala analogue of `mapInPandas`'s batch contract.
+    * partition (the per-partition block), then row-at-a-time decode
+    * within it — the Scala analogue of `mapInPandas`'s batch contract.
     * Narrow op: no shuffle; partitioning of the input is preserved.
+    * Features = decoded values mean-pooled to `dim` segments.
     */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // real impl: initialize the (expensive) codec/model once here
-      val decoder: Array[Byte] => Array[Float] = decodeStub(_, dim)
-      rows.map(r => MediaFeature(r.doc_id, frame_index = 0, decoder(r.content)))
+      val decoder: Array[Byte] => Decoded = MediaCodec.decode
+      rows.map(r => MediaFeature(r.doc_id, frame_index = 0,
+        meanPool(decoder(r.content).values, dim)))
     }
   }
 
@@ -96,17 +143,26 @@ object Multimodal {
   def frameIndices(meta: MediaMeta, k: Int): Range =
     if (meta.mediaType == "video" && meta.durationMs > 0) 0 until k else 0 until 1
 
-  /** Frame sampling for video rows: k evenly-spaced frame indices, each
-    * decoded independently — explodes one row into k feature rows.
-    * Non-video rows pass through as frame 0.
+  /** Frame sampling for video rows: the decoded value stream splits into
+    * k evenly-spaced segments ("frames"), each pooled independently —
+    * explodes one row into k feature rows. Non-video rows pass through
+    * whole as frame 0.
     */
   def sampleFrames(media: Dataset[MediaRow], k: Int = 4, dim: Int = 16): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder: (Array[Byte], Int) => Array[Float] =
-        (bytes, frame) => decodeStub(bytes :+ frame.toByte, dim)
-      rows.flatMap(r => frameIndices(r.meta, k).iterator
-        .map(f => MediaFeature(r.doc_id, f, decoder(r.content, f))))
+      val decoder: Array[Byte] => Decoded = MediaCodec.decode
+      rows.flatMap { r =>
+        val vals = decoder(r.content).values
+        val frames = frameIndices(r.meta, k)
+        val nf = frames.length
+        frames.iterator.map { f =>
+          val slice = java.util.Arrays.copyOfRange(
+            vals, (f.toLong * vals.length / nf).toInt,
+            ((f + 1).toLong * vals.length / nf).toInt)
+          MediaFeature(r.doc_id, f, meanPool(slice, dim))
+        }
+      }
     }
   }
 
@@ -150,32 +206,73 @@ object Multimodal {
       .orderBy("doc_id", "frame_index")
   }
 
-  /** Media feature summary exposed through the driver contract (rows-only
-    * check: the decode stub is engine-side, not SQL-expressible).
+  /** m01: decoded-value summary through the REAL decode path — parse
+    * the binary payload (BMP or WAV by magic sniff), recover the
+    * logical pixel/sample values, and aggregate exact integers
+    * (count/sum/min/max — no floats, so the cross-engine compare is
+    * trivially bit-exact). For image rows the decoder's header dims are
+    * cross-checked against the catalog metadata — a real pipeline's
+    * corruption guard. The oracle recomputes the same aggregates from
+    * the closed-form generators; any decode defect (stride padding,
+    * BGR order, bottom-up rows, chunk walk) breaks the hash.
     */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = attachMedia(graft.Tables(spark, dir, "documents"))
-    extractFeatures(media)
-      .map(f => (f.doc_id, f.features.length, f.features.sum.toDouble))
-      .toDF("doc_id", "dim", "feature_sum")
+    media.mapPartitions { rows =>
+      val decoder: Array[Byte] => Decoded = MediaCodec.decode
+      rows.map { r =>
+        val d = decoder(r.content)
+        if (d.kind == "bmp") require(
+          d.width == r.meta.width && d.height == r.meta.height,
+          s"decoded dims ${d.width}x${d.height} != catalog ${r.meta.width}x${r.meta.height}")
+        var mn = Int.MaxValue; var mx = Int.MinValue; var sm = 0L
+        var i = 0
+        while (i < d.values.length) {
+          val v = d.values(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          sm += v
+          i += 1
+        }
+        (r.doc_id, r.meta.mediaType, d.values.length, sm, mn, mx)
+      }
+    }.toDF("doc_id", "media_type", "n_values", "value_sum", "value_min", "value_max")
       .orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // decode path: rows-only by necessity (stubbed decoder is
-    // engine-side, not SQL-expressible)
+    // decode path: real BMP/WAV parse, oracle-gated on exact integer
+    // aggregates of the recovered values
     "m01_media_features" -> ((s, dir) => featureSummary(s, dir)),
     // metadata path: fully oracle-gated (pure arithmetic on doc_id and
     // n_chars in both engines)
     "m02_media_meta" -> ((s, dir) => metaTable(s, dir)))
 
-  /** DuckDB mirror of [[attachMedia]] → [[resizeMeta]] (maxSide 96) →
-    * [[frameIndices]] (k = 4): same integer arithmetic, same double op
-    * order for the resize scale (96.0 / s first, then w·scale, floor =
-    * truncation for positives), same conditional frame multiplication.
+  /** DuckDB mirrors. m02: [[attachMedia]] → [[resizeMeta]] (maxSide 96)
+    * → [[frameIndices]] (k = 4) — same integer arithmetic, same double
+    * op order. m01: the closed-form generators ([[pixelValue]] /
+    * [[sampleValue]] / [[valueCount]]) re-expanded per value index and
+    * aggregated — the SQL knows nothing of BMP/WAV, so agreement proves
+    * the Spark side's encode→decode round trip is lossless and
+    * order-exact.
     */
   def oracleSql: Map[String, String] = Map(
+    "m01_media_features" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  64 + (doc_id % 8) * 16 AS w FROM documents),
+        |n AS (SELECT doc_id, media_type,
+        |  CASE media_type WHEN 'image' THEN w * 64 * 3
+        |       WHEN 'audio' THEN 256 + (doc_id % 256) ELSE 1024 END AS nv FROM d),
+        |u AS (SELECT doc_id, media_type, nv, unnest(range(0, nv)) AS i FROM n),
+        |v AS (SELECT doc_id, media_type, nv,
+        |  CASE WHEN media_type = 'image' THEN (doc_id * 31 + i * 7) % 256
+        |       ELSE ((doc_id * 131 + i * 17) % 65536) - 32768 END AS val FROM u)
+        |SELECT doc_id, media_type, CAST(nv AS INT) AS n_values,
+        |  CAST(sum(val) AS BIGINT) AS value_sum,
+        |  CAST(min(val) AS INT) AS value_min, CAST(max(val) AS INT) AS value_max
+        |FROM v GROUP BY doc_id, media_type, nv ORDER BY doc_id""".stripMargin,
     "m02_media_meta" ->
       """WITH m AS (SELECT doc_id, n_chars,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
