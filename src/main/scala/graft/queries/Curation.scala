@@ -66,16 +66,52 @@ object Curation {
     // score (desc, doc_id tiebreak) and keep the prefix whose running
     // token count stays within the budget — the curation cut that
     // turns "all data" into "the best N tokens per source".
+    //
+    // Skew-safe two-phase formulation (the t11/saltedCum treatment,
+    // adapted to a COMPUTED order key): the naive shape is one window
+    // sorting a whole source in a single task. Here the order key is
+    // the quality score, so contiguous-id salting doesn't align with
+    // the order; instead phase 1 range-buckets each source by an
+    // approx-percentile histogram of q (boundaries only affect load
+    // balance, NEVER the result: bucket = #{boundary > q} is a
+    // monotone function of q, so bucket order == q order and ties
+    // stay together), and phase 2 runs the heavy running sum within
+    // (source, bucket) — parallel across buckets — plus a tiny
+    // per-source window over the per-bucket totals (rows = #buckets)
+    // for each bucket's base offset. base + local running sum is
+    // EXACTLY the whole-source prefix sum; the oracle is unchanged.
     "p03_token_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 5000L
+      val nBuckets = 16
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
           Text.qualityScore(col("text")).as("q"))
-      val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      // phase 1: per-source quality histogram → range boundaries
+      // (broadcast: one small array row per source)
+      val pcts = array((1 until nBuckets).map(i =>
+        lit(i.toDouble / nBuckets)): _*)
+      val bounds = d.groupBy("source")
+        .agg(percentile_approx(col("q"), pcts, lit(1000)).as("bnds"))
+      // bucket 0 = highest-q range: count of boundaries above q
+      val bucketed = d.join(broadcast(bounds), "source")
+        .withColumn("bkt", size(filter(col("bnds"), b => b > col("q"))))
+        .drop("bnds")
+      // phase 2: block-local running sums, parallel across buckets
+      val localW = Window.partitionBy("source", "bkt")
+        .orderBy(col("q").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      d.withColumn("cum", sum(col("n_tokens")).over(w))
+      val local = bucketed.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+      // per-bucket base offsets: a window over #buckets rows per source
+      val baseW = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = bucketed.groupBy("source", "bkt")
+        .agg(sum(col("n_tokens")).as("tot"))
+        .select(col("source"), col("bkt"),
+          (sum(col("tot")).over(baseW) - col("tot")).as("base_off"))
+      local.join(bases, Seq("source", "bkt"))
+        .withColumn("cum", col("base_off") + col("local_cum"))
         .filter(col("cum") <= budget)
         .groupBy("source")
         .agg(count(lit(1)).as("n_selected"),

@@ -101,11 +101,21 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "per-source agg needs a map-side partial")
   }
 
-  test("p03: budget cut is one window + one aggregate, no cross join") {
+  test("p03: budget cut never sorts a whole source in one task") {
     val p = plan("p03_token_budget")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    // every window spec must include the range bucket: no window may
+    // partition by source alone over the raw doc stream except the
+    // per-bucket-totals window, whose input is #buckets rows/source —
+    // mechanically, all specs mention bkt (as partition key or order key)
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    assert(specs.nonEmpty, p)
+    assert(specs.forall(_.contains("bkt")),
+      s"a window neither partitions nor orders by the range bucket:\n${specs.mkString("\n")}")
+    // histogram side broadcasts (one tiny array row per source)
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("m02: metadata synthesis is narrow — no exchange below the final sort") {
