@@ -9,7 +9,7 @@ import OracleDialect._
 
 /** Corpus-curation operators (training-data pipeline tier): benchmark
   * decontamination and quality-budgeted selection — the two steps that
-  * sit between dedup (d-queries) and packing (t09/t11/p02) in a real
+  * sit between dedup (d-queries) and packing (t11/p02) in a real
   * LLM data pipeline.
   *
   * Scale shapes:

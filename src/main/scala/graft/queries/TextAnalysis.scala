@@ -156,30 +156,14 @@ object TextAnalysis {
     // Concatenate-then-chunk sequence packing (the GPT-style pack): per
     // source, docs concatenate in doc_id order and chunk every 512
     // tokens; a doc belongs to the chunk its first token lands in.
-    // One shuffle on source. At 100 TB a low-cardinality source column
-    // skews this window — t11 below is the skew-safe formulation,
-    // verified to produce the IDENTICAL result.
-    "t09_pack_chunks" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("chunk_id",
-          floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
-        .groupBy("source", "chunk_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("chunk_tokens"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "chunk_id")
-    }),
-
-    // t09's skew-safe twin — the 100 TB formulation, oracle-verified to
-    // produce the IDENTICAL result (the shared prefix sum lives in
-    // saltedCum below).
+    // THE declared packing query is the skew-safe salted formulation
+    // (saltedCum below); its oracle SQL is the naive whole-source
+    // prefix sum, so the driver gate itself proves the two-level scan
+    // indistinguishable from the textbook window. The naive Spark
+    // formulation survives only as [[packChunksNaive]], an equivalence
+    // witness pinned in PackEquivalenceSpec — it sorts a whole source
+    // in one task, which a hot source at 100 TB cannot afford, so no
+    // consumer-facing entry exposes it.
     "t11_pack_salted" -> ((s, dir) => {
       saltedCum(s, dir)
         .withColumn("chunk_id",
@@ -215,7 +199,7 @@ object TextAnalysis {
 
     // The per-document chunk ASSIGNMENT map a training job actually
     // consumes: doc_id → (chunk_id, global token_start, offset within
-    // the chunk). t09/t11 aggregate per chunk; this is the same salted
+    // the chunk). t11 aggregates per chunk; this is the same salted
     // prefix sum projected per doc — one row per document, no extra
     // shuffle beyond the windows it already pays.
     "p02_chunk_assignments" -> ((s, dir) => {
@@ -229,13 +213,37 @@ object TextAnalysis {
     })
   )
 
+  /** The naive packing formulation — one window sorting each whole
+    * source in a single task. NOT a declared query (skewed-window
+    * shape); kept solely as the equivalence witness that the salted
+    * two-level scan (t11) is bit-identical, asserted in
+    * PackEquivalenceSpec on the driver fixtures.
+    */
+  private[graft] def packChunksNaive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk_id",
+        floor((col("cum") - col("n_tokens")) / lit(512.0)).cast("int"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "chunk_id")
+  }
+
   /** Global per-doc running token sum within each source, skew-safely:
     * salt = contiguous doc_id blocks of 64, the heavy running sum
     * windows over (source, salt) — parallel across salts — and only the
     * tiny per-salt totals (rows = #salts, not #docs) go through a
     * per-source window to compute each salt's global base offset.
     * global cum = base + local_cum is exactly the naive per-source
-    * prefix sum (t09's window), without ever sorting a whole hot source
+    * prefix sum (the naive window), without ever sorting a whole hot source
     * in one task. Shared by t11 (per-chunk aggregate) and p02 (per-doc
     * assignment map). Columns: doc_id, source, n_tokens, cum.
     */
@@ -374,16 +382,6 @@ object TextAnalysis {
          |  CAST(cum - n_tokens AS BIGINT) AS token_start,
          |  CAST((cum - n_tokens) - CAST(floor((cum - n_tokens) / 512.0) AS INT) * 512 AS BIGINT)
          |    AS offset_in_chunk
-         |FROM x ORDER BY doc_id""".stripMargin,
-
-    "t09_pack_chunks" ->
-      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
-         |x AS (SELECT doc_id, source, n_tokens,
-         |  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-         |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
-         |SELECT source, CAST(floor((cum - n_tokens) / 512.0) AS INT) AS chunk_id,
-         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
-         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM x ORDER BY doc_id""".stripMargin
   )
 }
