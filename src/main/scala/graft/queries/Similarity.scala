@@ -65,43 +65,105 @@ object Similarity {
       .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "v01_knn_exact" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select("q_id", "rank", "neighbor_id", "cosine")
-        .orderBy("q_id", "rank")
-    }),
+  /** Exact brute-force top-k for the query set `lo <= vec_id < hi`:
+    * query side broadcasts, each partition scores locally, one ranking
+    * window per query takes the frontier. Shared by v01/v04 (as the
+    * declared exact queries) and v07 (as ANN ground truth).
+    */
+  private def exactTopK(s: SparkSession, dir: String,
+      lo: Long, hi: Long, k: Int): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
 
-    "v02_knn_ivf" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val c = centroids(e, 16)
-      val assign = ivfAssign(s, dir, 16)
-      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val probeW = Window.partitionBy(col("q_id"))
-        .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("c_id"))
-      val probes = q.crossJoin(broadcast(c))
-        .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
-        .select(col("q_id"), col("c_id"))
-      val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-      q.join(probes, "q_id").join(assign, "c_id")
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
-        .withColumn("rank", row_number().over(rankW))
-        .filter(col("rank") <= 3)
-        .select("q_id", "rank", "neighbor_id", "cosine")
-        .orderBy("q_id", "rank")
-    }),
+  /** IVF ANN (nlist=16, nprobe=2) over queries 100..110 — v02, and the
+    * approximate side of v07's recall gate.
+    */
+  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val c = centroids(e, 16)
+    val assign = ivfAssign(s, dir, 16)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+      .select(col("q_id"), col("c_id"))
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(probes, "q_id").join(assign, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN over queries 200..210 — v05, and the approximate
+    * side of v07's recall gate.
+    */
+  private def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    q.join(e, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor_id", "cosine")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recall of one ANN variant against exact ground truth on the SAME
+    * query set: per query, hits = |exact top-3 ∩ ANN results|; report
+    * exact integers (a recall regression from a bucket-width or probe
+    * change breaks the hash).
+    */
+  private def recallOf(variant: String, exact: DataFrame, ann: DataFrame): DataFrame = {
+    val hits = exact.join(ann.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("n_hits"),
+        min(col("hits")).as("min_hits"))
+      .select(lit(variant).as("variant"), col("n_queries"),
+        col("n_hits"), col("min_hits"))
+  }
+
+  /** v07: recall@3 of both ANN variants vs exact — deterministic, so
+    * the recall itself is oracle-gated; SimilarityRecallSpec asserts
+    * the floor.
+    */
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf("ivf", exactTopK(s, dir, 100, 110, 3).select("q_id", "neighbor_id"),
+        knnIvf(s, dir))
+      .union(recallOf("lsh", exactTopK(s, dir, 200, 210, 3).select("q_id", "neighbor_id"),
+        knnLsh(s, dir)))
+      .orderBy("variant")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_exact" -> ((s, dir) => exactTopK(s, dir, 0, 20, 5)),
+
+    "v02_knn_ivf" -> ((s, dir) => knnIvf(s, dir)),
+
+    "v07_ann_recall" -> ((s, dir) => annRecall(s, dir)),
 
     // same result set as v01, computed through the typed bounded-heap
     // Aggregator: map-side partial top-k (k rows per group per partition
@@ -129,20 +191,7 @@ object Similarity {
     // LSH-bucketed ANN: single-probe random-hyperplane buckets (8 bits);
     // candidates share the bucket, so the join shuffles on bucket id —
     // each query scans ~1/256 of the data instead of all of it
-    "v05_knn_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
-      val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 210)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket"))
-      val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-      q.join(e, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
-        .withColumn("rank", row_number().over(rankW))
-        .filter(col("rank") <= 3)
-        .select("q_id", "rank", "neighbor_id", "cosine")
-        .orderBy("q_id", "rank")
-    }),
+    "v05_knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
 
     // embedding near-dup without a natural blocking key: LSH buckets are
     // the blocks (same shuffle shape as v05); exact cosine verify inside
@@ -251,6 +300,60 @@ object Similarity {
          |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    // recall@3 of both ANN variants against exact ground truth on their
+    // own query sets — the same assign/probe/bucket CTEs as v02/v05,
+    // joined against a brute-force exact top-3
+    "v07_ann_recall" -> {
+      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      s"""WITH e AS ($EMB),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |q1 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+         |probes AS (SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM q1 q, c) WHERE rn <= 2),
+         |ann1 AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, a.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "a.v")} DESC, a.vec_id) AS rank
+         |    FROM q1 q JOIN probes p ON q.q_id = p.q_id JOIN assign a ON a.c_id = p.c_id
+         |    WHERE a.vec_id <> q.q_id) WHERE rank <= 3),
+         |ex1 AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
+         |    FROM q1 q, e WHERE e.vec_id <> q.q_id) WHERE rank <= 3),
+         |h1 AS (SELECT ex.q_id, count(a.neighbor_id) AS hits FROM ex1 ex
+         |  LEFT JOIN ann1 a ON ex.q_id = a.q_id AND ex.neighbor_id = a.neighbor_id
+         |  GROUP BY ex.q_id),
+         |r1 AS (SELECT 'ivf' AS variant, count(*) AS n_queries,
+         |  sum(hits) AS n_hits, min(hits) AS min_hits FROM h1),
+         |bk AS (SELECT vec_id, v, CAST(list_sum(
+         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
+         |  FROM e),
+         |q2 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id >= 200 AND vec_id < 210),
+         |ann2 AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
+         |    FROM q2 q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.q_id) WHERE rank <= 3),
+         |ex2 AS (SELECT q_id, neighbor_id FROM (
+         |    SELECT q.q_id, e.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
+         |    FROM q2 q, e WHERE e.vec_id <> q.q_id) WHERE rank <= 3),
+         |h2 AS (SELECT ex.q_id, count(a.neighbor_id) AS hits FROM ex2 ex
+         |  LEFT JOIN ann2 a ON ex.q_id = a.q_id AND ex.neighbor_id = a.neighbor_id
+         |  GROUP BY ex.q_id),
+         |r2 AS (SELECT 'lsh' AS variant, count(*) AS n_queries,
+         |  sum(hits) AS n_hits, min(hits) AS min_hits FROM h2)
+         |SELECT variant, CAST(n_queries AS BIGINT) AS n_queries,
+         |  CAST(n_hits AS BIGINT) AS n_hits, CAST(min_hits AS BIGINT) AS min_hits
+         |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) ORDER BY variant""".stripMargin
     },
 
     "v06_neardup_lsh" -> {
