@@ -21,6 +21,11 @@ import graft.queries.Dedup
   *               ([[Dedup.bandKeys]] — the same blocking key the batch
   *               path uses), so a new doc is matched against history by
   *               an equi-join on (j, bkey), never by rescanning texts.
+  *               At warehouse scale this store belongs in the BUCKETED
+  *               layout of [[graft.sources.BandIndex]]: the history
+  *               side of the per-batch band join then never reshuffles
+  *               (only the batch side moves — BandIndexSpec pins both
+  *               exchange counts).
   *
   * Stage mapping (batch p01 → here):
   *   1. exact dedup      → `dropDuplicatesWithinWatermark(text_hash)`
