@@ -72,18 +72,25 @@ object DocPipeline {
   /** Start the incremental pipeline over a document stream with an
     * event-time column `ts` and the `documents` columns
     * (doc_id, text, lang, source). State accumulates under `stateDir`;
-    * read the current result any time with [[aggregate]].
+    * read the current result any time with [[aggregate]]. Pass
+    * `checkpointDir` to make the query restartable: a killed stream
+    * resumed from the same checkpoint re-reads exactly the unprocessed
+    * offsets (plus at most one replayed batch, which [[processBatch]]
+    * absorbs idempotently — pinned in DocPipelineSpec).
     */
   def start(stream: DataFrame, stateDir: String,
-      watermark: String = "1 hour"): StreamingQuery =
-    stream
+      watermark: String = "1 hour",
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = stream
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch, stateDir) }
-      .start()
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 
   /** One micro-batch: exact dedup vs history, near-dup verdict vs
     * (history ∪ batch), append survivors + their band keys.
@@ -127,15 +134,24 @@ object DocPipeline {
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("text_hash"), col("sh"),
         coalesce(col("hit"), lit(false)).as("is_neardup"))
-    // append-only state writes (idempotent per batch at-least-once is
-    // acceptable for the store because doc_ids re-deduplicate on read
-    // in aggregate()'s exact stage — but Spark's foreachBatch replays
-    // whole batches, and the anti-join above drops replayed rows)
-    marked.write.mode("append").parquet(docsPath(stateDir))
-    // index ALL exact-dedup survivors, near-dups included: the batch
+    // Append-only state writes; foreachBatch gives at-least-once, so a
+    // crash replays the whole batch and the docs anti-join above drops
+    // the replayed rows. WRITE ORDER IS LOAD-BEARING: bands FIRST. The
+    // docs store is the replay guard — once a doc is in it, its batch
+    // never re-processes — so everything that doc needs indexed must
+    // already be durable. Crash between the writes with this order
+    // leaves orphan band rows, which are harmless (the candidate join
+    // distincts; replay re-appends and duplicates collapse the same
+    // way). The opposite order would anti-join the docs away on replay
+    // and leave them WITHOUT band keys forever: every future near-dup
+    // of those docs silently missed. Pinned in DocPipelineSpec's
+    // partial-write test.
+    //
+    // Index ALL exact-dedup survivors, near-dups included: the batch
     // pair relation is over d1 (a doc may be dropped via a neighbor
-    // that is itself a near-dup — chains 1~2, 2~3 must still drop 3)
+    // that is itself a near-dup — chains 1~2, 2~3 must still drop 3).
     newBands.write.mode("append").parquet(bandsPath(stateDir))
+    marked.write.mode("append").parquet(docsPath(stateDir))
   }
 
   /** Compact the append-only state stores: every micro-batch appends a
@@ -148,14 +164,19 @@ object DocPipeline {
     * not concurrently with one.
     */
   def compact(spark: SparkSession, stateDir: String, targetFiles: Int = 4): Unit =
-    Seq(docsPath(stateDir) -> docsSchema, bandsPath(stateDir) -> bandsSchema)
-      .foreach { case (path, schema) =>
+    // the bands store additionally dedups: a crash between the two
+    // state writes (bands land, docs don't) leaves orphan band rows
+    // that replay re-appends — harmless to the candidate join (it
+    // distincts) but worth sweeping here so they don't accrete
+    Seq((docsPath(stateDir), docsSchema, false), (bandsPath(stateDir), bandsSchema, true))
+      .foreach { case (path, schema, dedup) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) {
           val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
           val old = new org.apache.hadoop.fs.Path(path + ".old")
-          spark.read.schema(schema).parquet(path)
+          val base = spark.read.schema(schema).parquet(path)
+          (if (dedup) base.distinct() else base)
             .repartition(targetFiles)
             .write.mode("overwrite").parquet(tmp.toString)
           fs.delete(old, true)

@@ -78,6 +78,94 @@ class DocPipelineSpec extends SparkSpec {
     assert(DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq === before)
   }
 
+  test("kill and resume from checkpoint mid-stream agrees with batch p01") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id", "text", "lang", "source").orderBy("doc_id").collect()
+      .map(r => DocEvent(r.getLong(0), new Timestamp(base + r.getLong(0) * 1000L),
+        r.getString(1), r.getString(2), r.getString(3)))
+    val batch = graft.SparkEntry.queries("p01_training_pipeline")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipekill").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("docpipeckpt").toString
+    val mem = MemoryStream[DocEvent]
+    val chunks = docs.grouped(11).toSeq
+    val (firstHalf, secondHalf) = chunks.splitAt(chunks.length / 2)
+
+    // phase 1: process half the stream, then KILL the query
+    val q1 = DocPipeline.start(mem.toDF(), stateDir, checkpointDir = Some(ckpt))
+    try {
+      firstHalf.foreach { c => mem.addData(c.toSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // data arriving while the pipeline is down
+    secondHalf.foreach(c => mem.addData(c.toSeq))
+
+    // phase 2: RESUME from the same checkpoint — picks up exactly the
+    // unprocessed offsets, including what arrived during the outage
+    val q2 = DocPipeline.start(mem.toDF(), stateDir, checkpointDir = Some(ckpt))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val streamed = DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+  }
+
+  test("a replayed micro-batch (at-least-once crash recovery) is idempotent") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipereplay").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source",
+        org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+    DocPipeline.processBatch(mkBatch(0L to 20L), stateDir)
+    val b2 = mkBatch(21L to 40L)
+    DocPipeline.processBatch(b2, stateDir)
+    val docsAfter = spark.read.parquet(s"$stateDir/docs")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val aggAfter = DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq
+    // the crash: batch 2 replays wholesale
+    DocPipeline.processBatch(b2, stateDir)
+    assert(spark.read.parquet(s"$stateDir/docs")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq === docsAfter)
+    assert(DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq === aggAfter)
+  }
+
+  test("crash between the two state writes (bands landed, docs didn't) recovers") {
+    import spark.implicits._
+    val dirA = java.nio.file.Files.createTempDirectory("docpipepartA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("docpipepartB").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source",
+        org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+    val b1 = mkBatch(0L to 20L); val b2 = mkBatch(21L to 40L)
+    // reference run: both batches, no crash
+    DocPipeline.processBatch(b1, dirA); DocPipeline.processBatch(b2, dirA)
+    // crashed run: batch 2's BANDS write completes, docs write doesn't
+    // (exactly the partial state the load-bearing write order leaves),
+    // then the batch replays in full
+    DocPipeline.processBatch(b1, dirB)
+    val orphanBands = graft.queries.Dedup.bandKeys(
+      b2.join(spark.read.parquet(s"$dirB/docs").select("text_hash"),
+          Seq("text_hash"), "left_anti")
+        .withColumn("sh", graft.functions.Text.distinctShingles($"text"))
+        .select("doc_id", "sh"))
+    orphanBands.write.mode("append").parquet(s"$dirB/bands")
+    DocPipeline.processBatch(b2, dirB) // the replay
+    // observable state agrees with the no-crash run
+    assert(DocPipeline.aggregate(spark, dirB).collect().map(_.toSeq).toSeq ===
+      DocPipeline.aggregate(spark, dirA).collect().map(_.toSeq).toSeq)
+    assert(spark.read.parquet(s"$dirB/docs").collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      spark.read.parquet(s"$dirA/docs").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    // the orphan band duplicates exist until compaction sweeps them
+    DocPipeline.compact(spark, dirB, targetFiles = 1)
+    assert(spark.read.parquet(s"$dirB/bands").collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      spark.read.parquet(s"$dirA/bands").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
   test("a duplicate text arriving in a later batch is dropped (exact stage)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
