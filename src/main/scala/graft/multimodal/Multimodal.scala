@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed metadata carried alongside an opaque media payload. */
@@ -195,14 +195,31 @@ object Multimodal {
     */
   def metaTable(spark: SparkSession, dir: String, maxSide: Int = 96,
       k: Int = 4): DataFrame = {
-    import spark.implicits._
-    val media = resizeMeta(attachMedia(graft.Tables(spark, dir, "documents")), maxSide)
-    media.flatMap { r =>
-      frameIndices(r.meta, k).map(f =>
-        (r.doc_id, r.meta.mediaType, r.meta.width, r.meta.height,
-          r.meta.sampleRateHz, r.meta.durationMs, f))
-    }.toDF("doc_id", "media_type", "width", "height",
-        "sample_rate_hz", "duration_ms", "frame_index")
+    // COLUMNAR on purpose: the metadata path must never materialize
+    // payload bytes (at 100 TB the payload column stays on disk —
+    // parquet column pruning — and everything here is codegen'd column
+    // arithmetic). The expressions mirror attachMedia → resizeMeta →
+    // frameIndices exactly — same integer ops, same double op order
+    // (scale = maxSide/s first, then w·scale, floor = truncation for
+    // positives) — and MultimodalSpec pins the agreement against the
+    // case-class path row for row.
+    val d = graft.Tables(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val mt = when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+    val w0 = (lit(64) + (col("doc_id") % 8) * 16).cast("int")
+    val h0 = lit(64).cast("int")
+    val side = greatest(w0, h0)
+    val scale = lit(maxSide.toDouble) / side.cast("double")
+    def resized(c: Column): Column =
+      when(side <= maxSide || side === 0, c)
+        .otherwise(greatest(lit(1), floor(c.cast("double") * scale).cast("int")))
+    d.select(col("doc_id"), mt.as("media_type"),
+        resized(w0).as("width"), resized(h0).as("height"),
+        when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sample_rate_hz"),
+        when(col("doc_id") % 3 === 0, 0L).otherwise(col("n_chars") * 10).as("duration_ms"))
+      .withColumn("frame_index",
+        explode(when(col("media_type") === "video" && col("duration_ms") > 0,
+          sequence(lit(0), lit(k - 1))).otherwise(array(lit(0)))))
       .orderBy("doc_id", "frame_index")
   }
 
@@ -218,8 +235,13 @@ object Multimodal {
     */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = attachMedia(graft.Tables(spark, dir, "documents"))
-    media.mapPartitions { rows =>
+    // decode parallelism: the fixtures are single small parquet files
+    // (one scan partition); at warehouse scale the decode fans out over
+    // file splits for free, so the stand-in is one cheap repartition of
+    // the (small) pre-payload rows across the cores
+    val media = attachMedia(graft.Tables(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism))
+    val summary = media.mapPartitions { rows =>
       val decoder: Array[Byte] => Decoded = MediaCodec.decode
       rows.map { r =>
         val d = decoder(r.content)
@@ -238,7 +260,10 @@ object Multimodal {
         (r.doc_id, r.meta.mediaType, d.values.length, sm, mn, mx)
       }
     }.toDF("doc_id", "media_type", "n_values", "value_sum", "value_min", "value_max")
-      .orderBy("doc_id")
+    // the summary is tiny; checkpoint it so the total-order sort's
+    // range-boundary sampling pass doesn't re-run the whole
+    // encode→decode pipeline a second time
+    summary.localCheckpoint(eager = false).orderBy("doc_id")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

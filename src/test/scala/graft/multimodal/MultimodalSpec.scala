@@ -92,6 +92,23 @@ class MultimodalSpec extends SparkSpec {
     assert(metaRows.nonEmpty)
   }
 
+  test("m02 columnar meta equals the case-class attach→resize path row for row") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val columnar = Multimodal.metaTable(spark, dir, maxSide = 96, k = 4)
+      .collect().map(_.toSeq).toSeq
+    val viaPayload = Multimodal
+      .resizeMeta(Multimodal.attachMedia(graft.Tables(spark, dir, "documents")), 96)
+      .flatMap { r =>
+        Multimodal.frameIndices(r.meta, 4).map(f =>
+          (r.doc_id, r.meta.mediaType, r.meta.width, r.meta.height,
+            r.meta.sampleRateHz, r.meta.durationMs, f))
+      }.collect().sortBy(t => (t._1, t._7))
+      .map(t => Seq(t._1, t._2, t._3, t._4, t._5, t._6, t._7)).toSeq
+    assert(columnar === viaPayload)
+    assert(columnar.nonEmpty)
+  }
+
   test("m01 featureSummary aggregates the decoded values exactly") {
     val dir = "/root/testdata/sf0.001"
     val got = Multimodal.featureSummary(spark, dir).collect()
