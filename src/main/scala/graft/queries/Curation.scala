@@ -118,6 +118,29 @@ object Curation {
           sum(col("n_tokens")).as("tokens_selected"),
           sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
         .orderBy("source")
+    }),
+
+    // Weighted mixture sampling — the data-mixing step that turns "one
+    // corpus" into "the language mix the training run wants": per-lang
+    // keep rates (per-mille), membership decided by the CONTENT hash
+    // (duplicate texts sample identically across runs, cluster sizes,
+    // and engines — no RNG state anywhere). The weights relation is a
+    // broadcast dim; the per-stratum accounting aggregates map-side.
+    "p04_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("en", 800L), ("de", 400L), ("fr", 400L), ("es", 400L))
+        .toDF("lang", "keep_per_mille")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+          pmod(Text.charFp(col("text")), lit(1000L)).as("h"))
+        .join(broadcast(weights), Seq("lang"), "left")
+        .withColumn("keep", col("h") < coalesce(col("keep_per_mille"), lit(250L)))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L))).as("tokens_sampled"))
+        .orderBy("source", "lang")
     })
   )
 
@@ -149,6 +172,16 @@ object Curation {
          |SELECT source, count(*) AS n_selected,
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
          |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
-         |FROM x WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM x WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p04_weighted_sample" ->
+      s"""WITH d AS (SELECT source, lang, CAST(len($TOKS) AS INT) AS n_tokens,
+         |    ${fp("text")} % 1000 AS h FROM documents),
+         |k AS (SELECT *, CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 400
+         |    WHEN 'fr' THEN 400 WHEN 'es' THEN 400 ELSE 250 END AS kpm FROM d)
+         |SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN h < kpm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  CAST(sum(CASE WHEN h < kpm THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
+         |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

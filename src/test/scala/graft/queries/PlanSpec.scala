@@ -118,6 +118,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p04: weights dim broadcasts; sampling accounting aggregates map-side") {
+    val p = plan("p04_weighted_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "stratum agg needs a map-side partial")
+  }
+
   test("m02: metadata synthesis is narrow — no exchange below the final sort") {
     val p = plan("m02_media_meta")
     assert("Exchange".r.findAllIn(p).length === 1, s"only the orderBy may shuffle:\n$p")
