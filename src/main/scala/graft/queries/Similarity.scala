@@ -71,9 +71,13 @@ object Similarity {
     * declared exact queries) and v07 (as ANN ground truth).
     */
   private def exactTopK(s: SparkSession, dir: String,
-      lo: Long, hi: Long, k: Int): DataFrame = {
+      lo: Long, hi: Long, k: Int): DataFrame =
+    exactTopKWhere(s, dir, col("vec_id") >= lo && col("vec_id") < hi, k)
+
+  private def exactTopKWhere(s: SparkSession, dir: String,
+      qPred: Column, k: Int): DataFrame = {
     val e = emb(s, dir)
-    val q = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+    val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     e.crossJoin(broadcast(q))
@@ -86,10 +90,12 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** IVF ANN (nlist=16, nprobe=2) over queries 100..110 — v02, and the
-    * approximate side of v07's recall gate.
+  /** IVF ANN (nlist=16, default nprobe=2) over queries 100..110 — v02,
+    * and the approximate side of v07's recall gate. `nprobe` is the
+    * recall/cost dial (scan fraction = nprobe/nlist);
+    * SimilarityRecallSpec measures the dial's recall side.
     */
-  private def knnIvf(s: SparkSession, dir: String): DataFrame = {
+  private def knnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val e = emb(s, dir)
     val c = centroids(e, 16)
     val assign = ivfAssign(s, dir, 16)
@@ -98,7 +104,7 @@ object Similarity {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("c_id"))
     val probes = q.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= 2)
+      .withColumn("rn", row_number().over(probeW)).filter(col("rn") <= nprobe)
       .select(col("q_id"), col("c_id"))
     val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     q.join(probes, "q_id").join(assign, "c_id")
@@ -149,14 +155,22 @@ object Similarity {
 
   /** v07: recall@3 of both ANN variants vs exact — deterministic, so
     * the recall itself is oracle-gated; SimilarityRecallSpec asserts
-    * the floor.
+    * the floor. Ground truth for BOTH query sets comes from ONE
+    * brute-force pass (union the sets, score once, split) — exact
+    * scoring is the expensive half of the gate, no reason to pay it
+    * twice.
     */
-  def annRecall(s: SparkSession, dir: String): DataFrame =
-    recallOf("ivf", exactTopK(s, dir, 100, 110, 3).select("q_id", "neighbor_id"),
-        knnIvf(s, dir))
-      .union(recallOf("lsh", exactTopK(s, dir, 200, 210, 3).select("q_id", "neighbor_id"),
-        knnLsh(s, dir)))
+  def annRecall(s: SparkSession, dir: String, ivfNprobe: Int = 2): DataFrame = {
+    val exact = exactTopKWhere(s, dir,
+      (col("vec_id") >= 100 && col("vec_id") < 110) ||
+        (col("vec_id") >= 200 && col("vec_id") < 210), 3)
+    // the two ranges are disjoint, so one frame serves both variants
+    val exIvf = exact.filter(col("q_id") < 110).select("q_id", "neighbor_id")
+    val exLsh = exact.filter(col("q_id") >= 200).select("q_id", "neighbor_id")
+    recallOf("ivf", exIvf, knnIvf(s, dir, ivfNprobe))
+      .union(recallOf("lsh", exLsh, knnLsh(s, dir)))
       .orderBy("variant")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_exact" -> ((s, dir) => exactTopK(s, dir, 0, 20, 5)),

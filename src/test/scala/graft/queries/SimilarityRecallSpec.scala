@@ -30,4 +30,18 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(lshHits >= 15L, s"LSH recall@3 regressed: $lshHits/30")
     assert(lshMin >= 1L, "an LSH query lost all its true neighbors")
   }
+
+  test("v07: the nprobe dial trades scan fraction for recall monotonically") {
+    // nprobe is IVF's recall/cost dial (scan fraction = nprobe/nlist);
+    // widening the probe set can only add candidates, so recall is
+    // monotone — and at nprobe = nlist the probe covers everything, so
+    // recall must be perfect (30/30). Catches any probe-selection bug
+    // that the fixed nprobe=2 gate can't see.
+    def ivfHits(nprobe: Int): Long =
+      Similarity.annRecall(spark, "/root/testdata/sf0.01", ivfNprobe = nprobe)
+        .collect().find(_.getString(0) == "ivf").get.getLong(2)
+    val at2 = ivfHits(2); val at4 = ivfHits(4); val at16 = ivfHits(16)
+    assert(at2 <= at4 && at4 <= at16, s"recall not monotone: $at2, $at4, $at16")
+    assert(at16 === 30L, s"full probe must recover exact top-3, got $at16/30")
+  }
 }
