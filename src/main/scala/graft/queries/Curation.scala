@@ -80,45 +80,11 @@ object Curation {
     // per-source window over the per-bucket totals (rows = #buckets)
     // for each bucket's base offset. base + local running sum is
     // EXACTLY the whole-source prefix sum; the oracle is unchanged.
-    "p03_token_budget" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val budget = 5000L
-      val nBuckets = 16
-      val d = Tables(s, dir, "documents")
+    "p03_token_budget" -> ((s, dir) =>
+      tokenBudgetCut(Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
-          Text.qualityScore(col("text")).as("q"))
-      // phase 1: per-source quality histogram → range boundaries
-      // (broadcast: one small array row per source)
-      val pcts = array((1 until nBuckets).map(i =>
-        lit(i.toDouble / nBuckets)): _*)
-      val bounds = d.groupBy("source")
-        .agg(percentile_approx(col("q"), pcts, lit(1000)).as("bnds"))
-      // bucket 0 = highest-q range: count of boundaries above q
-      val bucketed = d.join(broadcast(bounds), "source")
-        .withColumn("bkt", size(filter(col("bnds"), b => b > col("q"))))
-        .drop("bnds")
-      // phase 2: block-local running sums, parallel across buckets
-      val localW = Window.partitionBy("source", "bkt")
-        .orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val local = bucketed.withColumn("local_cum", sum(col("n_tokens")).over(localW))
-      // per-bucket base offsets: a window over #buckets rows per source
-      val baseW = Window.partitionBy("source").orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val bases = bucketed.groupBy("source", "bkt")
-        .agg(sum(col("n_tokens")).as("tot"))
-        .select(col("source"), col("bkt"),
-          (sum(col("tot")).over(baseW) - col("tot")).as("base_off"))
-      local.join(bases, Seq("source", "bkt"))
-        .withColumn("cum", col("base_off") + col("local_cum"))
-        .filter(col("cum") <= budget)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_selected"),
-          sum(col("n_tokens")).as("tokens_selected"),
-          sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
-        .orderBy("source")
-    }),
+          Text.qualityScore(col("text")).as("q")), budget = 5000L)),
 
     // Weighted mixture sampling — the data-mixing step that turns "one
     // corpus" into "the language mix the training run wants": per-lang
@@ -143,6 +109,63 @@ object Curation {
         .orderBy("source", "lang")
     })
   )
+
+  /** The two-phase quality-budget cut over a (doc_id, source, n_tokens,
+    * q) relation. Exposed separately from the query so
+    * CurationEquivalenceSpec can drive it with adversarial
+    * distributions (score ties, empty buckets, single-doc sources) and
+    * prove it identical to the naive whole-source window.
+    */
+  private[queries] def tokenBudgetCut(d: DataFrame, budget: Long,
+      nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // phase 1: per-source quality histogram → range boundaries
+    // (broadcast: one small array row per source)
+    val pcts = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val bounds = d.groupBy("source")
+      .agg(percentile_approx(col("q"), pcts, lit(1000)).as("bnds"))
+    // bucket 0 = highest-q range: count of boundaries above q
+    val bucketed = d.join(broadcast(bounds), "source")
+      .withColumn("bkt", size(filter(col("bnds"), b => b > col("q"))))
+      .drop("bnds")
+    // phase 2: block-local running sums, parallel across buckets
+    val localW = Window.partitionBy("source", "bkt")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("local_cum", sum(col("n_tokens")).over(localW))
+    // per-bucket base offsets: a window over #buckets rows per source
+    val baseW = Window.partitionBy("source").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bases = bucketed.groupBy("source", "bkt")
+      .agg(sum(col("n_tokens")).as("tot"))
+      .select(col("source"), col("bkt"),
+        (sum(col("tot")).over(baseW) - col("tot")).as("base_off"))
+    local.join(bases, Seq("source", "bkt"))
+      .withColumn("cum", col("base_off") + col("local_cum"))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("tokens_selected"),
+        sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
+      .orderBy("source")
+  }
+
+  /** The naive single-window budget cut — equivalence witness only
+    * (sorts a whole source in one task; see tokenBudgetCut).
+    */
+  private[queries] def tokenBudgetCutNaive(d: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("tokens_selected"),
+        sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
+      .orderBy("source")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "c01_contamination" ->
