@@ -117,7 +117,8 @@ case class ShinglesAll(child: Expression, n: Int = 2) extends UnaryExpression {
   * sign matrix is embedded in the plan as a flat reference object;
   * the double loop inlines into whole-stage codegen.
   */
-case class LshBucket(child: Expression, nPlanes: Int = 8, dim: Int = 64)
+case class LshBucket(child: Expression, nPlanes: Int = 8, dim: Int = 64,
+    planeOffset: Int = 0)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -129,10 +130,24 @@ case class LshBucket(child: Expression, nPlanes: Int = 8, dim: Int = 64)
 
   override def prettyName: String = "graft_lshbucket"
 
-  // flat [p * dim + d] — same derivation as the Column-API signs matrix
+  // flat [p * dim + d]. DOUBLE-hashed on purpose: the parity of a bare
+  // charFpStr("p:d") is SEPARABLE — the polynomial value never wraps
+  // the modulus for short strings, 31^k is odd, so parity(hash) =
+  // XOR of the chars' parities = f(p) XOR g(d). That makes the signs
+  // matrix rank-1: every plane identical up to global sign, the "8-bit"
+  // bucket space collapses to 2 values, and the LSH block join scans
+  // HALF the corpus instead of ~1/2^nPlanes (caught round 7 by the
+  // LshDialSpec saturation probe). Re-hashing the DECIMAL DIGITS of
+  // the first hash mixes across the separable structure (digit carries
+  // are nonlinear); the oracle mirrors the same two-level derivation.
+  // planeOffset selects a disjoint slice of the plane family so banded
+  // LSH (v05) draws independent planes per band: band b uses global
+  // plane indices [b*bits, (b+1)*bits).
   @transient private lazy val signs: Array[Double] =
     Array.tabulate(nPlanes * dim)(i =>
-      if (Text.charFpStr(s"${i / dim}:${i % dim}") % 2 == 1) 1.0 else -1.0)
+      if (Text.charFpStr(Text.charFpStr(
+          s"${planeOffset + i / dim}:${i % dim}").toString) % 2 == 1)
+        1.0 else -1.0)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -57,10 +57,11 @@ object Vectors {
     * oracle reproduces the same hyperplanes symbolically). Left-fold
     * accumulation keeps the dot bit-exact cross-engine.
     */
-  def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64): Column =
+  def lshBucket(v: Column, nPlanes: Int = 8, dim: Int = 64,
+      planeOffset: Int = 0): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.LshBucket(
-        org.apache.spark.sql.GraftSqlBridge.expression(v), nPlanes, dim))
+        org.apache.spark.sql.GraftSqlBridge.expression(v), nPlanes, dim, planeOffset))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

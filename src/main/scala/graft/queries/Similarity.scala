@@ -117,18 +117,34 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN over queries 200..210 — v05, and the approximate
-    * side of v07's recall gate.
+  /** Banded hyperplane-LSH buckets: one row per (vector, band), band b
+    * hashed by its own disjoint slice of the plane family. Candidates
+    * co-bucket in ANY band (the OR construction — same recall shape as
+    * d04's MinHash bands): per-band scan fraction ~1/2^bits, recall
+    * grows with the band count. Shared by v05 and v07's LSH side.
+    */
+  private def lshBands(e: DataFrame, bands: Int = 4, bits: Int = 8): DataFrame =
+    e.select(col("*"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          lshBucket(col("v"), bits, 64, planeOffset = b * bits).as("bkey"))): _*)).as("bb"))
+      .select(col("*"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .drop("bb")
+
+  /** Banded-LSH ANN over queries 200..210 — v05, and the approximate
+    * side of v07's recall gate. Duplicate candidates from multi-band
+    * collisions collapse on the exact (q_id, neighbor_id, cosine)
+    * tuple before ranking.
     */
   private def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
-    val q = e.filter(col("vec_id") >= 200 && col("vec_id") < 210)
+    val eb = lshBands(emb(s, dir))
+    val q = eb.filter(col("vec_id") >= 200 && col("vec_id") < 210)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket"))
+        col("nrm").as("qn"), col("band"), col("bkey"))
     val rankW = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(e, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+    q.join(eb, Seq("band", "bkey")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .distinct()
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 3)
       .select("q_id", "rank", "neighbor_id", "cosine")
@@ -202,9 +218,10 @@ object Similarity {
         .orderBy("q_id", "rank")
     }),
 
-    // LSH-bucketed ANN: single-probe random-hyperplane buckets (8 bits);
-    // candidates share the bucket, so the join shuffles on bucket id —
-    // each query scans ~1/256 of the data instead of all of it
+    // Banded hyperplane-LSH ANN (4 bands x 8 bits, the OR
+    // construction): candidates co-bucket in ANY band, the join
+    // shuffles on (band, bkey) — each query scans ~bands/2^bits of
+    // the data instead of all of it; v07 gates the recall
     "v05_knn_lsh" -> ((s, dir) => knnLsh(s, dir)),
 
     // embedding near-dup without a natural blocking key: LSH buckets are
@@ -226,7 +243,7 @@ object Similarity {
     // (SEMANTIC eval/train overlap that survives paraphrase, which the
     // shingle check can't see). Eval set = the same deterministic %50
     // carve-out; candidates share an LSH bucket (v05/v06's blocking, so
-    // each train vec scans ~1/256 of the eval set, declared-approximate
+    // each train vec scans ~1/2^bits of the eval set, declared-approximate
     // like v06 and mirrored in the oracle); verdict = best same-bucket
     // eval match with cosine above threshold.
     "c02_embedding_contamination" -> ((s, dir) => {
@@ -301,17 +318,18 @@ object Similarity {
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "v05_knn_lsh" -> {
-      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val sign = s"(CASE WHEN ${fpSql(s"CAST(${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)" // double-hashed: see LshBucket
       val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, v, $b AS band, CAST(list_sum([CASE WHEN $planeDot > 0 " +
+          s"THEN (1 << (p - ${8 * b})) ELSE 0 END for p in range(${8 * b}, ${8 * b + 8})]) AS INT) AS bkey FROM e"
+      }.mkString("\n  UNION ALL ")
       s"""WITH e AS ($EMB),
-         |bk AS (SELECT vec_id, v, CAST(list_sum(
-         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
-         |  FROM e),
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id >= 200 AND vec_id < 210),
-         |cand AS (SELECT q.q_id, e.vec_id AS neighbor_id, q.qv, e.v
-         |  FROM q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.q_id),
-         |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
+         |bk AS ($bandSelects),
+         |q AS (SELECT vec_id AS q_id, v AS qv, band, bkey FROM bk WHERE vec_id >= 200 AND vec_id < 210),
+         |scored AS (SELECT DISTINCT q.q_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.v")} AS cosine
+         |  FROM q JOIN bk e ON q.band = e.band AND q.bkey = e.bkey AND e.vec_id <> q.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
          |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
     },
@@ -320,9 +338,13 @@ object Similarity {
     // own query sets — the same assign/probe/bucket CTEs as v02/v05,
     // joined against a brute-force exact top-3
     "v07_ann_recall" -> {
-      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val sign = s"(CASE WHEN ${fpSql(s"CAST(${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)" // double-hashed: see LshBucket
       val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT vec_id, v, $b AS band, CAST(list_sum([CASE WHEN $planeDot > 0 " +
+          s"THEN (1 << (p - ${8 * b})) ELSE 0 END for p in range(${8 * b}, ${8 * b + 8})]) AS INT) AS bkey FROM e"
+      }.mkString("\n  UNION ALL ")
       s"""WITH e AS ($EMB),
          |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
          |assign AS (SELECT vec_id, c_id, v FROM (
@@ -348,18 +370,19 @@ object Similarity {
          |  GROUP BY ex.q_id),
          |r1 AS (SELECT 'ivf' AS variant, count(*) AS n_queries,
          |  sum(hits) AS n_hits, min(hits) AS min_hits FROM h1),
-         |bk AS (SELECT vec_id, v, CAST(list_sum(
-         |    [CASE WHEN $planeDot > 0 THEN (1 << p) ELSE 0 END for p in range(0, 8)]) AS INT) AS bucket
-         |  FROM e),
-         |q2 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bk WHERE vec_id >= 200 AND vec_id < 210),
+         |bk AS ($bandSelects),
+         |q2 AS (SELECT vec_id AS q_id, v AS qv, band, bkey FROM bk WHERE vec_id >= 200 AND vec_id < 210),
+         |scored2 AS (SELECT DISTINCT q.q_id, e.vec_id AS neighbor_id, ${cosSql("q.qv", "e.v")} AS cosine
+         |  FROM q2 q JOIN bk e ON q.band = e.band AND q.bkey = e.bkey AND e.vec_id <> q.q_id),
          |ann2 AS (SELECT q_id, neighbor_id FROM (
-         |    SELECT q.q_id, e.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
-         |    FROM q2 q JOIN bk e ON q.bucket = e.bucket AND e.vec_id <> q.q_id) WHERE rank <= 3),
+         |    SELECT q_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM scored2) WHERE rank <= 3),
+         |qx2 AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 200 AND vec_id < 210),
          |ex2 AS (SELECT q_id, neighbor_id FROM (
          |    SELECT q.q_id, e.vec_id AS neighbor_id,
          |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "e.v")} DESC, e.vec_id) AS rank
-         |    FROM q2 q, e WHERE e.vec_id <> q.q_id) WHERE rank <= 3),
+         |    FROM qx2 q, e WHERE e.vec_id <> q.q_id) WHERE rank <= 3),
          |h2 AS (SELECT ex.q_id, count(a.neighbor_id) AS hits FROM ex2 ex
          |  LEFT JOIN ann2 a ON ex.q_id = a.q_id AND ex.neighbor_id = a.neighbor_id
          |  GROUP BY ex.q_id),
@@ -371,7 +394,7 @@ object Similarity {
     },
 
     "v06_neardup_lsh" -> {
-      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val sign = s"(CASE WHEN ${fpSql(s"CAST(${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)" // double-hashed: see LshBucket
       val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
       s"""WITH e AS ($EMB),
@@ -385,7 +408,7 @@ object Similarity {
     },
 
     "c02_embedding_contamination" -> {
-      val sign = s"(CASE WHEN ${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+      val sign = s"(CASE WHEN ${fpSql(s"CAST(${fpSql("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} AS VARCHAR)")} % 2 = 1 THEN 1.0 ELSE -1.0 END)" // double-hashed: see LshBucket
       val planeDot = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[v[i] * $sign for i in range(1, 65)]), (a, b) -> a + b)"
       s"""WITH e AS ($EMB),
