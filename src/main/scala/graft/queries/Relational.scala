@@ -557,6 +557,23 @@ object Relational {
         .orderBy("user_id", "session_start")
     }),
 
+    // Sliding event-time windows (1 h window, 15 min slide): each event
+    // lands in exactly size/slide = 4 overlapping windows on the
+    // epoch-aligned grid (Spark window() default). The Expand is the
+    // 4x row multiplier a streaming twin pays too; per-(window, type)
+    // counts partial-aggregate map-side, so shuffle rows track the
+    // window-grid cardinality, not 4x the event count.
+    "s04_sliding_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          out2(sum(dec2(col("value")))).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
     // ---- keep-first dedup (batch twin of dropDuplicatesWithinWatermark,
     //      SURVEY.md §2.10 dedup row) -------------------------------------
     "s02_dedup_keep_first" -> ((s, dir) => {
@@ -808,6 +825,21 @@ object Relational {
         | count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY user_id, session_seq ORDER BY user_id, session_start""".stripMargin,
+
+    // the grid arithmetic mirrors Spark's epoch-aligned slide: both
+    // engines floor sub-microsecond precision before bucketing, and the
+    // grid (900 s) is far coarser than the truncation, so window
+    // membership is identical
+    "s04_sliding_window" ->
+      """WITH e AS (SELECT ts, event_type, value, epoch_us(ts) AS us FROM events),
+        |x AS (SELECT event_type, value, us, unnest(range(0, 4)) AS k FROM e),
+        |j AS (SELECT event_type, value,
+        |  us - (us % 900000000) - 900000000 * k AS ws FROM x)
+        |SELECT make_timestamp(ws) AS window_start,
+        | make_timestamp(ws + 3600000000) AS window_end,
+        | event_type, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     "s02_dedup_keep_first" ->
       """SELECT user_id, event_type, event_id, ts, value FROM (

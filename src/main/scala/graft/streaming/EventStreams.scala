@@ -40,6 +40,18 @@ object EventStreams {
       .select(col("window.start").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregate with watermark — streaming twin of s04:
+    * each event multiplies into size/slide overlapping windows; state
+    * per open window evicts once the watermark passes the window end.
+    */
+  def slidingByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Keep-first dedup bounded by the watermark — streaming twin of s02;
     * the fix-forward for the reference's re-run duplicate inserts
     * (SURVEY.md §2.10 dedup row).

@@ -42,6 +42,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingByType emits every overlapping window (streaming twin of s04)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev(1, tsH(10, 20), 1, "click", 2.0))
+    val q = EventStreams.slidingByType(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(2, tsH(14, 0), 1, "view", 1.0)) // watermark past 11:20
+      q.processAllAvailable()
+      val starts = spark.sql(
+        "SELECT window_start FROM sliding WHERE event_type = 'click'")
+        .collect().map(_.getTimestamp(0)).toSet
+      // 10:20 lands in exactly 4 windows: starts 09:30, 09:45, 10:00, 10:15
+      assert(starts === Set(tsH(9, 30), tsH(9, 45), tsH(10, 0), tsH(10, 15)))
+      // and the streaming result matches the batch s04 expressions on
+      // the same rows (same grid, same multiplicity)
+      val batch = Seq((tsH(10, 20), "click", 2.0)).toDF("ts", "event_type", "value")
+        .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour", "15 minutes"))
+        .count().select($"window.start").collect().map(_.getTimestamp(0)).toSet
+      assert(batch === starts)
+    } finally q.stop()
+  }
+
   test("dedupKeepFirst drops repeats of (user_id, event_type) within watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
