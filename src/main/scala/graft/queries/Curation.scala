@@ -107,6 +107,29 @@ object Curation {
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
           sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L))).as("tokens_sampled"))
         .orderBy("source", "lang")
+    }),
+
+    // Epoch upsampling — p04's other half: instead of DOWN-sampling
+    // over-represented strata, UP-sample scarce high-value ones by a
+    // per-lang repeat factor (the "wiki x3" mixing pattern). Replication
+    // is explode(sequence(1, n_rep)) — a narrow row multiplier, no
+    // shuffle until the accounting agg — and every emitted copy carries
+    // its epoch index, so downstream packing stays deterministic.
+    "p05_upsample_mix" -> ((s, dir) => {
+      import s.implicits._
+      val repeats = Seq(("en", 1), ("de", 3), ("fr", 3), ("es", 3))
+        .toDF("lang", "n_rep")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
+        .join(broadcast(repeats), Seq("lang"), "left")
+        .withColumn("n_rep", coalesce(col("n_rep"), lit(2)))
+        .withColumn("epoch", explode(sequence(lit(1), col("n_rep"))))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_emitted"),
+          sum(col("n_tokens")).as("tokens_emitted"),
+          max(col("epoch")).cast("int").as("max_epoch"))
+        .orderBy("source", "lang")
     })
   )
 
@@ -205,6 +228,17 @@ object Curation {
          |SELECT source, lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN h < kpm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
          |  CAST(sum(CASE WHEN h < kpm THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_sampled
-         |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM k GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p05_upsample_mix" ->
+      s"""WITH d AS (SELECT source, lang, CAST(len($TOKS) AS INT) AS n_tokens,
+         |    CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 3 WHEN 'fr' THEN 3
+         |    WHEN 'es' THEN 3 ELSE 2 END AS n_rep FROM documents),
+         |x AS (SELECT source, lang, n_tokens, n_rep,
+         |    unnest(range(1, n_rep + 1)) AS epoch FROM d)
+         |SELECT source, lang, count(*) AS n_emitted,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_emitted,
+         |  CAST(max(epoch) AS INT) AS max_epoch
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
