@@ -51,6 +51,32 @@ object Temporal {
         .orderBy("event_id")
     }),
 
+    // the FORWARD as-of: each click gets the user's NEXT purchase
+    // at-or-after (conversion attribution). Same union+carry shape as
+    // w01, mirrored — the frame looks forward and first() replaces
+    // last(); kinds flip so a same-instant purchase is visible to the
+    // click's forward frame (inclusive "<=" semantics)
+    "w04_asof_forward" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val pd = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("p_event_id"))
+        .select(col("user_id"), col("ts"), lit(1).as("kind"),
+          col("p_event_id"), lit(null).cast("long").as("c_event_id"))
+      val ck = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"),
+          lit(null).cast("long").as("p_event_id"), col("event_id").as("c_event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      pd.unionByName(ck)
+        .withColumn("p_id", first(col("p_event_id"), ignoreNulls = true).over(w))
+        .withColumn("p_ts", first(when(col("kind") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("c_event_id").as("event_id"), col("user_id"), col("ts"),
+          col("p_id").as("p_event_id"), col("p_ts"))
+        .orderBy("event_id")
+    }),
+
     // interval join: purchases × same-user clicks in the trailing hour —
     // the SAME function as the streaming stream-stream join (watermarks
     // no-op on batch); fan-out bounded by (user, interval)
@@ -83,6 +109,16 @@ object Temporal {
         |ck AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts
         |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // DuckDB's ASOF direction comes from the inequality: "<=" picks the
+    // smallest p.ts at-or-after each click
+    "w04_asof_forward" ->
+      """WITH pd AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |ck AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts
+        |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "w03_interval_join" ->
