@@ -69,6 +69,40 @@ object Relational {
   private val REV_SQL =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
+  /** x01's internal shape: HLL estimate next to the exact distinct count
+    * per nation. The declared query projects this down to exact columns
+    * plus a `within_bound` flag (|approx−exact|/exact ≤ 2×rsd); the raw
+    * approx column is asserted directly in SketchBoundsSpec.
+    */
+  def x01Raw(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables(s, dir, "nation")
+    val cust = Tables(s, dir, "customer")
+    Tables(s, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+  }
+
+  /** x02's internal shape: KLL p50/p99 next to the exact quantiles at
+    * q ± 0.01 (`qs` = exact [0.49, 0.51, 0.98, 1.0] percentiles).
+    * percentile_approx(accuracy=1000) guarantees rank error ≤ n/1000;
+    * the declared bound allows 10× that: the sketch value must land
+    * between the exact quantiles at q ± 0.01 (p99's upper side is the
+    * max). Same windows as SketchBoundsSpec.
+    */
+  def x02Raw(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99"),
+        percentile(col("o_totalprice"),
+          array(lit(0.49), lit(0.51), lit(0.98), lit(1.0))).as("qs"),
+        count(lit(1)).as("n"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation / grouping (SURVEY.md §2.6) --------------------
     "q01_pricing_summary" -> ((s, dir) => {
@@ -482,20 +516,21 @@ object Relational {
           |ORDER BY n_name, c_custkey""".stripMargin)
     }),
 
-    // ---- sketches (rows-only checks: HLL/KLL internals are
-    //      engine-specific, so no cross-engine oracle by design) --------
-    "x01_approx_distinct" -> ((s, dir) => {
-      val nat = Tables(s, dir, "nation")
-      val cust = Tables(s, dir, "customer")
-      Tables(s, dir, "orders")
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"))
-        .orderBy("n_name")
-    }),
+    // ---- sketches (driver-gated via `within_bound`: HLL/KLL internals
+    //      are engine-specific, so the sketch VALUE can't be oracled —
+    //      instead the declared output carries only oracle-computable
+    //      columns plus a within_bound flag computed from the sketch's
+    //      own error contract; the oracle emits literal 1. A sketch
+    //      regression flips the flag and breaks the hash. The raw
+    //      approx-vs-exact columns stay visible to SketchBoundsSpec
+    //      via [[x01Raw]]/[[x02Raw]].) ------------------------------------
+    "x01_approx_distinct" -> ((s, dir) =>
+      x01Raw(s, dir)
+        .select(col("n_name"), col("exact_customers"),
+          when(abs(col("approx_customers") - col("exact_customers"))
+            .cast("double") / col("exact_customers").cast("double") <= lit(2 * 0.02),
+            lit(1L)).otherwise(lit(0L)).as("within_bound"))
+        .orderBy("n_name")),
 
     // exact interpolated percentiles — cross-engine comparable iff both
     // engines use the same lerp arithmetic (verified by the gate)
@@ -509,15 +544,13 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
-    "x02_percentile_sketch" -> ((s, dir) => {
-      Tables(s, dir, "orders")
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("p99"),
-          count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")
-    }),
+    "x02_percentile_sketch" -> ((s, dir) =>
+      x02Raw(s, dir)
+        .select(col("o_orderpriority"), col("n"),
+          when(col("p50") >= col("qs")(0) && col("p50") <= col("qs")(1) &&
+            col("p99") >= col("qs")(2) && col("p99") <= col("qs")(3),
+            lit(1L)).otherwise(lit(0L)).as("within_bound"))
+        .orderBy("o_orderpriority")),
 
     // ---- sessionization (gap-based session windows; batch twin of the
     //      streaming flatMapGroupsWithState op) --------------------------
@@ -785,6 +818,20 @@ object Relational {
     "q22_exact_percentiles" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
         | quantile_cont(o_totalprice, 0.25) AS p25, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sketch gates: the oracle computes the exact columns and asserts the
+    // bound flag is literally 1 — Spark computes the SAME flag from its
+    // own sketch, so any accuracy regression breaks the hash compare.
+    "x01_approx_distinct" ->
+      """SELECT n_name, count(DISTINCT o_custkey) AS exact_customers,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "x02_percentile_sketch" ->
+      """SELECT o_orderpriority, count(*) AS n, CAST(1 AS BIGINT) AS within_bound
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_cube_orders" ->

@@ -5,18 +5,20 @@ import org.apache.spark.sql.functions._
 import graft.{SparkSpec, Tables}
 
 /** Error bounds for the approximate sketches (x01/x02) against their
-  * exact twins — the driver can only rows-check these (HLL/KLL
-  * internals are engine-specific), so the accuracy contract is pinned
-  * here instead: x01's HLL estimate within 2× its configured rsd of
-  * the exact distinct count per group, and x02's KLL percentile values
-  * inside a 10×-margin exact rank window around the requested quantile.
+  * exact twins. Since round 8 the declared queries themselves carry a
+  * driver-gated `within_bound` flag (the DuckDB oracle emits literal 1,
+  * so a sketch regression breaks the hash); this spec pins the SAME
+  * bounds directly on the raw approx-vs-exact columns
+  * ([[Relational.x01Raw]]/[[Relational.x02Raw]]) so a failure names the
+  * offending group and error, and additionally asserts the declared
+  * flag column is all-1 — i.e. the projection agrees with the spec.
   */
 class SketchBoundsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
   test("x01: HLL approx distinct within 2x the configured rsd of exact, per group") {
-    val rows = graft.SparkEntry.queries("x01_approx_distinct")(spark, dir).collect()
+    val rows = Relational.x01Raw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_customers")).toDouble
@@ -32,7 +34,7 @@ class SketchBoundsSpec extends SparkSpec {
     // percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
     // the assertion allows 10x that: the sketch value must fall between
     // the exact quantiles at q +/- 0.01 (p99's upper side is the max).
-    val approx = graft.SparkEntry.queries("x02_percentile_sketch")(spark, dir)
+    val approx = Relational.x02Raw(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables(spark, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -47,6 +49,16 @@ class SketchBoundsSpec extends SparkSpec {
         s"$prio: sketch p50 $p50 outside exact [$lo50, $hi50]")
       assert(p99 >= lo99 && p99 <= hi99,
         s"$prio: sketch p99 $p99 outside exact [$lo99, $hi99]")
+    }
+  }
+
+  test("declared x01/x02 within_bound flags are all 1 (driver-gate agreement)") {
+    Seq("x01_approx_distinct", "x02_percentile_sketch").foreach { q =>
+      val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+      assert(rows.nonEmpty, q)
+      rows.foreach { r =>
+        assert(r.getLong(r.fieldIndex("within_bound")) == 1L, s"$q: $r")
+      }
     }
   }
 }
