@@ -68,6 +68,17 @@ object BandIndex {
     * half shuffles only the small new side to the index's bucketing —
     * the historical side never moves — and the tiny new⋈new half
     * shuffles batch-sized relations.
+    *
+    * CALLER CONTRACT — in-order ids: the index⋈new arm only forms
+    * pairs with `hist.doc_id < new.doc_id`, so every id in `newBands`
+    * must EXCEED every id already in the index; a new doc with a
+    * smaller id than an indexed near-duplicate would never form its
+    * pair and the near-dup would be silently missed. This is the
+    * keep-first semantics of the incremental pipeline (a verdict
+    * depends only on smaller ids), and
+    * [[graft.streaming.DocPipeline.processBatch]] enforces it loudly
+    * (new min id vs stored max id) before indexing. Out-of-order
+    * producers must re-key monotonically before using this shape.
     */
   def candidatesAgainst(spark: SparkSession, table: String,
       newBands: DataFrame): DataFrame = {

@@ -43,7 +43,12 @@ import graft.queries.Dedup
   * A doc's near-dup verdict depends only on SMALLER doc_ids (the
   * canonical-keep-first contract, s02 semantics), so under in-order
   * arrival every verdict is FINAL at arrival time and the incremental
-  * result equals batch p01 exactly (pinned by DocPipelineSpec).
+  * result equals batch p01 exactly (pinned by DocPipelineSpec). The
+  * in-order requirement is ENFORCED, not assumed: [[processBatch]]
+  * rejects (loudly, failing the stream) any genuinely-new doc whose id
+  * is <= the stored max — silent batch-order-dependence is impossible.
+  * Crash replays are exempt by construction: replayed rows anti-join
+  * away against the docs store before the check runs.
   */
 object DocPipeline {
 
@@ -61,10 +66,34 @@ object DocPipeline {
     StructField("doc_id", LongType), StructField("j", IntegerType),
     StructField("bkey", ArrayType(LongType))))
 
+  /** Finish an interrupted [[compact]] swap, if one is detected. A crash
+    * between `rename(p, old)` and `rename(tmp, p)` leaves the live path
+    * absent with both siblings on disk; without recovery the next read
+    * would treat history as EMPTY and re-admit previously deduped docs.
+    * The `.compact` sibling is preferred (it is the post-rewrite store,
+    * and its `_SUCCESS` marker proves the write committed); `.old` is
+    * the untouched pre-rewrite store — either is the same data.
+    */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+      val old = new org.apache.hadoop.fs.Path(path + ".old")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        fs.rename(tmp, p)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.rename(old, p)
+        fs.delete(tmp, true)
+      }
+    }
+  }
+
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -112,6 +141,24 @@ object DocPipeline {
       .join(store.select("text_hash"), Seq("text_hash"), "left_anti")
       .withColumn("sh", Text.distinctShingles(col("text")))
       .localCheckpoint(eager = false)
+    // in-order contract, ENFORCED (not just documented): every near-dup
+    // verdict depends only on smaller doc_ids, so a genuinely-new doc
+    // whose id is <= an already-stored id would get batch-order-dependent
+    // results (and the band join would silently never form its (new,
+    // hist) pair). Checked on `fresh` — i.e. AFTER the history anti-join
+    // — so crash-replayed batches (whose rows are already stored and
+    // anti-join away) still absorb idempotently. One tiny extra job:
+    // min(new ids) vs max(stored ids), both column-pruned aggregates.
+    val violation = fresh.select(min(col("doc_id")).as("bmin"))
+      .crossJoin(store.select(max(col("doc_id")).as("smax")))
+      .filter(col("bmin") <= col("smax")).collect()
+    require(violation.isEmpty, {
+      val r = violation.head
+      s"DocPipeline requires in-order doc_ids: new doc_id ${r.get(0)} <= " +
+        s"max stored doc_id ${r.get(1)}. Near-dup verdicts are keep-first " +
+        "(canonical = smallest doc_id), so out-of-order arrival would make " +
+        "results batch-order-dependent. Re-key the stream monotonically."
+    })
     // stage 2: near-dup verdict — band-key candidates vs history + batch
     val newBands = Dedup.bandKeys(fresh.select("doc_id", "sh"))
       .localCheckpoint(eager = false)
@@ -158,8 +205,11 @@ object DocPipeline {
     * file, so a long-running pipeline accretes small files and store
     * reads slow down. Rewrites each store to `targetFiles` files and
     * swaps it in with a rename (write-new → rename-old-away →
-    * rename-new-in → delete-old; a crash mid-swap leaves either the
-    * old or the new store intact, never a half-written mix). Run
+    * rename-new-in → delete-old). A crash mid-swap leaves either the
+    * old or the new store recoverable — the window where the live path
+    * is absent but a `.old`/`.compact` sibling holds the data is healed
+    * automatically by [[recoverSwap]] on the next read (and on the next
+    * compact), so history is never silently treated as empty. Run
     * between batches (e.g. every N batches from the driving loop) —
     * not concurrently with one.
     */
@@ -172,6 +222,7 @@ object DocPipeline {
       .foreach { case (path, schema, dedup) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        recoverSwap(fs, path)
         if (fs.exists(p)) {
           val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
           val old = new org.apache.hadoop.fs.Path(path + ".old")

@@ -166,6 +166,58 @@ class DocPipelineSpec extends SparkSpec {
       spark.read.parquet(s"$dirA/bands").collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("an out-of-order batch of genuinely new docs fails loudly; replays stay exempt") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipeooo").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source",
+        org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+    DocPipeline.processBatch(mkBatch(21L to 40L), stateDir)
+    // new docs with ids BELOW the stored max: verdicts would be
+    // batch-order-dependent, so the contract is enforced loudly
+    val ex = intercept[IllegalArgumentException] {
+      DocPipeline.processBatch(mkBatch(0L to 20L), stateDir)
+    }
+    assert(ex.getMessage.contains("in-order"))
+    // a wholesale replay of an already-processed batch is NOT an
+    // ordering violation — its rows anti-join away before the check
+    val docsAfter = spark.read.parquet(s"$stateDir/docs")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    DocPipeline.processBatch(mkBatch(21L to 40L), stateDir)
+    assert(spark.read.parquet(s"$stateDir/docs")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq === docsAfter)
+  }
+
+  test("crash mid-compact swap (live store absent, sibling present) self-heals on read") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipeswap").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source",
+        org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+    def move(a: String, b: String): Unit =
+      java.nio.file.Files.move(java.nio.file.Paths.get(a), java.nio.file.Paths.get(b))
+    DocPipeline.processBatch(mkBatch(0L to 30L), stateDir)
+    val before = DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq
+    val bandsBefore = spark.read.parquet(s"$stateDir/bands").count()
+    // window A: crash right after rename(p, old) with the rewrite lost —
+    // only .old holds the data; a naive read would see EMPTY history
+    move(s"$stateDir/docs", s"$stateDir/docs.old")
+    assert(DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq === before)
+    assert(new java.io.File(s"$stateDir/docs").exists)
+    assert(!new java.io.File(s"$stateDir/docs.old").exists)
+    // window B: crash between the two renames — live absent, completed
+    // .compact (with _SUCCESS) present; the rewrite is preferred
+    move(s"$stateDir/docs", s"$stateDir/docs.compact")
+    assert(DocPipeline.aggregate(spark, stateDir).collect().map(_.toSeq).toSeq === before)
+    // the bands store heals the same way via processBatch's read — the
+    // next batch must still see history (no re-admitted duplicates)
+    move(s"$stateDir/bands", s"$stateDir/bands.old")
+    DocPipeline.processBatch(mkBatch(31L to 35L), stateDir)
+    assert(spark.read.parquet(s"$stateDir/bands").count() > bandsBefore)
+  }
+
   test("a duplicate text arriving in a later batch is dropped (exact stage)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
