@@ -48,29 +48,69 @@ object Pipeline {
           sum(col("n_tokens")).as("sum_tokens"),
           sum(floor(col("q") * lit(1000000.0)).cast("long")).as("sum_q_micros"))
         .orderBy("source")
+    }),
+
+    // The INCREMENTAL pipeline, driver-gated: replay `documents` as
+    // three deterministic micro-batches (fixed doc_id range thirds —
+    // in-order, as DocPipeline enforces) through the exact per-batch
+    // core the streaming foreachBatch runs (graft.streaming.DocPipeline
+    // .processBatch: history anti-join exact dedup, band-key candidates
+    // vs history ∪ batch, exact-Jaccard verify), then emit the per-doc
+    // verdict store. Batch-boundary invariance means the result equals
+    // the ORDER-FREE batch formulation the oracle expresses (p01's CTE
+    // chain), so this is a hard hash gate on the incremental path —
+    // including the candidatesAgainst hist⋈new shape, which only fires
+    // when history is non-empty (batches 2 and 3). The batch count is
+    // FIXED (3), not data-dependent: the driver-side loop stays O(1)
+    // regardless of corpus size.
+    "p06_incremental_replay" -> ((s, dir) => {
+      import graft.streaming.DocPipeline
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft-p06-state").toString
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          md5(col("text")).as("text_hash"))
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(
+        docs.filter(col("doc_id") <= cut1),
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.filter(col("doc_id") > cut2)
+      ).foreach(b => DocPipeline.processBatch(b, stateDir))
+      DocPipeline.docsStore(s, stateDir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("is_neardup"), lit(1L)).otherwise(lit(0L)).as("is_neardup"))
+        .orderBy("doc_id")
     })
   )
 
+  /** The shared order-free dedup CTE chain: exact keep-first (`d1`) and
+    * the LSH-verified near-dup set (`dups`) over it — p01 filters with
+    * it, p06 emits its per-doc verdicts.
+    */
+  private val DEDUP_CTES =
+    s"""keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+       |d1 AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
+       |sdocs AS (SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM d1),
+       |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM sdocs),
+       |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
+       |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
+       |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sdocs),
+       |jp AS (SELECT a_id, b_id,
+       |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
+       |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id),
+       |dups AS (SELECT DISTINCT cand.b_id AS doc_id FROM cand
+       |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p01_training_pipeline" ->
-      s"""WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
-         |d1 AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
-         |sdocs AS (SELECT doc_id, list_distinct(${shingles(TOKS)}) AS sh FROM d1),
-         |f AS (SELECT doc_id, [${fp("s")} for s in sh] AS fps FROM sdocs),
-         |sig AS (SELECT doc_id, ${minhashSig("fps")} AS sig FROM f),
-         |bands AS (SELECT doc_id, j, sig[j*4+1 : j*4+4] AS bkey
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS j)),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sdocs),
-         |common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(sh) AS n FROM sdocs),
-         |jp AS (SELECT a_id, b_id,
-         |    CAST(n_common AS DOUBLE) / (x.n + y.n - n_common) AS jaccard
-         |  FROM common JOIN sizes x ON a_id = x.doc_id JOIN sizes y ON b_id = y.doc_id),
-         |dups AS (SELECT DISTINCT cand.b_id AS doc_id FROM cand
-         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5),
+      s"""WITH $DEDUP_CTES,
          |d2 AS (SELECT * FROM d1
          |  WHERE lang = 'en' AND doc_id NOT IN (SELECT doc_id FROM dups)),
          |st AS (SELECT source, CAST(len(tk) AS INT) AS n_tokens, ${TextAnalysis.SCORE} AS q,
@@ -78,6 +118,16 @@ object Pipeline {
          |  FROM (SELECT source, text, $TOKS AS tk FROM d2))
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
-         |FROM st WHERE q >= 0.3 AND h100 < 80 GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM st WHERE q >= 0.3 AND h100 < 80 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the incremental replay's final verdict store equals the order-free
+    // batch formulation — the boundary-invariance contract the streaming
+    // pipeline proves in DocPipelineSpec, here as a driver hash gate
+    "p06_incremental_replay" ->
+      s"""WITH $DEDUP_CTES
+         |SELECT d1.doc_id, d1.lang, d1.source,
+         |  CAST(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
+         |FROM d1 LEFT JOIN dups ON d1.doc_id = dups.doc_id
+         |ORDER BY d1.doc_id""".stripMargin
   )
 }

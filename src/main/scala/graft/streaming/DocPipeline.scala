@@ -237,6 +237,13 @@ object DocPipeline {
         }
       }
 
+  /** The per-doc verdict store as ingested so far: every exact-dedup
+    * survivor with its final `is_neardup` verdict. The relation the
+    * p06 incremental-replay query exposes to the correctness gate.
+    */
+  def docsStore(spark: SparkSession, stateDir: String): DataFrame =
+    readOrEmpty(spark, docsPath(stateDir), docsSchema)
+
   /** The pipeline result over everything ingested so far — identical
     * expressions to batch p01's stages 3-5 (language filter, quality
     * score, hash split, per-source token accounting).
