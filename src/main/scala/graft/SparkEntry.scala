@@ -37,7 +37,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Temporal.queries ++ Pipeline.queries ++ Curation.queries ++
-      graft.multimodal.Multimodal.queries
+      graft.multimodal.Multimodal.queries ++ graft.weather.WeatherQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted entries get a rows-only check
@@ -46,5 +46,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++
       Temporal.oracleSql ++ Pipeline.oracleSql ++ Curation.oracleSql ++
-      graft.multimodal.Multimodal.oracleSql
+      graft.multimodal.Multimodal.oracleSql ++ graft.weather.WeatherQueries.oracleSql
 }

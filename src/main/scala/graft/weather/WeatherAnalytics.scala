@@ -52,11 +52,16 @@ object WeatherAnalytics {
       .select("location_id", "location_name", "province_name",
         "temperature_c", "data_datetime")
 
-  /** Rain accumulation per province over a time range. */
+  /** Rain accumulation per province over a time range. The sum runs in
+    * exact DECIMAL(18,2) (readings are 2-decimal) so the result is
+    * independent of partial-aggregation order — double folds differ in
+    * the last ULP between aggregation trees; see Relational's class doc.
+    */
   def rainAccumulation(weather: DataFrame, from: Column, until: Column): DataFrame =
     weather.filter(col("data_datetime") >= from && col("data_datetime") < until)
       .groupBy(col("province_name"))
-      .agg(sum(col("rain_1h_mm")).as("total_rain_mm"),
+      .agg(sum(col("rain_1h_mm").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_rain_mm"),
         countDistinct(col("location_id")).as("n_locations"))
       .orderBy(col("total_rain_mm").desc, col("province_name"))
 }
