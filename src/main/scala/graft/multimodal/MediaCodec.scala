@@ -86,14 +86,23 @@ object MediaCodec {
     val bpp = buf.getShort()
     require(bpp == 24, s"unsupported BMP bpp $bpp (only 24-bit)")
     require(buf.getInt() == 0, "unsupported BMP compression")
-    val stride = bmpRowStride(width)
-    require(bytes.length >= dataOffset + stride * height,
-      s"BMP pixel data truncated: ${bytes.length} < ${dataOffset + stride * height}")
+    // bounds math in Long: a crafted header with huge dims would
+    // overflow Int, turn the bound negative, and pass — then fail later
+    // with an uncontrolled allocation/index error instead of this
+    // require. The offset must also sit past the header, or header
+    // bytes would silently decode as pixels.
+    require(dataOffset >= BmpHeaderSize,
+      s"BMP data offset $dataOffset inside the $BmpHeaderSize-byte header")
+    val stride = (width.toLong * 3 + 3) & ~3L // NOT bmpRowStride: Int math overflows first
+    val needed = dataOffset + stride * height
+    require(bytes.length >= needed,
+      s"BMP pixel data truncated: ${bytes.length} < $needed")
+    val strideI = stride.toInt // bound check passed: all offsets fit in Int
     val values = new Array[Int](width * height * 3)
     var fy = 0
     while (fy < height) {
       val y = height - 1 - fy
-      val rowOff = dataOffset + fy * stride
+      val rowOff = dataOffset + fy * strideI
       var x = 0
       while (x < width) {
         val base = (y * width + x) * 3

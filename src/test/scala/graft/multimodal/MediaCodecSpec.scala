@@ -51,6 +51,29 @@ class MediaCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav(wav.take(20)))
   }
 
+  test("crafted BMP headers fail the bound check, not with overflow/index errors") {
+    def patchInt(bytes: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val b = bytes.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(off, v)
+      b
+    }
+    val bmp = MediaCodec.encodeBmp(Array.fill(4 * 4 * 3)(9), 4, 4)
+    // huge dims: Int bound math would overflow negative and pass the
+    // require, then die on array allocation — must be the require instead
+    val hugeW = patchInt(bmp, 18, 0x40000000)
+    val exW = intercept[IllegalArgumentException](MediaCodec.decodeBmp(hugeW))
+    assert(exW.getMessage.contains("truncated"))
+    val hugeBoth = patchInt(patchInt(bmp, 18, 0x100000), 22, 0x100000)
+    val exB = intercept[IllegalArgumentException](MediaCodec.decodeBmp(hugeBoth))
+    assert(exB.getMessage.contains("truncated"))
+    // data offset pointing inside the header: header bytes must not
+    // silently decode as pixels
+    val inHeader = patchInt(bmp, 10, 4)
+    val exO = intercept[IllegalArgumentException](MediaCodec.decodeBmp(inHeader))
+    assert(exO.getMessage.contains("header"))
+  }
+
   test("WAV chunk walk skips unknown chunks before fmt/data") {
     // splice a LIST chunk between WAVE and fmt — a real reader must skip it
     val base = MediaCodec.encodeWav(Array(11, -22, 33), 16000)
