@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, LshBucket, MinHashSig, QualityScore, SimHash32, TokenStats}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, LshBucket, MinHashSig, ProbesExpr, QualityScore, SegmentsExpr, SimHash32, TokenStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -81,6 +81,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_charfp(text) takes one argument")
         CharFp(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_segments"),
+      new ExpressionInfo(classOf[SegmentsExpr].getName, "graft_segments"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_segments(key) takes one argument")
+        SegmentsExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_probes"),
+      new ExpressionInfo(classOf[ProbesExpr].getName, "graft_probes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_probes(key) takes one argument")
+        ProbesExpr(children.head)
       }))
   }
 }

@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** PassJoin-style segment blocking for threshold edit-distance joins
   * (Li/Deng/Feng, "Pass-Join: A Partition-based Method for Similarity
@@ -93,17 +98,101 @@ object Segments {
     out.toArray
   }
 
-  // Compiled-Scala UDF kernels, not Catalyst HOFs: the substring loops
-  // are the hot path and HOF lambdas evaluate interpreted (see
-  // functions/Text.scala). Neither appears in any oracle-compared
-  // column — the blocking is lossless, so the oracle keeps the plain
-  // quadratic formulation.
+  /** [[segmentsOf]] as Catalyst data — the codegen kernels' shared
+    * converter (one static call from both eval and generated code).
+    */
+  def segmentsData(s: UTF8String, tau: Int): ArrayData = {
+    val segs = segmentsOf(s.toString, tau)
+    val rows = new Array[Any](segs.length)
+    var i = 0
+    while (i < segs.length) {
+      rows(i) = new GenericInternalRow(
+        Array[Any](segs(i)._1, UTF8String.fromString(segs(i)._2)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** [[probesOf]] as Catalyst data. */
+  def probesData(s: UTF8String, tau: Int): ArrayData = {
+    val ps = probesOf(s.toString, tau)
+    val rows = new Array[Any](ps.length)
+    var i = 0
+    while (i < ps.length) {
+      rows(i) = new GenericInternalRow(
+        Array[Any](ps(i)._1, ps(i)._2, UTF8String.fromString(ps(i)._3)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  // Native codegen expressions (NOT Scala UDFs): the substring loops are
+  // d08's candidate-generation hot path; as expressions they inline into
+  // whole-stage codegen with no ScalaUDF converter layer, same promotion
+  // every other kernel got (functions/TextExprs.scala). Neither appears
+  // in any oracle-compared column — the blocking is lossless, so the
+  // oracle keeps the plain quadratic formulation.
 
   /** array<struct<_1:int,_2:string>> of [[segmentsOf]]. */
   def segments(name: Column, tau: Int = Tau): Column =
-    udf((s: String) => if (s == null) null else segmentsOf(s, tau)).apply(name)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SegmentsExpr(org.apache.spark.sql.GraftSqlBridge.expression(name), tau))
 
   /** array<struct<_1:int,_2:int,_3:string>> of [[probesOf]]. */
   def probes(name: Column, tau: Int = Tau): Column =
-    udf((s: String) => if (s == null) null else probesOf(s, tau)).apply(name)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ProbesExpr(org.apache.spark.sql.GraftSqlBridge.expression(name), tau))
+}
+
+/** Codegen form of [[Segments.segmentsOf]] (PassJoin index side). */
+case class SegmentsExpr(child: Expression, tau: Int = Segments.Tau)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_segments expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", IntegerType, nullable = false),
+    StructField("_2", StringType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_segments"
+
+  override def nullSafeEval(input: Any): Any =
+    Segments.segmentsData(input.asInstanceOf[UTF8String], tau)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Segments.segmentsData($c, $tau);")
+
+  override protected def withNewChildInternal(newChild: Expression): SegmentsExpr =
+    copy(child = newChild)
+}
+
+/** Codegen form of [[Segments.probesOf]] (PassJoin probe side). */
+case class ProbesExpr(child: Expression, tau: Int = Segments.Tau)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_probes expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", IntegerType, nullable = false),
+    StructField("_2", IntegerType, nullable = false),
+    StructField("_3", StringType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_probes"
+
+  override def nullSafeEval(input: Any): Any =
+    Segments.probesData(input.asInstanceOf[UTF8String], tau)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Segments.probesData($c, $tau);")
+
+  override protected def withNewChildInternal(newChild: Expression): ProbesExpr =
+    copy(child = newChild)
 }

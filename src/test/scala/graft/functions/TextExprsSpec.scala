@@ -56,6 +56,40 @@ class TextExprsSpec extends SparkSpec {
     assert(out(99L) === null)
   }
 
+  test("native segments/probes expressions match the Scala kernels incl. null") {
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("abcdefghijklm", "short", "", "exactly forty characters of key material")
+    val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      .union(Seq((99L, null.asInstanceOf[String])).toDF("id", "k"))
+    val segs = df.select(col("id"), Segments.segments(col("k")).as("g")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1)))))
+      .toMap
+    val probes = df.select(col("id"), Segments.probes(col("k")).as("g")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getInt(1), x.getString(2)))))
+      .toMap
+    keys.zipWithIndex.foreach { case (k, i) =>
+      assert(segs(i.toLong) === Segments.segmentsOf(k, Segments.Tau).toSeq, s"k=$k")
+      assert(probes(i.toLong) === Segments.probesOf(k, Segments.Tau).toSeq, s"k=$k")
+    }
+    assert(segs(99L) === null)
+    assert(probes(99L) === null)
+  }
+
+  test("graft_segments / graft_probes are callable from SQL") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftSqlBridge.registerFunctions(ext, spark)
+    val n = spark.sql("SELECT size(graft_segments('abcdefghij')) AS n")
+      .collect().head.getInt(0)
+    assert(n === Segments.Tau + 1)
+    val p = spark.sql("SELECT size(graft_probes('abcdefghij')) AS n")
+      .collect().head.getInt(0)
+    assert(p === Segments.probesOf("abcdefghij", Segments.Tau).length)
+  }
+
   test("graft_fps and graft_simhash are callable from SQL") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
