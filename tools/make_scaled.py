@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Synthesize a perf-only scaled replica of a driver fixture directory.
 
-Usage: python3 tools/make_scaled.py <srcDir> <dstDir> <copies>
+Usage: python3 tools/make_scaled.py <srcDir> <dstDir> <copies> [salt]
 
 Replicates every table <copies> times with key columns shifted by a
 large per-copy offset so join integrity is preserved (facts reference
@@ -9,11 +9,23 @@ the shifted dimension copies; nation/region stay shared). Schemas are
 preserved bit-for-bit via pyarrow — events.ts stays parquet
 TIMESTAMP(NANOS), which graft.Tables special-cases.
 
+With the optional 4th arg `salt`, document texts and embedding vectors
+are perturbed per copy so replicas are NOT near-duplicates of their
+originals: a plain clone gives every doc 9 exact siblings, so near-dup
+output grows quadratically in copies and alpha measures output volume,
+not plan scaling. Salting keeps a bounded ~5% per-copy near-dup rate
+((id + copy) % 20 == 0: light perturbation that stays over the
+Jaccard/cosine thresholds) and makes the other 95% genuinely distinct
+(every 3rd token replaced with copy-specific junk -> no 3-gram shingle
+survives; embeddings get 4x-relative-norm noise -> cosine ~0.24, below
+the 0.3 gates). Copy 0 is always byte-identical to the source.
+
 NOT part of the engine and NOT an oracle input: the output exists only
 to measure per-query scaling exponents (BENCHNOTES.md). Dev tooling,
 driver-side libs only.
 """
 import sys
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -35,8 +47,63 @@ SHIFT = {
 }
 
 
+def keep_neardup(ids, c):
+    """~5% of each copy stays a true near-dup of its source doc."""
+    return (ids + c) % 20 == 0
+
+
+def salt_documents(t, c):
+    """Perturb text per copy: keep-set appends two tokens (shingle set
+    nearly intact, 40-char d08 prefix untouched); the rest replace every
+    3rd token with copy-specific junk (no 3-gram survives, prefix
+    broken)."""
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    keep = keep_neardup(ids, c)
+    out = []
+    for i, s in enumerate(texts):
+        if s is None:
+            out.append(None)
+        elif keep[i]:
+            out.append(s + f" nd{c} copy")
+        else:
+            toks = s.split(" ")
+            for j in range(2, len(toks), 3):
+                toks[j] = f"zq{c}t{j}"
+            out.append(" ".join(toks))
+    idx = t.schema.get_field_index("text")
+    return t.set_column(idx, t.field("text"), pa.array(out, type=t.field("text").type))
+
+
+def salt_embeddings(t, c):
+    """Jitter vectors per copy: keep-set gets 2%-relative noise (cosine
+    ~0.9998, stays over every gate); the rest 4x-relative noise (cosine
+    ~0.24, under the 0.3 gates). Deterministic per (copy)."""
+    ids = t.column("vec_id").to_numpy()
+    vecs = t.column("embedding").to_pylist()
+    keep = keep_neardup(ids, c)
+    rng = np.random.default_rng(1000003 * c + 17)
+    out = []
+    for i, v in enumerate(vecs):
+        if v is None:
+            out.append(None)
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        noise = rng.standard_normal(a.shape)
+        nn = np.linalg.norm(noise)
+        amp = 0.02 if keep[i] else 4.0
+        if nn > 0 and np.linalg.norm(a) > 0:
+            a = a + amp * (np.linalg.norm(a) / nn) * noise
+        out.append(a.astype(np.float32))
+    idx = t.schema.get_field_index("embedding")
+    return t.set_column(idx, t.field("embedding"),
+                        pa.array([x if x is None else list(x) for x in out],
+                                 type=t.field("embedding").type))
+
+
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    salt = len(sys.argv) > 4 and sys.argv[4] == "salt"
     import os
     os.makedirs(dst, exist_ok=True)
     for table, keys in SHIFT.items():
@@ -53,6 +120,10 @@ def main():
                 newcol = pc.add(col, pa.scalar(c * OFF, type=col.type))
                 shifted = shifted.set_column(
                     shifted.schema.get_field_index(k), shifted.field(k), newcol)
+            if salt and c > 0 and table == "documents":
+                shifted = salt_documents(shifted, c)
+            if salt and c > 0 and table == "embeddings":
+                shifted = salt_embeddings(shifted, c)
             parts.append(shifted)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{table}.parquet")
