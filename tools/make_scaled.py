@@ -69,7 +69,11 @@ def salt_documents(t, c):
         else:
             toks = s.split(" ")
             for j in range(2, len(toks), 3):
-                toks[j] = f"zq{c}t{j}"
+                # doc-specific junk: a copy-only token (zq{c}t{j}) is
+                # SHARED by every doc in the copy, so 40-char prefixes
+                # collide across docs and the d08 segment join explodes
+                # on an artifact of the salt, not the data
+                toks[j] = f"zq{c}d{ids[i] % 9973}t{j}"
             out.append(" ".join(toks))
     idx = t.schema.get_field_index("text")
     return t.set_column(idx, t.field("text"), pa.array(out, type=t.field("text").type))
@@ -77,8 +81,10 @@ def salt_documents(t, c):
 
 def salt_embeddings(t, c):
     """Jitter vectors per copy: keep-set gets 2%-relative noise (cosine
-    ~0.9998, stays over every gate); the rest 4x-relative noise (cosine
-    ~0.24, under the 0.3 gates). Deterministic per (copy)."""
+    ~0.9998, stays over every gate); the rest 10x-relative noise
+    (cosine ~0.1 mean — at 64 dims the distribution is wide, so a
+    smaller amp leaves a third of copies over the 0.3 gates).
+    Deterministic per (copy)."""
     ids = t.column("vec_id").to_numpy()
     vecs = t.column("embedding").to_pylist()
     keep = keep_neardup(ids, c)
@@ -91,7 +97,7 @@ def salt_embeddings(t, c):
         a = np.asarray(v, dtype=np.float64)
         noise = rng.standard_normal(a.shape)
         nn = np.linalg.norm(noise)
-        amp = 0.02 if keep[i] else 4.0
+        amp = 0.02 if keep[i] else 10.0
         if nn > 0 and np.linalg.norm(a) > 0:
             a = a + amp * (np.linalg.norm(a) / nn) * noise
         out.append(a.astype(np.float32))
