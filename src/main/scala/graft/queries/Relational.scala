@@ -524,11 +524,15 @@ object Relational {
     //      regression flips the flag and breaks the hash. The raw
     //      approx-vs-exact columns stay visible to SketchBoundsSpec
     //      via [[x01Raw]]/[[x02Raw]].) ------------------------------------
+    // bound = max(2×rsd × exact, 1): the relative contract plus an
+    // absolute one-count floor — at tiny per-group cardinalities
+    // (sf0.001: exact ≈ 4-13) the estimate's integer granularity makes
+    // a ±1 excursion possible at ANY accuracy, and 4% of 11 is 0.44
     "x01_approx_distinct" -> ((s, dir) =>
       x01Raw(s, dir)
         .select(col("n_name"), col("exact_customers"),
-          when(abs(col("approx_customers") - col("exact_customers"))
-            .cast("double") / col("exact_customers").cast("double") <= lit(2 * 0.02),
+          when(abs(col("approx_customers") - col("exact_customers")).cast("double")
+            <= greatest(col("exact_customers").cast("double") * lit(2 * 0.02), lit(1.0)),
             lit(1L)).otherwise(lit(0L)).as("within_bound"))
         .orderBy("n_name")),
 

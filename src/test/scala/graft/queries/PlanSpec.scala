@@ -136,4 +136,18 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("r01: the trailing-window anchor is a broadcast one-row join, not a driver collect") {
+    val p = plan("r01_weather_avg_province")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // partial + final hash agg over province
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), s"anchor join must broadcast:\n$p")
+  }
+
+  test("r02: top-k hottest is TakeOrdered over the ranking window, no global sort") {
+    val p = plan("r02_weather_topk_hottest")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
 }

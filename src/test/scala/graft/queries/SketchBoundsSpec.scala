@@ -17,16 +17,19 @@ class SketchBoundsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  test("x01: HLL approx distinct within 2x the configured rsd of exact, per group") {
+  test("x01: HLL approx distinct within max(2x rsd of exact, 1 count), per group") {
+    // the one-count absolute floor covers integer granularity at tiny
+    // cardinalities (sf0.001 groups have exact ~ 4-13, where a +-1
+    // estimate excursion is possible at any accuracy)
     val rows = Relational.x01Raw(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_customers")).toDouble
       val exact = r.getLong(r.fieldIndex("exact_customers")).toDouble
       assert(exact > 0, r.toString)
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= 2 * 0.02,
-        s"${r.getString(0)}: |$approx - $exact|/$exact = $relErr > 0.04")
+      val err = math.abs(approx - exact)
+      assert(err <= math.max(2 * 0.02 * exact, 1.0),
+        s"${r.getString(0)}: |$approx - $exact| = $err > max(0.04*$exact, 1)")
     }
   }
 
