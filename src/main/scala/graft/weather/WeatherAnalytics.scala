@@ -27,13 +27,17 @@ object WeatherAnalytics {
         count(lit(1)).as("n_obs"))
       .orderBy(col("avg_temp_c").desc, col("province_name"))
 
-  /** Hourly time-bucketed series per location. */
+  /** Hourly time-bucketed series per location. Rain sums in exact
+    * DECIMAL(18,2) (order-independent; see [[rainAccumulation]]); max
+    * passes values through untouched.
+    */
   def hourlySeries(weather: DataFrame): DataFrame =
     weather.groupBy(window(col("data_datetime"), "1 hour"), col("location_id"))
       .agg(
         round(avg(col("temperature_c")), 4).as("avg_temp_c"),
         max(col("wind_speed_mps")).as("max_wind_mps"),
-        sum(col("rain_1h_mm")).as("rain_mm"))
+        sum(col("rain_1h_mm").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("rain_mm"))
       .select(col("window.start").as("hour_start"), col("location_id"),
         col("avg_temp_c"), col("max_wind_mps"), col("rain_mm"))
 

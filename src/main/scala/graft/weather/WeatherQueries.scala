@@ -72,7 +72,13 @@ object WeatherQueries {
     "r03_weather_rain_province" -> ((s, dir) =>
       WeatherAnalytics.rainAccumulation(fromEvents(Tables(s, dir, "events")),
         lit("2024-01-02 00:00:00").cast("timestamp"),
-        lit("2024-01-03 00:00:00").cast("timestamp")))
+        lit("2024-01-03 00:00:00").cast("timestamp"))),
+
+    // hourly per-location series (tumbling epoch-aligned window ==
+    // date_trunc in the oracle)
+    "r04_weather_hourly" -> ((s, dir) =>
+      WeatherAnalytics.hourlySeries(fromEvents(Tables(s, dir, "events")))
+        .orderBy("hour_start", "location_id"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -100,6 +106,14 @@ object WeatherQueries {
          |  count(DISTINCT location_id) AS n_locations
          |FROM w WHERE data_datetime >= TIMESTAMP '2024-01-02 00:00:00'
          |  AND data_datetime < TIMESTAMP '2024-01-03 00:00:00'
-         |GROUP BY 1 ORDER BY total_rain_mm DESC, province_name""".stripMargin
+         |GROUP BY 1 ORDER BY total_rain_mm DESC, province_name""".stripMargin,
+
+    "r04_weather_hourly" ->
+      s"""WITH $W_CTE
+         |SELECT date_trunc('hour', data_datetime) AS hour_start, location_id,
+         |  round(avg(temperature_c), 4) AS avg_temp_c,
+         |  max(wind_speed_mps) AS max_wind_mps,
+         |  CAST(sum(CAST(rain_1h_mm AS DECIMAL(18,2))) AS DOUBLE) AS rain_mm
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
