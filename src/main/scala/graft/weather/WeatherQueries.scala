@@ -59,8 +59,12 @@ object WeatherQueries {
     "r01_weather_avg_province" -> ((s, dir) => {
       val w = fromEvents(Tables(s, dir, "events"))
       val mx = w.agg(max(col("data_datetime")).as("mx"))
+      // condition-less join, not crossJoin: the trailing-window filter
+      // becomes the join condition after pushdown, so the plan is the
+      // same Inner-with-predicate a SQL comma-join optimizes to
+      // (SqlParitySpec pins the equality); the one-row side broadcasts
       WeatherAnalytics.avgTempPerProvince(
-        w.crossJoin(broadcast(mx)),
+        w.join(broadcast(mx)),
         col("mx") - expr("INTERVAL 24 HOURS"))
     }),
 

@@ -45,4 +45,15 @@ object WeatherStream {
       }
       .start()
   }
+
+  /** Streaming twin of the r04 hourly series: the SAME
+    * [[WeatherAnalytics.hourlySeries]] aggregate over a weather-fact
+    * stream, with an event-time watermark bounding per-window state
+    * (append mode emits each (hour, location) row once, when the
+    * watermark passes the window end). `withWatermark` is a no-op on
+    * batch frames, so batch and stream literally share the operator —
+    * agreement on closed windows is pinned in WeatherAnalyticsSpec.
+    */
+  def hourlySeriesStream(weather: DataFrame, watermark: String = "2 hours"): DataFrame =
+    WeatherAnalytics.hourlySeries(weather.withWatermark("data_datetime", watermark))
 }

@@ -59,6 +59,19 @@ class SqlParitySpec extends SparkSpec {
       Seq("documents"))
   }
 
+  test("r01 weather flagship: SQL twin (adapter CTE + broadcast anchor) matches") {
+    assertParity("r01_weather_avg_province",
+      """WITH w AS (SELECT user_id % 146 AS location_id,
+        |    concat('P', CAST((user_id % 146) % 30 AS STRING)) AS province_name,
+        |    value AS temperature_c, ts AS data_datetime FROM events),
+        |m AS (SELECT max(data_datetime) AS mx FROM w)
+        |SELECT /*+ BROADCAST(m) */ province_name,
+        |  round(avg(temperature_c), 4) AS avg_temp_c, count(1) AS n_obs
+        |FROM w, m WHERE data_datetime >= mx - INTERVAL 24 HOURS
+        |GROUP BY province_name ORDER BY avg_temp_c DESC, province_name""".stripMargin,
+      Seq("events"))
+  }
+
   test("t04 fingerprint: SQL twin through graft_charfp/graft_fps/graft_shingles matches") {
     assertParity("t04_doc_fingerprint",
       """SELECT doc_id, graft_charfp(text) AS full_hash,

@@ -65,4 +65,32 @@ class WeatherAnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       ("Cebu", 4.0, 1L), ("Metro Manila", 2.0, 2L)))
   }
+
+  test("streaming hourly series agrees with batch on closed windows (r04 twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, String, Double, Double, Double, Timestamp)]
+    def toWeather(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("weather_id", "location_id", "location_name", "province_name",
+        "temperature_c", "rain_1h_mm", "wind_speed_mps", "data_datetime")
+    val rows = weather.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getString(3), r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getTimestamp(7)))
+    mem.addData(rows.toIndexedSeq)
+    val q = WeatherStream.hourlySeriesStream(toWeather(mem.toDF()))
+      .writeStream.format("memory").queryName("wh_hourly")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      // a late sentinel far past every fixture hour closes all windows
+      mem.addData(Seq((99L, 9L, "X", "X", 0.0, 0.0, 0.0,
+        Timestamp.valueOf("2024-12-21 12:00:00"))))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT hour_start, location_id, avg_temp_c, max_wind_mps, rain_mm
+          |FROM wh_hourly WHERE location_id < 9 ORDER BY 1, 2""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      val batch = WeatherAnalytics.hourlySeries(weather)
+        .orderBy("hour_start", "location_id").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
