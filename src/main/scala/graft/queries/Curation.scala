@@ -32,35 +32,62 @@ object Curation {
     */
   private val isEval = col("doc_id") % 50 === 0
 
+  /** Per-train-doc contamination: (doc_id, source, n_tokens, frac) —
+    * frac = fraction of the doc's distinct shingles appearing anywhere
+    * in the eval vocabulary. The shared core of c01 (report) and c03
+    * (removal); Catalyst prunes `n_tokens` out of c01's plan, so the
+    * report pays nothing for the extra column.
+    */
+  private def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Text.distinctShingles(col("text")).as("sh"),
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
+    val evalVocab = docs.filter(isEval)
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = docs.filter(!isEval)
+    val hits = train
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalVocab, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    train
+      .select(col("doc_id"), col("source"), size(col("sh")).as("n"), col("n_tokens"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        when(col("n") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n"))
+          .otherwise(lit(0.0)).as("frac"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark contamination: for each train doc, the fraction of its
     // distinct 3-gram shingles that appear ANYWHERE in the eval set.
     // Per-source report: docs, contaminated count (frac ≥ 0.5), and
     // the summed contamination mass (floor-micros — order-independent).
-    "c01_contamination" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          Text.distinctShingles(col("text")).as("sh"))
-      val evalVocab = docs.filter(isEval)
-        .select(explode(col("sh")).as("s")).distinct()
-      val train = docs.filter(!isEval)
-      val hits = train
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(evalVocab, Seq("s"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      val frac = train
-        .select(col("doc_id"), col("source"), size(col("sh")).as("n"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("source"),
-          when(col("n") > 0,
-            coalesce(col("n_hit"), lit(0L)).cast("double") / col("n"))
-            .otherwise(lit(0.0)).as("frac"))
-      frac.groupBy("source")
+    "c01_contamination" -> ((s, dir) =>
+      contamination(s, dir)
+        .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("frac") >= 0.5, 1L).otherwise(0L)).as("n_contaminated"),
           sum(floor(col("frac") * lit(1000000.0)).cast("long")).as("sum_frac_micros"))
-        .orderBy("source")
-    }),
+        .orderBy("source")),
+
+    // The REMOVE step c01 only reports on: drop contaminated docs
+    // (frac ≥ 0.5) and account per-source retention — kept docs, kept
+    // tokens, and the retained fraction in floor-micros. Same scale
+    // shape as c01 (the decontamination verdict is the same semi-join
+    // + partial agg); the cut itself is a map-side predicate.
+    "c03_decontaminate" -> ((s, dir) =>
+      contamination(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(when(col("frac") < 0.5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("frac") < 0.5, col("n_tokens").cast("long")).otherwise(0L))
+            .as("tokens_kept"))
+        .select(col("source"), col("n_train_docs"), col("n_kept"), col("tokens_kept"),
+          floor(col("n_kept").cast("double") / col("n_train_docs") * lit(1000000.0))
+            .cast("long").as("retention_micros"))
+        .orderBy("source")),
 
     // Quality-budgeted selection: per source, rank docs by quality
     // score (desc, doc_id tiebreak) and keep the prefix whose running
@@ -206,6 +233,26 @@ object Curation {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
          |  CAST(sum(CAST(floor(frac * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_frac_micros
+         |FROM frac GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "c03_decontaminate" ->
+      s"""WITH docs AS (SELECT doc_id, source, list_distinct(${shingles(TOKS)}) AS sh,
+         |    CAST(len($TOKS) AS INT) AS n_tokens FROM documents),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 50 = 0),
+         |train AS (SELECT * FROM docs WHERE doc_id % 50 <> 0),
+         |tx AS (SELECT doc_id, unnest(sh) AS s FROM train),
+         |hits AS (SELECT doc_id, count(*) AS n_hit FROM tx
+         |  WHERE s IN (SELECT s FROM ev) GROUP BY 1),
+         |frac AS (SELECT t.source, t.n_tokens,
+         |    CASE WHEN len(t.sh) > 0
+         |      THEN CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(t.sh)
+         |      ELSE 0.0 END AS frac
+         |  FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+         |SELECT source, count(*) AS n_train_docs,
+         |  CAST(sum(CASE WHEN frac < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN frac < 0.5 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(floor(CAST(sum(CASE WHEN frac < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) * 1000000.0) AS BIGINT) AS retention_micros
          |FROM frac GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p03_token_budget" ->
