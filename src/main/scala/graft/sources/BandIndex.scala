@@ -81,9 +81,26 @@ object BandIndex {
     * producers must re-key monotonically before using this shape.
     */
   def candidatesAgainst(spark: SparkSession, table: String,
-      newBands: DataFrame): DataFrame = {
+      newBands: DataFrame): DataFrame =
+    candidatesAgainstDf(spark.table(table), newBands, merge = true)
+
+  /** The same decomposed `(hist ∪ new) ⋈ new` candidate join over
+    * arbitrary band relations (hist already carries the scalar `band`
+    * column; `new` is a raw (doc_id, j, bkey) relation). This is the
+    * shape the incremental DocPipeline runs per micro-batch against its
+    * path-based state store — same code, same in-order caller contract
+    * as [[candidatesAgainst]]; the bucketed-table entry point above
+    * additionally pins the merge join the bucketing pays for. Without
+    * bucketing both arms are plain shuffle equi-joins, but the
+    * decomposition still keeps the tiny new⋈new half off the history
+    * relation, and upgrading the store to [[write]]'s bucketed layout
+    * needs no caller change beyond reading via `spark.table`.
+    */
+  def candidatesAgainstDf(hist: DataFrame, newBands: DataFrame,
+      merge: Boolean = false): DataFrame = {
     val nb = withBand(newBands).select("doc_id", "band")
-    val histPairs = spark.table(table).as("x").hint("merge").join(nb.as("y"),
+    val h0 = hist.as("x")
+    val histPairs = (if (merge) h0.hint("merge") else h0).join(nb.as("y"),
         col("x.band") === col("y.band") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     val batchPairs = nb.as("x").join(nb.as("y"),

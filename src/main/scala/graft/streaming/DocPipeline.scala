@@ -160,14 +160,16 @@ object DocPipeline {
         "results batch-order-dependent. Re-key the stream monotonically."
     })
     // stage 2: near-dup verdict — band-key candidates vs history + batch
+    // through BandIndex's decomposed (hist ∪ new) ⋈ new (the union form
+    // would reshuffle the GROWING history side together with the batch;
+    // decomposed, the tiny new⋈new half never touches it, and swapping
+    // the store for BandIndex.write's bucketed layout — where history
+    // never reshuffles at all — changes only the read below)
     val newBands = Dedup.bandKeys(fresh.select("doc_id", "sh"))
       .localCheckpoint(eager = false)
-    val allBands = readOrEmpty(spark, bandsPath(stateDir), bandsSchema)
-      .union(newBands)
-    val cand = allBands.as("x").join(newBands.as("y"),
-        col("x.j") === col("y.j") && col("x.bkey") === col("y.bkey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+    val histBands = graft.sources.BandIndex.withBand(
+      readOrEmpty(spark, bandsPath(stateDir), bandsSchema)).select("doc_id", "band")
+    val cand = graft.sources.BandIndex.candidatesAgainstDf(histBands, newBands)
     val corpusSh = store.select(col("doc_id"), col("sh"))
       .union(fresh.select(col("doc_id"), col("sh")))
     val dropIds = cand
