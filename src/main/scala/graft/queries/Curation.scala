@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -157,8 +157,82 @@ object Curation {
           sum(col("n_tokens")).as("tokens_emitted"),
           max(col("epoch")).cast("int").as("max_epoch"))
         .orderBy("source", "lang")
-    })
+    }),
+
+    // Decontamination membership via a BROADCAST BLOOM FILTER — the
+    // zero-shuffle form of c01's semi-join. At 100 TB the eval
+    // vocabulary's exact semi-join still shuffles the exploded corpus
+    // shingles; a bloom built once over the (tiny) eval side and probed
+    // MAP-SIDE flags candidate docs without the corpus ever leaving its
+    // scan — the standard two-phase shape (bloom prefilter → exact
+    // re-check of the flagged sliver). Sketch-gated like x01/x02: the
+    // declared output carries only oracle-computable exact columns plus
+    // two flags from the bloom's own contract — no_false_neg (a bloom
+    // NEVER misses a member: min over docs of bloom−exact hits ≥ 0)
+    // and fp_within_bound (measured false-positive rate on the
+    // non-member probes ≤ FpBound, global so the binomial noise at
+    // small per-source probe counts can't flake the gate). The oracle
+    // emits the same exact columns and literal 1s — a bloom regression
+    // flips a flag and breaks the hash.
+    "x03_bloom_decontam" -> ((s, dir) =>
+      bloomDecontam(
+        Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+        isEval).orderBy("source"))
   )
+
+  /** x03's bloom parameters: nominal shingle-level false-positive rate,
+    * and the measured-rate gate at 4× nominal — ≥ 5σ above the binomial
+    * mean at every fixture SF (the global probe pool is ≥ ~1.5k even at
+    * sf0.001), so the gate only trips on a real accuracy regression.
+    */
+  private val BloomFpp = 0.005
+  private val BloomFpBound = 0.02
+
+  /** x03's core over a `(doc_id, source, text)` relation and an eval
+    * membership predicate: build a bloom over the eval side's distinct
+    * shingle fingerprints, probe every train doc's fingerprints
+    * map-side, and emit per-source exact counts plus the two global
+    * sketch-contract flags. Factored out so BloomDecontamSpec can drive
+    * it with synthetic corpora (known overlap, adversarial fp loads).
+    */
+  private[queries] def bloomDecontam(raw: DataFrame, evalPred: Column,
+      fpp: Double = BloomFpp, bound: Double = BloomFpBound): DataFrame = {
+    val docs = raw.select(col("doc_id"), col("source"),
+      Text.distinctShingles(col("text")).as("sh"), evalPred.as("is_eval"))
+    val evalFps = docs.filter(col("is_eval"))
+      .select(explode(col("sh")).as("s"))
+      .select(Text.charFp(col("s")).as("f")).distinct()
+    val bf = evalFps.stat.bloomFilter("f", math.max(evalFps.count(), 1L), fpp)
+    // driver-built sketch probed via a compiled-Scala UDF (a JVM loop
+    // over the doc's fingerprint array — the sketch object itself is
+    // what rules out a pure Catalyst expression here; Spark's own
+    // runtime bloom joins inject the same shape)
+    val nBloomHits = udf((fps: Seq[Long]) => fps.count(bf.mightContainLong).toLong)
+    val evalVocab = docs.filter(col("is_eval"))
+      .select(explode(col("sh")).as("s")).distinct()
+    val train = docs.filter(!col("is_eval"))
+    val exact = train.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalVocab, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+    val perDoc = train
+      .select(col("doc_id"), col("source"), size(col("sh")).cast("long").as("n"),
+        nBloomHits(Text.fps(col("sh"))).as("n_bloom"))
+      .join(exact, Seq("doc_id"), "left")
+      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+    val flags = perDoc.agg(
+        min(col("n_bloom") - col("n_exact")).as("min_slack"),
+        sum(col("n_bloom") - col("n_exact")).as("n_fp"),
+        sum(col("n") - col("n_exact")).as("n_clean"))
+      .select(
+        when(col("min_slack") >= 0, lit(1L)).otherwise(lit(0L)).as("no_false_neg"),
+        when(col("n_fp").cast("double")
+          <= col("n_clean").cast("double") * lit(bound), lit(1L))
+          .otherwise(lit(0L)).as("fp_within_bound"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_train_docs"),
+        sum(when(col("n_exact") > 0, 1L).otherwise(0L)).as("n_flagged_exact"))
+      .crossJoin(broadcast(flags))
+  }
 
   /** The two-phase quality-budget cut over a (doc_id, source, n_tokens,
     * q) relation. Exposed separately from the query so
@@ -286,6 +360,22 @@ object Curation {
          |SELECT source, lang, count(*) AS n_emitted,
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens_emitted,
          |  CAST(max(epoch) AS INT) AS max_epoch
-         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact columns + literal flags — the sketch-gate pattern (x01/x02):
+    // Spark computes the flags from its own bloom, so a regression in
+    // the sketch breaks the hash compare
+    "x03_bloom_decontam" ->
+      s"""WITH docs AS (SELECT doc_id, source, list_distinct(${shingles(TOKS)}) AS sh FROM documents),
+         |ev AS (SELECT DISTINCT unnest(sh) AS s FROM docs WHERE doc_id % 50 = 0),
+         |train AS (SELECT * FROM docs WHERE doc_id % 50 <> 0),
+         |tx AS (SELECT doc_id, unnest(sh) AS s FROM train),
+         |hits AS (SELECT doc_id, count(*) AS n_hit FROM tx
+         |  WHERE s IN (SELECT s FROM ev) GROUP BY 1)
+         |SELECT t.source, count(*) AS n_train_docs,
+         |  CAST(sum(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
+         |  CAST(1 AS BIGINT) AS no_false_neg, CAST(1 AS BIGINT) AS fp_within_bound
+         |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -410,8 +410,66 @@ object Dedup {
     }),
 
     "d05_simhash_neardup" -> ((s, dir) =>
-      simhashPairs(shingleDocs(s, dir)).orderBy("a_id", "b_id"))
+      simhashPairs(shingleDocs(s, dir)).orderBy("a_id", "b_id")),
+
+    // cross-doc PASSAGE-level dedup (the C4/RefinedWeb line-dedup step,
+    // adapted to the fixtures' single-line docs as fixed 8-token
+    // passages): keep each distinct passage only at its global first
+    // occurrence and reassemble every doc from its survivors — the
+    // finer-grained sibling of d01's whole-doc keep-first
+    "d09_passage_dedup" -> ((s, dir) =>
+      passageDedup(Tables(s, dir, "documents").select(col("doc_id"), col("text")), w = 8)
+        .orderBy("doc_id"))
   )
+
+  /** Cross-doc passage dedup over a `(doc_id, text)` relation: split
+    * each doc into non-overlapping `w`-token passages, keep each
+    * distinct passage string only at its GLOBAL first occurrence
+    * (min doc_id, then min position — keep-first, d01's rule at
+    * passage granularity), and rebuild every doc from its surviving
+    * passages in original order. Output: doc_id, n_kept, n_removed,
+    * text_clean (docs with no tokens keep an empty text_clean).
+    *
+    * Scale shape: the winner pick is `groupBy(passage).agg(min(struct
+    * (doc_id, pos)))` — map-side partial agg absorbs hot passages
+    * (boilerplate repeated in millions of docs combines to one row per
+    * map task; a window row_number would serialize each hot key into
+    * one task), then occurrences re-join the winner relation on the
+    * passage key (AQE splits any residual join skew) and reassembly is
+    * one shuffle back on doc_id. At 100 TB the join/shuffle key would
+    * be a 128-bit digest of the passage rather than its bytes — here
+    * the exact string stays the key so the verdict is definitionally
+    * exact for the oracle compare.
+    */
+  private[queries] def passageDedup(docs: DataFrame, w: Int): DataFrame = {
+    val tk = Text.tokens(col("text"))
+    val chunks = docs
+      .select(col("doc_id"),
+        when(size(tk) > 0,
+          transform(sequence(lit(0), floor((size(tk) - 1) / w).cast("int")),
+            i => array_join(slice(tk, i * w + 1, lit(w)), " ")))
+          .otherwise(array().cast("array<string>")).as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+    val winners = chunks.groupBy("chunk")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("win"))
+    val flagged = chunks.join(winners, "chunk")
+      .withColumn("kept",
+        col("doc_id") === col("win.doc_id") && col("chunk_idx") === col("win.chunk_idx"))
+    val rebuilt = flagged.groupBy("doc_id")
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 
   /** SimHash near-dup pairs over a `(doc_id, sh)` relation: 32-bit
     * signature, 4×8-bit bands. By pigeonhole any pair within Hamming
@@ -535,6 +593,28 @@ object Dedup {
          |    y.doc_id AS b_id, y.simhash AS b_sig
          |  FROM bands x JOIN bands y ON x.j = y.j AND x.byte = y.byte AND x.doc_id < y.doc_id)
          |SELECT a_id, b_id, CAST(bit_count(xor(a_sig, b_sig)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3 ORDER BY a_id, b_id""".stripMargin
+         |FROM cand WHERE bit_count(xor(a_sig, b_sig)) <= 3 ORDER BY a_id, b_id""".stripMargin,
+
+    // the row_number formulation is the same keep-first rule as Spark's
+    // min(struct(doc_id, pos)) winner — rn = 1 iff (doc_id, chunk_idx)
+    // is the global minimum for that passage string
+    "d09_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |c AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(tk) / 8.0) AS BIGINT))) AS chunk_idx, tk FROM t),
+         |p AS (SELECT doc_id, chunk_idx,
+         |    array_to_string(tk[CAST(chunk_idx * 8 + 1 AS BIGINT) : CAST(chunk_idx * 8 + 8 AS BIGINT)], ' ') AS chunk
+         |  FROM c),
+         |f AS (SELECT doc_id, chunk_idx, chunk,
+         |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn FROM p),
+         |r AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text_clean
+         |  FROM f GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+         |  coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** d09's passage-dedup core on hand corpora: keep-first at passage
+  * granularity (cross-doc AND within-doc), order-preserving reassembly,
+  * ragged tails, empty docs, and the global uniqueness invariant
+  * (every distinct passage survives exactly once corpus-wide).
+  */
+class PassageDedupSpec extends SparkSpec {
+
+  private def run(docs: Seq[(Long, String)], w: Int = 2): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedup.passageDedup(docs.toDF("doc_id", "text"), w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  test("cross-doc duplicate passage is kept only in the smallest doc_id") {
+    val out = run(Seq(1L -> "a b c d", 2L -> "a b x y"))
+    assert(out(1L) == ((2L, 0L, "a b c d")))
+    assert(out(2L) == ((1L, 1L, "x y")))
+  }
+
+  test("within-doc repeat keeps only the first occurrence") {
+    val out = run(Seq(1L -> "a b a b"))
+    assert(out(1L) == ((1L, 1L, "a b")))
+  }
+
+  test("ragged tail chunks and order-preserving reassembly") {
+    val out = run(Seq(1L -> "a b c"))
+    // chunks [a b][c] — both unique, doc round-trips
+    assert(out(1L) == ((2L, 0L, "a b c")))
+  }
+
+  test("empty and whitespace-only docs emit empty text_clean, not null") {
+    val out = run(Seq(1L -> "", 2L -> "   ", 3L -> "a b"))
+    assert(out(1L) == ((0L, 0L, "")))
+    assert(out(2L) == ((0L, 0L, "")))
+    assert(out(3L) == ((1L, 0L, "a b")))
+  }
+
+  test("passages compare lowercased (Text.tokens semantics)") {
+    val out = run(Seq(1L -> "A B", 2L -> "a b"))
+    assert(out(1L) == ((1L, 0L, "a b")))
+    assert(out(2L) == ((0L, 1L, "")))
+  }
+
+  test("global invariant: each distinct passage survives exactly once") {
+    val docs = Seq(1L -> "a b c d", 2L -> "c d e f", 3L -> "a b e f")
+    val out = run(docs)
+    // distinct passages: {a b, c d, e f} — 3 kept, 3 removed, all in
+    // the earliest holder
+    assert(out.values.map(_._1).sum == 3L)
+    assert(out.values.map(_._2).sum == 3L)
+    assert(out(1L)._3 == "a b c d")
+    assert(out(2L)._3 == "e f")
+    assert(out(3L)._3 == "")
+  }
+
+  test("fixture smoke at sf0.001: totals add up and dedup bites") {
+    val out = graft.SparkEntry.queries("d09_passage_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length == 500)
+    val removed = out.map(_.getLong(2)).sum
+    assert(removed > 0, "expected at least one cross-doc duplicate passage in the fixture")
+  }
+}
