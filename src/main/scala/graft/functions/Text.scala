@@ -133,6 +133,54 @@ object Text {
     org.apache.spark.sql.GraftSqlBridge.column(
       DistinctShingles(org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
+  /** JVM kernel of d09's passage chunking: lowercase whitespace tokens
+    * grouped into NON-OVERLAPPING w-token passages (ragged tail kept),
+    * each joined with single spaces — the compiled twin of
+    * `transform(sequence(0, ⌊(n−1)/w⌋), i => array_join(slice(tk,
+    * i·w+1, w), " "))`, which would otherwise evaluate as an
+    * interpreted HOF lambda twice per d09 run.
+    */
+  def passagesStr(text: String, w: Int): Array[String] = {
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    if (toks.length == 0) Array.empty
+    else {
+      val n = (toks.length + w - 1) / w
+      val out = new Array[String](n)
+      var c = 0
+      while (c < n) {
+        val start = c * w
+        val end = math.min(start + w, toks.length)
+        val sb = new StringBuilder(toks(start))
+        var j = start + 1
+        while (j < end) { sb.append(' ').append(toks(j)); j += 1 }
+        out(c) = sb.toString
+        c += 1
+      }
+      out
+    }
+  }
+
+  /** [[passagesStr]] on UTF8String → Catalyst ArrayData — the
+    * eval/codegen entry of the native [[Passages]] expression.
+    */
+  def passagesArrayData(s: org.apache.spark.unsafe.types.UTF8String,
+      w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = passagesStr(s.toString, w)
+    val out = new Array[AnyRef](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i)); i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Non-overlapping w-token passages of a raw text column — native
+    * codegen'd [[Passages]]; d09's chunking stage.
+    */
+  def passages(text: Column, w: Int = 8): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Passages(org.apache.spark.sql.GraftSqlBridge.expression(text), w))
+
   /** ALL word n-gram shingles, duplicates kept in document order —
     * compiled twin of the HOF [[shingles]], for frequency counting
     * (t07) where multiplicity matters.

@@ -83,6 +83,33 @@ case class DistinctShingles(child: Expression, n: Int = 3) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the passage-chunking kernel
+  * [[Text.passagesStr]] (non-overlapping w-token groups, ragged tail
+  * kept) — d09's per-doc stage.
+  */
+case class Passages(child: Expression, w: Int = 8) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_passages expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_passages"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.passagesArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.passagesArrayData($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Passages =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the all-shingles kernel
   * [[Text.shinglesAll]] (duplicates kept, document order — the
   * frequency-counting twin of [[DistinctShingles]]).

@@ -442,13 +442,8 @@ object Dedup {
     * exact for the oracle compare.
     */
   private[queries] def passageDedup(docs: DataFrame, w: Int): DataFrame = {
-    val tk = Text.tokens(col("text"))
     val chunks = docs
-      .select(col("doc_id"),
-        when(size(tk) > 0,
-          transform(sequence(lit(0), floor((size(tk) - 1) / w).cast("int")),
-            i => array_join(slice(tk, i * w + 1, lit(w)), " ")))
-          .otherwise(array().cast("array<string>")).as("chunks"))
+      .select(col("doc_id"), Text.passages(col("text"), w).as("chunks"))
       .select(col("doc_id"), posexplode(col("chunks")))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
     val winners = chunks.groupBy("chunk")

@@ -59,6 +59,20 @@ class PassageDedupSpec extends SparkSpec {
     assert(out(3L)._3 == "")
   }
 
+  test("passages kernel matches a reference grouping on random texts") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val text = Seq.fill(n)("w" + rnd.nextInt(8)).mkString(" ") +
+        (if (rnd.nextBoolean()) "  " else "") // stray whitespace
+      val w = 1 + rnd.nextInt(4)
+      val expected = text.toLowerCase.split(" ").filter(_.nonEmpty)
+        .grouped(w).map(_.mkString(" ")).toSeq
+      assert(graft.functions.Text.passagesStr(text, w).toSeq == expected,
+        s"text='$text' w=$w")
+    }
+  }
+
   test("fixture smoke at sf0.001: totals add up and dedup bites") {
     val out = graft.SparkEntry.queries("d09_passage_dedup")(
       spark, "/root/testdata/sf0.001").collect()

@@ -150,4 +150,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("d09: winner pick partially aggregates before the passage shuffle; no window, no cross join") {
+    val p = plan("d09_passage_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // min(struct(doc_id, pos)) must be an aggregate with a partial/final
+    // pair (map-side combine absorbs hot passages) — NOT a row_number
+    // window, which would serialize each hot passage into one task
+    assert(!p.contains("Window"), "winner pick must not be a per-key window")
+    assert("SortAggregate|HashAggregate".r.findAllIn(p).length >= 4,
+      s"expected partial+final aggregate pairs for winners and reassembly:\n$p")
+  }
+
+  test("x03: bloom probe is map-side (no exchange between scan and the probe project)") {
+    val p = plan("x03_bloom_decontam")
+    // the flags relation is ONE row — its crossJoin must be the
+    // deliberate broadcast shape, never a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // exact side stays a semi-join on the shingle
+    assert(p.contains("LeftSemi"), p)
+  }
 }
