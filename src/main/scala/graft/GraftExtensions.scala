@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, SegmentsExpr, SimHash32, TokenStats}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, SegmentsExpr, SimHash32, TokenStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_shingles(text) takes one argument")
         DistinctShingles(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_classifier"),
+      new ExpressionInfo(classOf[HashedClassifier].getName, "graft_classifier"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_classifier(text) takes one argument")
+        HashedClassifier(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_passages"),

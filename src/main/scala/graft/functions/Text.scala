@@ -160,6 +160,39 @@ object Text {
     }
   }
 
+  /** JVM kernel of the hashed-linear-classifier score (c04): the
+    * fasttext-style model-based quality filter. Each token hashes to
+    * one of `d` feature buckets (fp % d); the doc score is the
+    * frequency-weighted INTEGER dot product with the bucket weight
+    * vector. Weights here are a deterministic closed form
+    * (`(j·1103515245 + 12345) mod 2001 − 1000` ∈ [−1000, 1000], an
+    * LCG step — the container ships no trained artifacts), standing in
+    * for a broadcast trained vector; the plumbing (hashed features,
+    * integer dot, threshold) is exactly what a real classifier filter
+    * runs, and all-integer arithmetic keeps both engines bit-equal.
+    */
+  def classifierScoreStr(text: String, d: Int): Long = {
+    val toks = text.toLowerCase.split(" ")
+    var s = 0L
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        val j = charFpStr(t) % d
+        s += (j * 1103515245L + 12345L) % 2001L - 1000L
+      }
+      i += 1
+    }
+    s
+  }
+
+  /** Hashed-classifier score of a raw text column — native codegen'd
+    * [[HashedClassifier]]; c04's scoring stage.
+    */
+  def classifierScore(text: Column, d: Int = 256): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      HashedClassifier(org.apache.spark.sql.GraftSqlBridge.expression(text), d))
+
   /** [[passagesStr]] on UTF8String → Catalyst ArrayData — the
     * eval/codegen entry of the native [[Passages]] expression.
     */

@@ -83,6 +83,33 @@ case class DistinctShingles(child: Expression, n: Int = 3) extends UnaryExpressi
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the hashed-linear-classifier score
+  * [[Text.classifierScoreStr]] — c04's model-based quality filter
+  * (integer dot product over hashed token features).
+  */
+case class HashedClassifier(child: Expression, d: Int = 256) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_classifier expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_classifier"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.classifierScoreStr(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, d)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.classifierScoreStr($c.toString(), $d);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedClassifier =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the passage-chunking kernel
   * [[Text.passagesStr]] (non-overlapping w-token groups, ragged tail
   * kept) — d09's per-doc stage.

@@ -177,7 +177,26 @@ object Curation {
     "x03_bloom_decontam" -> ((s, dir) =>
       bloomDecontam(
         Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        isEval).orderBy("source"))
+        isEval).orderBy("source")),
+
+    // Model-based quality filtering — the fasttext-style classifier
+    // step (CCNet / LLaMA-1 data prep) that sits next to t03's
+    // HEURISTIC quality score in a real pipeline: hash each token into
+    // a fixed feature bucket, score = integer dot with the bucket
+    // weight vector, keep score > 0. The weight vector here is a
+    // deterministic closed form standing in for trained parameters
+    // (see Text.classifierScoreStr); at 100 TB the real weights are a
+    // few-hundred-KB broadcast and the score stays a map-side codegen
+    // expression fused into the scan — the per-source accounting is
+    // the only shuffle.
+    "c04_classifier_filter" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), Text.classifierScore(col("text")).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("score")).as("sum_score"))
+        .orderBy("source"))
   )
 
   /** x03's bloom parameters: nominal shingle-level false-positive rate,
@@ -376,6 +395,18 @@ object Curation {
          |  CAST(sum(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
          |  CAST(1 AS BIGINT) AS no_false_neg, CAST(1 AS BIGINT) AS fp_within_bound
          |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same LCG weight closed form, same integer fold — bit-equal by
+    // construction (fp(t) ∈ [0, 2^31) so % never sees a negative)
+    "c04_classifier_filter" ->
+      s"""WITH d AS (SELECT source,
+         |    coalesce(list_sum([(((${fp("t")} % 256) * 1103515245 + 12345) % 2001) - 1000
+         |      for t in $TOKS]), 0) AS score
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(score) AS BIGINT) AS sum_score
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
