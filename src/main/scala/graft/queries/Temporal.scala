@@ -25,29 +25,55 @@ import graft.Tables
   */
 object Temporal {
 
+  /** w01's union+carry core: every click row with the carried most
+    * recent at-or-before purchase (`p_event_id`, `p_ts` — null when no
+    * prior purchase exists). Shared by w01 (plain as-of) and w05
+    * (tolerance as-of: the nearest at-or-before match IS the carried
+    * one, so a max-gap as-of is exactly this relation with out-of-
+    * tolerance matches nulled — no second pass, no pair join).
+    */
+  private def asofBackwardCore(ev: DataFrame): DataFrame = {
+    // dedup purchases per (user, ts) so the as-of pick is deterministic
+    val pd = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("p_event_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("p_event_id"), lit(null).cast("long").as("c_event_id"))
+    val ck = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("p_event_id"), col("event_id").as("c_event_id"))
+    // order (ts, kind): a purchase at the same instant sorts before the
+    // click, so ">= inclusive" as-of semantics hold
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pd.unionByName(ck)
+      .withColumn("p_id", last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("p_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("c_event_id").as("event_id"), col("user_id"), col("ts"),
+        col("p_id").as("p_event_id"), col("p_ts"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // each click gets the user's most recent at-or-before purchase
-    "w01_asof_click_purchase" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      // dedup purchases per (user, ts) so the as-of pick is deterministic
-      val pd = ev.filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("p_event_id"))
-        .select(col("user_id"), col("ts"), lit(0).as("kind"),
-          col("p_event_id"), lit(null).cast("long").as("c_event_id"))
-      val ck = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(1).as("kind"),
-          lit(null).cast("long").as("p_event_id"), col("event_id").as("c_event_id"))
-      // order (ts, kind): a purchase at the same instant sorts before the
-      // click, so ">= inclusive" as-of semantics hold
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("kind"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pd.unionByName(ck)
-        .withColumn("p_id", last(col("p_event_id"), ignoreNulls = true).over(w))
-        .withColumn("p_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("c_event_id").as("event_id"), col("user_id"), col("ts"),
-          col("p_id").as("p_event_id"), col("p_ts"))
+    "w01_asof_click_purchase" -> ((s, dir) =>
+      asofBackwardCore(Tables(s, dir, "events")).orderBy("event_id")),
+
+    // TOLERANCE as-of — the third standard variant (pandas merge_asof's
+    // `tolerance`, feature-store point-in-time joins with a staleness
+    // cap): the backward match counts only within a trailing 24-hour
+    // gap; staler matches null out but the click row survives (left
+    // semantics). Since the nearest at-or-before match is the carried
+    // one, out-of-tolerance ⇒ NO valid match exists — same one-shuffle
+    // carry, a map-side predicate, zero extra cost at any scale.
+    "w05_asof_tolerance" -> ((s, dir) => {
+      val tolUs = 24L * 3600L * 1000000L
+      val ok = col("p_ts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("p_ts")) <= tolUs
+      asofBackwardCore(Tables(s, dir, "events"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(ok, col("p_event_id")).as("p_event_id"),
+          when(ok, col("p_ts")).as("p_ts"))
         .orderBy("event_id")
     }),
 
@@ -108,6 +134,19 @@ object Temporal {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
         |ck AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, p.p_event_id, p.ts AS p_ts
+        |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    // native ASOF again, with the tolerance as a post-join CASE — the
+    // nearest at-or-before match either satisfies the gap or no match
+    // does, so null-out ≡ tolerance semantics in both engines
+    "w05_asof_tolerance" ->
+      """WITH pd AS (SELECT user_id, ts, max(event_id) AS p_event_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |ck AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 24 HOUR THEN p.p_event_id END AS p_event_id,
+        |  CASE WHEN p.ts >= c.ts - INTERVAL 24 HOUR THEN p.ts END AS p_ts
         |FROM ck c ASOF LEFT JOIN pd p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
