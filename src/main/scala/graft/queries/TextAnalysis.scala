@@ -181,6 +181,33 @@ object TextAnalysis {
     // rep = 1 − distinct/total shingles. Pure per-row map + one tiny
     // per-source agg; both engines derive the double from the same two
     // integers.
+    // Per-doc keyword extraction over the doc-term matrix — the
+    // corpus-analysis step feeding topic clustering / domain tagging:
+    // top-3 terms per doc ranked (tf DESC, df ASC, term) — "most
+    // frequent, rarest first", the TF-IDF order made INTEGER-exact.
+    // (True float TF-IDF is a one-line swap — tf·ln(N/df) — but ln()
+    // is libm-dependent and a floor()ed score could straddle a ULP
+    // across engines; the lexicographic rank carries the same signal
+    // with zero float arithmetic, so the gate stays hash-exact by
+    // construction.) Scale: tf is one shuffle on (doc_id, term) with
+    // map-side combine, df one on term; the per-doc ranking window
+    // partitions on doc_id — thousands of tiny partitions, no skew.
+    "t13_keyword_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(df, "term")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"))
+        .orderBy("doc_id", "rank")
+    }),
+
     "t12_repetition" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("source"),
@@ -358,6 +385,19 @@ object TextAnalysis {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same integer lexicographic rank — no float idf in either engine
+    "t13_keyword_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rank
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+         |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "t12_repetition" ->
       s"""WITH d AS (SELECT source, ${shingles(TOKS)} AS sa,
