@@ -81,4 +81,14 @@ class SqlParitySpec extends SparkSpec {
         |ORDER BY doc_id""".stripMargin,
       Seq("documents"))
   }
+
+  test("c04 classifier filter: SQL twin through graft_classifier matches") {
+    assertParity("c04_classifier_filter",
+      """SELECT source, count(1) AS n_docs,
+        | sum(CASE WHEN score > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_kept,
+        | sum(score) AS sum_score
+        |FROM (SELECT source, graft_classifier(text) AS score FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+      Seq("documents"))
+  }
 }

@@ -35,6 +35,18 @@ class BloomDecontamSpec extends SparkSpec {
     assert(out.forall(_.getLong(3) == 1L), "bloom reported a false negative")
   }
 
+  test("bloom verdicts are partition-invariant (bit-OR merge is commutative)") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      (i, "s" + (i % 4), (0 until 8).map(j => "w" + ((i * 7 + j) % 40)).mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    def run(parts: Int) =
+      Curation.bloomDecontam(docs.repartition(parts), col("doc_id") % 10 === 0)
+        .orderBy("source").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(13),
+      "bloom output depends on input partitioning — the sketch merge is not order-free")
+  }
+
   test("declared x03 gate holds at sf0.001 (global probe pool, real bound)") {
     val out = graft.SparkEntry.queries("x03_bloom_decontam")(
       spark, "/root/testdata/sf0.001").collect()
