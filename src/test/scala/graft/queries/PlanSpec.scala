@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pairs for winners and reassembly:\n$p")
   }
 
+  test("t13: doc-term matrix partially aggregates; per-doc ranking, no cartesian") {
+    val p = plan("t13_keyword_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // tf and df both need partial+final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("x03: bloom probe is map-side (no exchange between scan and the probe project)") {
     val p = plan("x03_bloom_decontam")
     // the flags relation is ONE row — its crossJoin must be the
