@@ -73,6 +73,30 @@ class PassageDedupSpec extends SparkSpec {
     }
   }
 
+  test("random corpora: pipeline equals the in-memory reference") {
+    // small vocabulary forces heavy cross-doc passage collisions
+    val rnd = new scala.util.Random(1234)
+    (0 until 3).foreach { round =>
+      val w = 2 + round // w in {2, 3, 4}
+      val docs = (0L until 40L).map(i =>
+        i -> Seq.fill(1 + rnd.nextInt(12))("t" + rnd.nextInt(6)).mkString(" "))
+      // reference: global first occurrence by (doc_id, pos), then rebuild
+      val chunked = docs.map { case (id, text) =>
+        id -> text.toLowerCase.split(" ").filter(_.nonEmpty)
+          .grouped(w).map(_.mkString(" ")).toVector
+      }
+      val owner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      for ((id, cs) <- chunked; (c, pos) <- cs.zipWithIndex)
+        if (!owner.contains(c) || Ordering[(Long, Int)].lt((id, pos), owner(c)))
+          owner(c) = (id, pos)
+      val expected = chunked.map { case (id, cs) =>
+        val kept = cs.zipWithIndex.filter { case (c, pos) => owner(c) == ((id, pos)) }
+        id -> ((kept.size.toLong, (cs.size - kept.size).toLong, kept.map(_._1).mkString(" ")))
+      }.toMap
+      assert(run(docs, w) == expected, s"w=$w")
+    }
+  }
+
   test("fixture smoke at sf0.001: totals add up and dedup bites") {
     val out = graft.SparkEntry.queries("d09_passage_dedup")(
       spark, "/root/testdata/sf0.001").collect()
