@@ -181,6 +181,41 @@ object TextAnalysis {
     // rep = 1 − distinct/total shingles. Pure per-row map + one tiny
     // per-source agg; both engines derive the double from the same two
     // integers.
+    // Count-Min heavy hitters — the fourth classic sketch next to
+    // x01 (HLL), x02 (KLL), x03 (Bloom): estimate the top-10 bigram
+    // frequencies from ONE mergeable CMS pass instead of a full
+    // groupBy — at 100 TB the sketch is the streaming/partial-agg
+    // path for "what's trending" over a corpus (mergeable across
+    // shards and micro-batches; the exact groupBy here is the gate's
+    // oracle twin, not the production path). Sketch-gated like
+    // x01-x03: only oracle-computable columns plus two flags from the
+    // CMS contract — never_under (CMS never underestimates —
+    // deterministic) and overest_bounded (est ≤ exact + 4·eps·N; with
+    // a FIXED seed and fixed fixture the estimate is deterministic,
+    // so the flag can't flake — verified at all three SFs). The
+    // oracle emits the exact counts and literal 1s.
+    "x04_cms_heavy_hitters" -> ((s, dir) => {
+      val eps = 0.001
+      val bigrams = Tables(s, dir, "documents")
+        .select(explode(Text.shinglesAll(col("text"), 2)).as("bigram"))
+      val row = bigrams.agg(
+        expr("count_min_sketch(bigram, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n")).first()
+      val (cmsBytes, nTotal) = (row.getAs[Array[Byte]](0), row.getLong(1))
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(cmsBytes))
+      val est = udf((b: String) => cms.estimateCount(b))
+      val slack = math.ceil(4 * eps * nTotal).toLong
+      bigrams.groupBy("bigram").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("bigram")).limit(10)
+        .select(col("bigram"), col("exact_n"),
+          when(est(col("bigram")) >= col("exact_n"), lit(1L))
+            .otherwise(lit(0L)).as("never_under"),
+          when(est(col("bigram")) <= col("exact_n") + lit(slack), lit(1L))
+            .otherwise(lit(0L)).as("overest_bounded"))
+        .orderBy(col("exact_n").desc, col("bigram"))
+    }),
+
     // Per-doc keyword extraction over the doc-term matrix — the
     // corpus-analysis step feeding topic clustering / domain tagging:
     // top-3 terms per doc ranked (tf DESC, df ASC, term) — "most
@@ -385,6 +420,15 @@ object TextAnalysis {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact heavy-hitter counts + literal flags (the x01-x03 pattern)
+    "x04_cms_heavy_hitters" ->
+      s"""WITH d AS (SELECT ${bigrams(TOKS)} AS bg FROM documents),
+         |x AS (SELECT unnest(bg) AS bigram FROM d),
+         |c AS (SELECT bigram, count(*) AS exact_n FROM x GROUP BY 1)
+         |SELECT bigram, exact_n, CAST(1 AS BIGINT) AS never_under,
+         |  CAST(1 AS BIGINT) AS overest_bounded
+         |FROM c ORDER BY exact_n DESC, bigram LIMIT 10""".stripMargin,
 
     // same integer lexicographic rank — no float idf in either engine
     "t13_keyword_topk" ->

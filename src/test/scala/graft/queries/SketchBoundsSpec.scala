@@ -64,4 +64,31 @@ class SketchBoundsSpec extends SparkSpec {
       }
     }
   }
+
+  test("x04: CMS never underestimates ANY bigram; top-10 overestimate inside 4*eps*N") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Text
+    // the declared query gates only the top-10; here the one-sided
+    // guarantee is asserted over the ENTIRE vocabulary, and the
+    // declared flags are re-checked
+    val bigrams = graft.Tables(spark, dir, "documents")
+      .select(explode(Text.shinglesAll(col("text"), 2)).as("bigram"))
+    val row = bigrams.agg(
+      expr("count_min_sketch(bigram, 0.001d, 0.99d, 42)").as("cms"),
+      count(lit(1)).as("n")).first()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val exact = bigrams.groupBy("bigram").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    exact.foreach { case (b, n) =>
+      assert(cms.estimateCount(b) >= n, s"CMS underestimated '$b': ${cms.estimateCount(b)} < $n")
+    }
+    val out = graft.SparkEntry.queries("x04_cms_heavy_hitters")(spark, dir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("never_under")) == 1L, r.toString)
+      assert(r.getLong(r.fieldIndex("overest_bounded")) == 1L, r.toString)
+    }
+  }
 }
