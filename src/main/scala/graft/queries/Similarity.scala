@@ -265,6 +265,36 @@ object Similarity {
         .orderBy("train_id")
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, public arXiv
+    // 2303.09540): cluster the embedding space, then dedup WITHIN each
+    // cluster only — the cluster assignment bounds the pair blow-up
+    // that makes global embedding dedup quadratic. Clustering reuses
+    // the deterministic IVF assignment (broadcast 16-centroid argmax,
+    // same relation v02 probes); verdict is keep-first: a vector is
+    // dropped iff some smaller-id member of ITS cluster sits at
+    // cosine >= 0.3 (v06's threshold). Scale: assignment is a
+    // broadcast map stage; pairs form inside clusters only — one
+    // shuffle on c_id, and at 100 TB nlist grows ~sqrt(n) so the
+    // per-cluster pair count stays bounded (the paper's own recipe);
+    // the cluster-local quadratic is the declared cost model, never a
+    // corpus-wide cross join.
+    "v08_semdedup" -> ((s, dir) => {
+      val assign = ivfAssign(s, dir, 16)
+      val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assign.select(col("c_id"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      val dropped = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
+        .filter(cosPre(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
+        .select(col("b_id").as("vec_id")).distinct()
+        .withColumn("dropped", lit(0L))
+      assign.select(col("vec_id"), col("c_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("c_id"), col("vec_id"),
+          coalesce(col("dropped"), lit(1L)).as("keep"))
+        .orderBy("c_id", "vec_id")
+    }),
+
     "v03_neardup_blocked" -> ((s, dir) => {
       val e = emb(s, dir)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
@@ -423,6 +453,21 @@ object Similarity {
          |SELECT train_id, eval_id, cosine FROM r WHERE rn = 1 AND cosine >= 0.3
          |ORDER BY train_id""".stripMargin
     },
+
+    // v02's assign CTE + within-cluster keep-first verdict
+    "v08_semdedup" ->
+      s"""WITH e AS ($EMB), c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM assign a
+         |  JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.3)
+         |SELECT s.c_id, s.vec_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.c_id, s.vec_id""".stripMargin,
 
     "v03_neardup_blocked" ->
       s"""WITH e AS ($EMB),

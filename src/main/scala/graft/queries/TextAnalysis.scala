@@ -243,6 +243,65 @@ object TextAnalysis {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25-style lexical relevance ranking (Robertson-Spärck Jones,
+    // public BM25 form with k1=1.2, b=0.75) for a fixed 3-term query —
+    // the retrieval step of corpus curation (find the docs most "about"
+    // a topic before sampling/inspection). The idf uses the RATIONAL
+    // form (N - df + 0.5)/(df + 0.5) WITHOUT the usual ln(): ln is
+    // libm-dependent and would straddle ULPs across engines, while the
+    // rational idf preserves the ranking signal using only IEEE-exact
+    // +,*,/ — the same determinism-over-libm tradeoff t13 documents.
+    // Per-term scores sum in fixed written order, so the double is
+    // bit-identical in both engines. Scale: tf/dl are per-row
+    // expressions (array_remove diff, no explode); the corpus-level
+    // stats (N, avgdl, per-term df) are ONE tiny agg broadcast back;
+    // the final top-20 is TakeOrdered, never a global sort.
+    "t14_bm25_search" -> ((s, dir) => {
+      val qterms = Seq("dup", "vector", "spark")
+      def tfc(i: Int): Column =
+        (size(col("tk")) - size(array_remove(col("tk"), qterms(i)))).as(s"tf$i")
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("dl"), tfc(0), tfc(1), tfc(2))
+      val stats = base.agg(
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
+        sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),
+        sum(when(col("tf1") > 0, 1L).otherwise(0L)).as("df1"),
+        sum(when(col("tf2") > 0, 1L).otherwise(0L)).as("df2"))
+      def idf(i: Int): Column =
+        ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+          (col(s"df$i").cast("double") + lit(0.5))
+      def tscore(i: Int): Column =
+        idf(i) * (col(s"tf$i").cast("double") * lit(2.2)) /
+          (col(s"tf$i").cast("double") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+      base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+        .select(col("doc_id"),
+          col("tf0").as("tf_dup"), col("tf1").as("tf_vector"), col("tf2").as("tf_spark"),
+          (tscore(0) + tscore(1) + tscore(2)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // HLL sketch MERGE across sources — the mergeability demo that IS
+    // the sketch scale story: per-source sketches build independently
+    // (shard-local partials at 100 TB), and the corpus-wide distinct
+    // estimate comes from hll_union_agg over the 20 tiny sketch blobs,
+    // NOT from rescanning the corpus. Sketch-gated like x01-x04: the
+    // declared output carries the oracle-computable exact distincts
+    // plus a within_bound flag from the HLL error contract (lgK=12 →
+    // rsd ≈ 1.63%; bound = max(3·rsd·exact, 1)); the oracle emits
+    // literal 1, so an estimate regression breaks the hash. Raw
+    // estimates stay visible to SketchBoundsSpec via [[x05Raw]].
+    "x05_hll_union" -> ((s, dir) =>
+      x05Raw(s, dir)
+        .select(col("source"), col("exact_distinct"),
+          when(abs(col("est").cast("double") - col("exact_distinct").cast("double"))
+            <= greatest(col("exact_distinct").cast("double") * lit(3 * HllRsd), lit(1.0)),
+            lit(1L)).otherwise(lit(0L)).as("within_bound"))
+        .orderBy("source")),
+
     "t12_repetition" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .select(col("source"),
@@ -274,6 +333,29 @@ object TextAnalysis {
         .orderBy("doc_id")
     })
   )
+
+  /** Datasketches-HLL relative standard deviation at lgConfigK=12. */
+  private[graft] val HllRsd: Double = 1.04 / math.sqrt((1 << 12).toDouble)
+
+  /** x05 raw estimates: per-source (exact distinct, HLL estimate) rows
+    * plus the 'ALL' row whose estimate comes from MERGING the per-source
+    * sketches — never from a second corpus scan. SketchBoundsSpec pins
+    * the raw estimate-vs-exact gap; the declared x05 derives the flag.
+    */
+  private[graft] def x05Raw(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables(s, dir, "documents")
+      .select(col("source"), graft.functions.Text.charFp(col("text")).as("fp"))
+    val per = fps.groupBy("source").agg(
+      hll_sketch_agg(col("fp"), 12).as("sk"),
+      countDistinct(col("fp")).as("exact_distinct"))
+    val perOut = per.select(col("source"), col("exact_distinct"),
+      hll_sketch_estimate(col("sk")).as("est"))
+    val allOut = per.agg(hll_union_agg(col("sk"), allowDifferentLgConfigK = false).as("sk"))
+      .crossJoin(fps.agg(countDistinct(col("fp")).as("exact_distinct")))
+      .select(lit("ALL").as("source"), col("exact_distinct"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    perOut.unionByName(allOut)
+  }
 
   /** The naive packing formulation — one window sorting each whole
     * source in a single task. NOT a declared query (skewed-window
