@@ -60,9 +60,16 @@ object Bench {
     // queries instead of every sample of one query — back-to-back passes
     // gave a 0.23 s query a 9.8 s "min" on a contended driver machine.
     val best = scala.collection.mutable.Map.empty[String, Double]
+    // A failing query must NOT masquerade as a fast one (an instant
+    // analysis failure reads as 0 s): record the error class per query,
+    // surface it in the JSON line and on stderr.
+    val errs = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name), sfDir) catch { case _: Throwable => () }
+      try run(SparkEntry.queries(name), sfDir) catch { case e: Throwable =>
+        errs(name) = e.getClass.getSimpleName
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       if (!best.contains(name) || dt < best(name)) best(name) = dt
     }
@@ -77,7 +84,11 @@ object Bench {
     def line(dp: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // "failed" is always present (0 on a clean run) so a regression can
+      // never hide; the per-query error classes ride along when they fit.
+      val es = errs.toSeq.sorted.map { case (k, v) => s"\"$k\":\"$v\"" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","failed":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
     }
     val out = Iterator(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(0))
     spark.stop()

@@ -24,6 +24,7 @@ object Verify {
     // are identical; see SharedProjections)
     SharedProjections.enable()
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -33,9 +34,15 @@ object Verify {
           .parquet(s"$outDir/$name")
         println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // A failed query writes no parquet, so the driver's compare would
+    // silently skip it — make the count impossible to miss on stdout
+    // (this is exactly how the round-8 fixture regression went unseen).
+    println(s"[verify] failed: ${failed.size}" +
+      (if (failed.nonEmpty) failed.sorted.mkString(" (", ", ", ")") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

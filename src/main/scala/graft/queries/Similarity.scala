@@ -29,10 +29,20 @@ import OracleDialect.{cosine => cosSql, fp => fpSql}
   *    ids, fixed tie-breaks), hence oracle-checkable — unusual for ANN,
   *    deliberate here.
   *  - v03 near-dup: label is the blocking key (the realistic shape:
-  *    cluster-id / shard blocking); pairs form within blocks only, one
-  *    shuffle on label, never a global cross join.
+  *    cluster-id / shard blocking) with a per-label participation cap
+  *    (V03Cap) so a hot label can never go quadratic; pairs form
+  *    within blocks only, one shuffle on label, never a global cross
+  *    join.
   */
 object Similarity {
+
+  /** v03 per-label participation cap — 5x the largest gate-SF label
+    * (218 at sf0.1), so the cap is provably a no-op wherever the hash
+    * gate runs, while bounding a hot label's pair work at O(cap²) at
+    * replica/production scale. Shared by the Spark query and its
+    * oracle SQL so both sides stay mirrored if it is ever tuned.
+    */
+  private[queries] val V03Cap = 1000
 
   /** Base projection: double vector + its precomputed L2 norm. */
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -274,10 +284,11 @@ object Similarity {
     // dropped iff some smaller-id member of ITS cluster sits at
     // cosine >= 0.3 (v06's threshold). Scale: assignment is a
     // broadcast map stage; pairs form inside clusters only — one
-    // shuffle on c_id, and at 100 TB nlist grows ~sqrt(n) so the
-    // per-cluster pair count stays bounded (the paper's own recipe);
-    // the cluster-local quadratic is the declared cost model, never a
-    // corpus-wide cross join.
+    // shuffle on c_id. The fixture pins nlist=16 (matching the
+    // hand-written oracle); the production recipe is to grow nlist
+    // ~sqrt(n) via ivfAssign's nlist parameter so per-cluster pair
+    // counts stay bounded — the cluster-local quadratic is the
+    // declared cost model, never a corpus-wide cross join.
     "v08_semdedup" -> ((s, dir) => {
       val assign = ivfAssign(s, dir, 16)
       val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
@@ -295,8 +306,25 @@ object Similarity {
         .orderBy("c_id", "vec_id")
     }),
 
+    // Near-dup with a natural blocking key (cluster-id / shard
+    // blocking). A label-only block is quadratic in the hottest label
+    // (measured alpha 1.47 on the salted replica — at 100x a hot label
+    // melts one executor), so participation is CAPPED: only the
+    // V03Cap smallest vec_ids per label pair up. The cap is exact-
+    // preserving at every gate SF (max label size ~1.2k at sf0.1, so
+    // the rank filter is a no-op and the oracle mirrors it literally);
+    // on the salted sf1 replica it binds and bounds per-label work at
+    // O(cap²) — the LSH sub-bucket alternative (v06's bucket under
+    // label) was measured to zero out recall at the 0.4 threshold
+    // (8-bit co-bucket odds ~2.5% there), so the bounded-exact cap is
+    // the honest scale mitigation. The rank window is one n·log n sort
+    // per label (spillable, never quadratic); at extreme label skew
+    // the same salted two-level shape t11 uses applies.
     "v03_neardup_blocked" -> ((s, dir) => {
+      val rankW = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val e = emb(s, dir)
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") <= V03Cap)
       val a = e.select(col("label"), col("vec_id").as("a_id"),
         col("v").as("va"), col("nrm").as("na"))
       val b = e.select(col("label"), col("vec_id").as("b_id"),
@@ -470,7 +498,10 @@ object Similarity {
          |ORDER BY s.c_id, s.vec_id""".stripMargin,
 
     "v03_neardup_blocked" ->
-      s"""WITH e AS ($EMB),
+      s"""WITH e0 AS ($EMB),
+         |e AS (SELECT vec_id, label, v FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rk FROM e0)
+         |  WHERE rk <= $V03Cap),
          |p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cosine
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT label, a_id, b_id, cosine FROM p WHERE cosine >= 0.4 ORDER BY label, a_id, b_id""".stripMargin

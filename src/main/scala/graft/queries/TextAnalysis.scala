@@ -512,6 +512,44 @@ object TextAnalysis {
          |  CAST(1 AS BIGINT) AS overest_bounded
          |FROM c ORDER BY exact_n DESC, bigram LIMIT 10""".stripMargin,
 
+    // the rational idf and fixed-order sum exist FOR this gate: every
+    // arithmetic step below mirrors the Spark expression tree node for
+    // node (+, *, / in written order, same casts), so the double score
+    // is bit-identical and the hash compare holds
+    "t14_bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
+         |  CAST(len([t for t in tk if t = 'dup']) AS INT) AS tf0,
+         |  CAST(len([t for t in tk if t = 'vector']) AS INT) AS tf1,
+         |  CAST(len([t for t in tk if t = 'spark']) AS INT) AS tf2 FROM d),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b),
+         |j AS (SELECT b.*, st.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM b, st)
+         |SELECT doc_id, tf0 AS tf_dup, tf1 AS tf_vector, tf2 AS tf_spark,
+         |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+         |    * (CAST(tf0 AS DOUBLE) * 2.2)
+         |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+         |    * (CAST(tf1 AS DOUBLE) * 2.2)
+         |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+         |    * (CAST(tf2 AS DOUBLE) * 2.2)
+         |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  AS score
+         |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // per-source + merged-ALL exact distincts with the literal flag —
+    // the x01-x04 pattern: the Spark side derives within_bound from the
+    // HLL error contract, so an estimate regression breaks the hash
+    "x05_hll_union" ->
+      s"""WITH d AS (SELECT source, ${fp("text")} AS fp FROM documents),
+         |u AS (SELECT source, count(DISTINCT fp) AS exact_distinct FROM d GROUP BY 1
+         |  UNION ALL SELECT 'ALL' AS source, count(DISTINCT fp) AS exact_distinct FROM d)
+         |SELECT source, exact_distinct, CAST(1 AS BIGINT) AS within_bound
+         |FROM u ORDER BY source""".stripMargin,
+
     // same integer lexicographic rank — no float idf in either engine
     "t13_keyword_topk" ->
       s"""WITH t AS (SELECT doc_id, unnest($TOKS) AS term FROM documents),

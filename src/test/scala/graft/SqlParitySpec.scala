@@ -82,6 +82,80 @@ class SqlParitySpec extends SparkSpec {
       Seq("documents"))
   }
 
+  // The dedup family checkpoints its candidate relations (lazy
+  // localCheckpoint — lineage truncation for the iterative consumers),
+  // and a checkpoint is an RDD-identity plan node: two independently
+  // built plans can never be `sameResult` across one. d04's parity is
+  // therefore gated at the strongest achievable level — identical rows,
+  // AND the SQL twin's plan must run on the SAME native kernels
+  // (MinHashSig/FpsExpr/DistinctShingles, no UDF fallback).
+  test("d04 minhash dedup: pure-SQL twin (graft_shingles/fps/minhash) matches rows on kernels") {
+    registered
+    Tables(spark, dir, "documents").createOrReplaceTempView("documents")
+    val sql =
+      """WITH d AS (SELECT doc_id, graft_shingles(text) AS sh FROM documents),
+        |bands AS (SELECT doc_id, b.j AS j, b.bkey AS bkey FROM (
+        |    SELECT doc_id, explode(array(
+        |      struct(0 AS j, slice(sig, 1, 4) AS bkey),
+        |      struct(1 AS j, slice(sig, 5, 4) AS bkey),
+        |      struct(2 AS j, slice(sig, 9, 4) AS bkey),
+        |      struct(3 AS j, slice(sig, 13, 4) AS bkey))) AS b
+        |    FROM (SELECT doc_id, graft_minhash(graft_fps(sh)) AS sig FROM d))),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y
+        |  ON x.j = y.j AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |exc AS (SELECT doc_id, size(sh) AS n, explode(sh) AS s FROM d
+        |  LEFT SEMI JOIN (SELECT a_id AS doc_id FROM cand
+        |                  UNION ALL SELECT b_id FROM cand) USING (doc_id)),
+        |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n AS na, b.n AS nb,
+        |    count(1) AS n_common
+        |  FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+        |verified AS (SELECT a_id, b_id FROM pairs
+        |  LEFT SEMI JOIN cand USING (a_id, b_id)
+        |  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5)
+        |SELECT b_id AS doc_id, min(a_id) AS canonical_id FROM verified
+        |GROUP BY b_id ORDER BY doc_id""".stripMargin
+    val sq = spark.sql(sql)
+    val plan = sq.queryExecution.optimizedPlan.toString
+    Seq("graft_minhash", "graft_fps", "graft_shingles").foreach(k =>
+      assert(plan.contains(k), s"SQL twin lost the native $k kernel:\n$plan"))
+    assert(!plan.contains("ScalaUDF"), s"SQL twin fell back to a UDF:\n$plan")
+    val df = SparkEntry.queries("d04_minhash_lsh_dedup")(spark, dir)
+    assert(sq.collect().map(_.toSeq).toSeq === df.collect().map(_.toSeq).toSeq, "d04 rows")
+  }
+
+  // x04's CMS probe is a driver-held sketch object (no SQL surface can
+  // express it — same boundary as Spark's own runtime bloom filters),
+  // so the sketch-family parity pin is x05: pure hll_sketch_agg /
+  // hll_union_agg SQL, full sameResult + rows.
+  test("x05 hll union: SQL twin has the same optimized plan and rows") {
+    // subqueries are deliberately inlined, not CTEs: CTE inlining
+    // introduces re-alias Projects that survive canonicalization and
+    // defeat sameResult even when the plans are otherwise identical
+    val bound = s"${3 * graft.queries.TextAnalysis.HllRsd}D"
+    assertParity("x05_hll_union",
+      s"""SELECT source, exact_distinct,
+        |  CASE WHEN abs(CAST(est AS DOUBLE) - CAST(exact_distinct AS DOUBLE))
+        |    <= greatest(CAST(exact_distinct AS DOUBLE) * $bound, 1.0D)
+        |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS within_bound
+        |FROM (
+        |  SELECT source, count(DISTINCT fp) AS exact_distinct,
+        |    hll_sketch_estimate(hll_sketch_agg(fp, 12)) AS est
+        |  FROM (SELECT source, graft_charfp(text) AS fp FROM documents)
+        |  GROUP BY source
+        |  UNION ALL
+        |  SELECT 'ALL' AS source, exact_distinct, hll_sketch_estimate(sk) AS est
+        |  FROM (SELECT hll_union_agg(sk, false) AS sk
+        |        FROM (SELECT hll_sketch_agg(fp, 12) AS sk
+        |              FROM (SELECT source, graft_charfp(text) AS fp FROM documents)
+        |              GROUP BY source))
+        |  CROSS JOIN (SELECT count(DISTINCT fp) AS exact_distinct
+        |              FROM (SELECT graft_charfp(text) AS fp FROM documents))
+        |) ORDER BY source""".stripMargin,
+      Seq("documents"))
+  }
+
   test("c04 classifier filter: SQL twin through graft_classifier matches") {
     assertParity("c04_classifier_filter",
       """SELECT source, count(1) AS n_docs,

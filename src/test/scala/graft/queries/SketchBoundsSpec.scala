@@ -65,6 +65,25 @@ class SketchBoundsSpec extends SparkSpec {
     }
   }
 
+  test("x05: per-source AND merged-ALL HLL union estimates within max(3x rsd, 1)") {
+    val rows = TextAnalysis.x05Raw(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.count(_.getString(0) == "ALL") == 1, "merged ALL row missing")
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_distinct")).toDouble
+      val est = r.get(r.fieldIndex("est")).toString.toDouble
+      assert(exact > 0, r.toString)
+      val err = math.abs(est - exact)
+      assert(err <= math.max(3 * TextAnalysis.HllRsd * exact, 1.0),
+        s"${r.getString(0)}: |$est - $exact| = $err > max(3*rsd*$exact, 1)")
+    }
+    val out = graft.SparkEntry.queries("x05_hll_union")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("within_bound")) == 1L, s"x05: $r")
+    }
+  }
+
   test("x04: CMS never underestimates ANY bigram; top-10 overestimate inside 4*eps*N") {
     import org.apache.spark.sql.functions._
     import graft.functions.Text
