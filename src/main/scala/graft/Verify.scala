@@ -4,6 +4,34 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run every selected query against `sfDir`, writing one parquet per
+    * success under `outDir`; returns the names that FAILED (no parquet
+    * written). Every declared query therefore yields either a result
+    * file or an entry in the returned list — never silence. Factored
+    * out of [[main]] so the error-accounting contract is spec-testable
+    * against a deliberately broken fixture dir (VerifyAccountingSpec).
+    */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    failed.toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev only; the
@@ -24,20 +52,7 @@ object Verify {
     // are identical; see SharedProjections)
     SharedProjections.enable()
     new java.io.File(outDir).mkdirs()
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val failed = runAll(spark, sfDir, outDir, only)
     // A failed query writes no parquet, so the driver's compare would
     // silently skip it — make the count impossible to miss on stdout
     // (this is exactly how the round-8 fixture regression went unseen).
