@@ -196,7 +196,42 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
           sum(col("score")).as("sum_score"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Gopher-style RULE filtering (Rae et al. 2021, arXiv 2112.11446
+    // §A1.1 — public) — the heuristic rule battery that runs BEFORE
+    // model scoring (c04) in a standard curation pipeline: word-count
+    // window, mean-word-length window, minimum stopword evidence,
+    // minimum type-token ratio. Every rule is an INTEGER comparison
+    // (3·n ≤ len ≤ 10·n instead of 3 ≤ len/n ≤ 10, 5·distinct ≥ n
+    // instead of ttr ≥ 0.2), so the per-doc verdict is hash-exact by
+    // construction with zero float arithmetic in either engine. The
+    // output is the per-doc rule bitmask a real pipeline persists
+    // (fail_bits: 1=wordcount, 2=meanlen, 4=stopwords, 8=ttr) plus the
+    // all-rules pass flag. Scale: everything is computed scan-side
+    // from the tokenStats/stopHits codegen kernels — ZERO shuffles
+    // below the output order; the filter composes with c04/p03 as a
+    // map-side predicate.
+    "c05_gopher_rules" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).as("st"),
+          Text.stopHits(Text.tokens(col("text")), "en").as("n_stop"))
+        .select(col("doc_id"), col("source"),
+          col("st").getField("_1").cast("long").as("n_tok"),
+          col("st").getField("_2").cast("long").as("n_dst"),
+          col("st").getField("_3").as("len"), col("n_stop"))
+      val rWc = col("n_tok") >= 30 && col("n_tok") <= 100000
+      val rMean = lit(3) * col("n_tok") <= col("len") &&
+        col("len") <= lit(10) * col("n_tok")
+      val rStop = col("n_stop") >= 2
+      val rTtr = lit(5) * col("n_dst") >= col("n_tok")
+      def fbit(c: Column, b: Int): Column = when(c, lit(0L)).otherwise(lit(1L << b))
+      base.select(col("doc_id"), col("source"), col("n_tok").as("n_tokens"),
+        (fbit(rWc, 0) + fbit(rMean, 1) + fbit(rStop, 2) + fbit(rTtr, 3)).as("fail_bits"),
+        when(rWc && rMean && rStop && rTtr, lit(1L)).otherwise(lit(0L)).as("pass"))
+        .orderBy("doc_id")
+    })
   )
 
   /** x03's bloom parameters: nominal shingle-level false-positive rate,
@@ -407,6 +442,23 @@ object Curation {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(score) AS BIGINT) AS sum_score
-         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same integer comparisons, same stopword list macro — no floats
+    "c05_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, source, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tok,
+         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_dst,
+         |  COALESCE(list_sum([CAST(len(t) AS BIGINT) for t in tk]), 0) AS len,
+         |  ${stopHits("tk", "en")} AS n_stop FROM d)
+         |SELECT doc_id, source, n_tok AS n_tokens,
+         |  CAST((CASE WHEN n_tok >= 30 AND n_tok <= 100000 THEN 0 ELSE 1 END)
+         |    + (CASE WHEN 3 * n_tok <= len AND len <= 10 * n_tok THEN 0 ELSE 2 END)
+         |    + (CASE WHEN n_stop >= 2 THEN 0 ELSE 4 END)
+         |    + (CASE WHEN 5 * n_dst >= n_tok THEN 0 ELSE 8 END) AS BIGINT) AS fail_bits,
+         |  CAST(CASE WHEN n_tok >= 30 AND n_tok <= 100000
+         |    AND 3 * n_tok <= len AND len <= 10 * n_tok
+         |    AND n_stop >= 2 AND 5 * n_dst >= n_tok THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -55,6 +55,15 @@ class PlanSpec extends SparkSpec {
       "verify is the counting join, not array intersection")
   }
 
+  test("c05: rule battery is scan-fused — the only exchange is the output order") {
+    val p = plan("c05_gopher_rules")
+    // tokenStats/stopHits evaluate in the scan's Project; the sole
+    // Exchange is the rangepartitioning for the final orderBy, so the
+    // filter composes as a map-side predicate at 100 TB
+    assert("Exchange".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("ScalaUDF"), "rule inputs must stay codegen kernels")
+  }
+
   test("v03: blocked pairs shuffle on label, never cross-join globally") {
     val p = plan("v03_neardup_blocked")
     assert(!p.contains("CartesianProduct"), p)
