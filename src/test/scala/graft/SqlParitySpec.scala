@@ -5,11 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
 /** SQL-surface parity: the engine's query surface is declared through
   * the Column API, and the native kernels are SQL-registered via
   * [[GraftExtensions]] — this spec proves a pure-SQL user gets the SAME
-  * engine: for representative gated queries (one relational, two
-  * through the `graft_*` kernel functions), the `spark.sql` twin must
-  * optimize to a plan with `sameResult` as the DataFrame form (same
-  * scans, same aggregates, same kernel expressions — not merely equal
-  * output) and collect identical rows.
+  * engine. One representative gated query per family (relational q01,
+  * weather r01, text kernels t01/t04, classifier c04, sketch x05,
+  * temporal w03, session-window s03, similarity v01) must optimize to
+  * a plan with `sameResult` as the DataFrame form (same scans, same
+  * aggregates, same kernel expressions — not merely equal output) and
+  * collect identical rows; the dedup family (d04), whose plans contain
+  * RDD-identity checkpoint nodes that no two independent builds can
+  * share, is pinned at identical rows + native-kernel-only plan.
   */
 class SqlParitySpec extends SparkSpec {
 
@@ -154,6 +157,56 @@ class SqlParitySpec extends SparkSpec {
         |              FROM (SELECT graft_charfp(text) AS fp FROM documents))
         |) ORDER BY source""".stripMargin,
       Seq("documents"))
+  }
+
+  // temporal-family pin: the interval join is pure SQL (watermarks are
+  // analyzer-eliminated in batch, so the optimized plans align)
+  test("w03 interval join: SQL twin has the same optimized plan and rows") {
+    assertParity("w03_interval_join",
+      """SELECT user_id, purchase_id, click_id, purchase_ts, click_ts
+        |FROM (SELECT user_id, ts AS click_ts, event_id AS click_id
+        |      FROM events WHERE event_type = 'click')
+        |JOIN (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |ON user_id = p_user_id AND click_ts <= purchase_ts
+        |  AND click_ts >= purchase_ts - INTERVAL 60 MINUTES
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+      Seq("events"))
+  }
+
+  // streaming-adjacent pin: the native session_window group key is
+  // plain SQL, so the merge-on-overlap sessionization a pure-SQL user
+  // writes runs the identical plan
+  test("s03 session window: SQL twin has the same optimized plan and rows") {
+    assertParity("s03_session_window",
+      """SELECT user_id, session_window.start AS session_start,
+        |  session_window.end AS session_end, n_events, sum_value
+        |FROM (SELECT user_id, session_window, count(1) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY user_id, session_window(ts, '15 minutes'))
+        |ORDER BY user_id, session_start""".stripMargin,
+      Seq("events"))
+  }
+
+  // similarity-family pin: brute-force kNN through graft_dot with the
+  // broadcast hint — the query a pure-SQL user would write for v01
+  test("v01 knn exact: SQL twin through graft_dot matches plan and rows") {
+    assertParity("v01_knn_exact",
+      """SELECT q_id, rank, neighbor_id, cosine FROM (
+        |  SELECT q_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM (
+        |    SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id AS neighbor_id,
+        |      graft_dot(q.qv, e.v) / (q.qn * e.nrm) AS cosine
+        |    FROM (SELECT vec_id, v, sqrt(graft_dot(v, v)) AS nrm
+        |          FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |                FROM embeddings)) e
+        |    CROSS JOIN (SELECT vec_id AS q_id, v AS qv, sqrt(graft_dot(v, v)) AS qn
+        |          FROM (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+        |                FROM embeddings WHERE vec_id >= 0 AND vec_id < 20)) q
+        |    WHERE e.vec_id != q.q_id))
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+      Seq("embeddings"))
   }
 
   test("c04 classifier filter: SQL twin through graft_classifier matches") {
