@@ -81,16 +81,30 @@ object Bench {
     // per-query map is diagnostic detail whose rounding may not sum to it.
     def fmt(dp: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", java.lang.Double.valueOf(v))
-    def line(dp: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(dp, v) }
+    def line(dp: Int, shown: Seq[(String, Double)], errCap: Int): String = {
+      val qs = shown.map { case (k, v) => s"\"" + k + "\":" + fmt(dp, v) }
         .mkString("{", ",", "}")
       // "failed" is always present (0 on a clean run) so a regression can
       // never hide; the per-query error classes ride along when they fit.
-      val es = errs.toSeq.sorted.map { case (k, v) => s"\"$k\":\"$v\"" }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","failed":${errs.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
+      val eShown = errs.toSeq.sorted.take(errCap)
+      val es = eShown.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+      val omitted =
+        (if (shown.size < results.size) s""","queries_omitted":${results.size - shown.size}""" else "") +
+          (if (eShown.size < errs.size) s""","errors_omitted":${errs.size - eShown.size}""" else "")
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","failed":${errs.size},"errors":$es$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
-    val out = Iterator(3, 2, 1).map(line).find(_.length <= 1900).getOrElse(line(0))
+    // The line MUST fit the driver's ~2000-char stdout tail window or the
+    // whole round's bench parses to null (the r8 artifact's parsed:null
+    // was exactly this: 85+ queries no longer fit even at 0 dp). Degrade
+    // gracefully: full map at shrinking precision, then the slowest-K
+    // prefix (the only individually interesting entries) with an explicit
+    // queries_omitted count, finally totals-only — never an oversized line.
+    val bySlow = results.sortBy { case (n, v) => (-v, n) }
+    val candidates =
+      Iterator(3, 2, 1, 0).map(dp => line(dp, results, errs.size)) ++
+        Iterator(70, 55, 40, 25, 15, 5).map(k => line(1, bySlow.take(k), 10)) ++
+        Iterator(line(1, Nil, 5))
+    val out = candidates.find(_.length <= 1900).getOrElse(line(1, Nil, 0))
     spark.stop()
     println(out)
     System.out.flush()
