@@ -493,6 +493,57 @@ object Relational {
     }),
 
     // the real unpivot/melt operator: q14's wide shape back to long
+    // TPC-H Q5-shaped local-supplier volume (public spec): revenue and
+    // tax-inclusive charge per nation where customer and supplier sit
+    // in the SAME nation, one region, two order years, finalized/open
+    // orders only. The deepest join tree in the repo — the plan to
+    // want at 100 TB: every dim (region→nation→customer→supplier)
+    // broadcasts, the ONLY shuffle join is lineitem⋈orders on the fact
+    // key, and the region/status/date filters prune before the fact
+    // join. Decimal chains are sized to stay under precision 38 in
+    // BOTH engines ((12,2)·(13,2)→(26,4); ·(5,2)→(32,6)), so no
+    // engine-specific overflow adjustment can round differently.
+    "q29_local_supplier_volume" -> ((s, dir) => {
+      def d12(c: Column) = c.cast(DecimalType(12, 2))
+      def d42(c: Column) = c.cast(DecimalType(4, 2))
+      val rev = d12(col("l_extendedprice")) * (d12(lit(1)) - d12(col("l_discount")))
+      val charge = rev * (d42(lit(1)) + d42(col("l_tax")))
+      val reg = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = Tables(s, dir, "nation")
+      val cust = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          col("o_orderstatus") =!= "P")
+      Tables(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(out2(sum(rev)).as("revenue"),
+          out2(sum(charge)).as("charge"),
+          countDistinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // supplier-dim health report per nation — the dim-quality summary a
+    // pipeline runs before trusting a dimension: pure broadcast join +
+    // one tiny agg shuffle
+    "q30_supplier_health" -> ((s, dir) => {
+      Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          out2(sum(dec2(col("s_acctbal")))).as("sum_acctbal"),
+          sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .orderBy("n_name")
+    }),
+
     "q28_unpivot" -> ((s, dir) => {
       def isPrio(p: String) = when(col("o_orderpriority") === p, 1L).otherwise(0L)
       Tables(s, dir, "orders")
@@ -779,6 +830,34 @@ object Relational {
         |FROM customer c JOIN nation n ON c_nationkey = n_nationkey
         |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
         |ORDER BY nation_name, segment""".stripMargin,
+
+    // decimal chain mirrored exactly: (12,2)·(13,2)·(5,2) stays under
+    // precision 38 in both engines, so the products are exact
+    "q29_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |    * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS charge,
+        |  count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderstatus <> 'P'
+        |  AND o_orderdate >= CAST('1995-01-01' AS TIMESTAMP)
+        |  AND o_orderdate < CAST('1997-01-01' AS TIMESTAMP)
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q30_supplier_health" ->
+      """SELECT n_name, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(sum(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q28_unpivot" ->
       """WITH w AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,

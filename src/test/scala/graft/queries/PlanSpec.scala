@@ -55,6 +55,16 @@ class PlanSpec extends SparkSpec {
       "verify is the counting join, not array intersection")
   }
 
+  test("q29: every dimension broadcasts; the fact join is never a cartesian") {
+    val p = plan("q29_local_supplier_volume")
+    // region/nation/customer/supplier all ride broadcast exchanges; at
+    // this SF orders broadcasts too (size-based) — at scale it becomes
+    // the one shuffle join, which is the intended Q5 shape
+    assert("BroadcastExchange".r.findAllIn(p).length >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
   test("c05: rule battery is scan-fused — the only exchange is the output order") {
     val p = plan("c05_gopher_rules")
     // tokenStats/stopHits evaluate in the scan's Project; the sole
