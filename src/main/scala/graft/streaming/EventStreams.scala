@@ -32,6 +32,25 @@ case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   */
 object EventStreams {
 
+  /** Stream-static broadcast enrichment — the streaming twin of the
+    * weather ingest's dimension join (J3): each micro-batch joins the
+    * STATIC dim (broadcast, re-resolved per batch — dim updates are
+    * picked up at batch boundaries), then windows per province. The
+    * static side never enters the state store; the watermark bounds
+    * window state exactly as in [[hourlyByType]]. At 100 TB the dim is
+    * the small side by construction (a dimension table), so this stays
+    * a map-side hash join inside every micro-batch.
+    */
+  def enrichedHourly(events: DataFrame, dim: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .withColumn("location_id", col("user_id") % 146)
+      .join(broadcast(dim), Seq("location_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("province_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("province_name"),
+        col("n_events"), col("sum_value"))
+
   /** Tumbling window aggregate with watermark — streaming twin of q13. */
   def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -153,6 +153,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static broadcast enrichment agrees with its batch twin") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchDf = graft.Tables(spark, dir, "events")
+    batchDf.write.mode("overwrite").parquet("/tmp/stream_enrich_in")
+    val dim = spark.range(146).select(
+      $"id".as("location_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("P"), $"id" % 30).as("province_name"))
+    val stream = spark.readStream.schema(batchDf.schema)
+      .parquet("/tmp/stream_enrich_in")
+    val q = EventStreams.enrichedHourly(stream, dim, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("enriched_hourly")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM enriched_hourly")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      val batch = EventStreams.enrichedHourly(batchDf, dim)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap timeout; agrees with batch logic") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
