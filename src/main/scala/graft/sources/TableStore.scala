@@ -76,6 +76,17 @@ object TableStore {
     overwriteSnapshot(df, snapshotPath, idColumn, stableKey)
   }
 
+  /** One-time xlsx migration — the reference's ACTUAL snapshot format
+    * (`weather_data_fetcher.py:365-372` reads `all_locations.xlsx`);
+    * the CSV variant above remains for the common interchange case.
+    * Same schema-first string discipline: cells load as strings via
+    * [[Xlsx.read]] (leading-zero PSGC codes intact) and cast by name.
+    */
+  def importSnapshotXlsx(
+      spark: SparkSession, xlsxPath: String, snapshotPath: String,
+      schema: StructType, idColumn: String, stableKey: Seq[String]): Unit =
+    overwriteSnapshot(Xlsx.read(spark, xlsxPath, schema), snapshotPath, idColumn, stableKey)
+
   /** [[overwriteSnapshot]] for big tables. The plain variant's
     * un-partitioned `row_number` window is exactly right for the
     * reference-sized snapshot (146 rows) but funnels everything through
