@@ -4,15 +4,18 @@ import java.net.InetSocketAddress
 import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
 
 /** Drives the real HTTP connector end-to-end against an in-process
   * loopback server (JDK `com.sun.net.httpserver`) — actual sockets,
   * actual status codes, no network egress. Proves the production
   * function that plugs into the fetch seams: 200→body, non-200→empty
-  * (F4), bounded retries on 5xx with eventual success, no retry on 4xx.
+  * (F4), bounded retries on 5xx with eventual success, no retry on
+  * 4xx — and the full deployment composition, executors fetching
+  * through [[Throttle.mapThrottled]].
   */
-class HttpSpec extends AnyFunSuite {
+class HttpSpec extends SparkSpec {
 
   private def withServer(routes: Map[String, HttpExchange => Unit])(f: Int => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -65,6 +68,25 @@ class HttpSpec extends AnyFunSuite {
       val r = Http.get(s"http://127.0.0.1:$port/bad", retries = 3, backoffMs = 10)
       assert(r.get.status === 400)
       assert(calls.get() === 1)
+    }
+  }
+
+  test("deployment composition: executors fetch through the throttled seam") {
+    import spark.implicits._
+    val calls = new AtomicInteger(0)
+    withServer(Map(
+      "/loc" -> { ex =>
+        calls.incrementAndGet()
+        val id = ex.getRequestURI.getQuery.stripPrefix("id=")
+        respond(ex, 200, s"""{"location":$id}""")
+      }
+    )) { port =>
+      val ids = spark.range(0, 8).as[Long].repartition(2)
+      val bodies = Throttle.mapThrottled(ids, perSecPerPartition = 1000.0) { id =>
+        Http.getJson(s"http://127.0.0.1:$port/loc?id=$id").getOrElse("")
+      }.collect().sorted
+      assert(calls.get() === 8)
+      assert(bodies.toSeq === (0 until 8).map(i => s"""{"location":$i}"""))
     }
   }
 
