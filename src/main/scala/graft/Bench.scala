@@ -73,7 +73,10 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (!best.contains(name) || dt < best(name)) best(name) = dt
     }
-    val results = names.map(n => n -> best(n))
+    // A failing query's fast-fail duration must not deflate the headline
+    // total: "value" covers only succeeded queries, with the failed count
+    // (always present in the line) flagging that the total is partial.
+    val results = names.filterNot(errs.contains).map(n => n -> best(n))
     val total = results.map(_._2).sum
     // The whole line must survive the driver's 2000-char tail window, so
     // per-query seconds are rounded; precision degrades only if needed.

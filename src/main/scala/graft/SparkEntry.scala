@@ -40,8 +40,10 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++ graft.weather.WeatherQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted entries get a rows-only check
-    * (m01: engine-side decode stub is not SQL-expressible).
+    * the same parquet tables. Every query has an oracle — the keysets
+    * are identical (EntryContractSpec pins this structurally); an
+    * omitted entry would get only a weaker rows-only check, and none
+    * are omitted.
     */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ Dedup.oracleSql ++ TextAnalysis.oracleSql ++ Similarity.oracleSql ++

@@ -311,8 +311,9 @@ object Similarity {
     // (measured alpha 1.47 on the salted replica — at 100x a hot label
     // melts one executor), so participation is CAPPED: only the
     // V03Cap smallest vec_ids per label pair up. The cap is exact-
-    // preserving at every gate SF (max label size ~1.2k at sf0.1, so
-    // the rank filter is a no-op and the oracle mirrors it literally);
+    // preserving at every gate SF (measured max label size: 218 at
+    // sf0.1, 63/59 at the smaller SFs — all far below the 1000 cap,
+    // so the rank filter is a no-op and the oracle mirrors it literally);
     // on the salted sf1 replica it binds and bounds per-label work at
     // O(cap²) — the LSH sub-bucket alternative (v06's bucket under
     // label) was measured to zero out recall at the 0.4 threshold

@@ -39,13 +39,22 @@ object Http {
       retries: Int = 2, backoffMs: Long = 100): Try[Response] = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(readTimeoutMs)).GET().build()
+    // Backoff inside Try: task cancellation interrupts executor
+    // threads, and an InterruptedException escaping here would break
+    // the Try/Option contract getJson callers rely on — restore the
+    // interrupt flag and surface a Failure instead.
+    def backoff(left: Int): Try[Unit] =
+      Try(Thread.sleep(backoffMs * (retries - left + 1))).recoverWith {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt(); Failure(e)
+      }
     def attempt(left: Int): Try[Response] =
       Try(client.send(req, HttpResponse.BodyHandlers.ofString())) match {
         case Success(r) if r.statusCode() >= 500 && left > 0 =>
-          Thread.sleep(backoffMs * (retries - left + 1)); attempt(left - 1)
+          backoff(left).flatMap(_ => attempt(left - 1))
         case Success(r) => Success(Response(r.statusCode(), r.body()))
         case Failure(_) if left > 0 =>
-          Thread.sleep(backoffMs * (retries - left + 1)); attempt(left - 1)
+          backoff(left).flatMap(_ => attempt(left - 1))
         case Failure(e) => Failure(e)
       }
     attempt(retries)

@@ -108,10 +108,20 @@ object Xlsx {
             if (text != null) {
               val raw = text.toString
               val value = cellType match {
-                case "s" => shared(raw.trim.toInt)
+                case "s" =>
+                  // An empty <v/> in a shared-string cell has no index
+                  // to look up — treat as a missing cell, not a crash.
+                  val idx = raw.trim
+                  if (idx.isEmpty) null
+                  else {
+                    val i = idx.toInt
+                    require(i >= 0 && i < shared.length,
+                      s"shared-string index $i out of range (${shared.length} entries)")
+                    shared(i)
+                  }
                 case _ => raw // inlineStr/str/n/b all surface verbatim
               }
-              row.update(cellCol, value)
+              if (value != null) row.update(cellCol, value)
             }
             cellCol = -1
           case "row" => rows += row.toMap; row = null
@@ -135,7 +145,9 @@ object Xlsx {
         .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
       val rows = parseSheet(zip.getInputStream(sheetEntry), shared)
       require(rows.nonEmpty, s"$path: empty sheet")
-      val width = rows.iterator.flatMap(_.keys).max + 1
+      val width = rows.iterator.flatMap(_.keys).maxOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: sheet has rows but no cells (all <row/> empty)")) + 1
       val header = (0 until width).map(i => rows.head.getOrElse(i, s"_c$i"))
       val data = rows.tail.map(m => (0 until width).map(m.get))
       (header, data)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -40,11 +40,18 @@ object EventStreams {
     * window state exactly as in [[hourlyByType]]. At 100 TB the dim is
     * the small side by construction (a dimension table), so this stays
     * a map-side hash join inside every micro-batch.
+    *
+    * `locationKey` derives the join key from the event row; the default
+    * mirrors the synthetic fixture (user_id mod the reference dim's 146
+    * rows). A caller joining a dim with different key coverage MUST
+    * supply a derivation that lands inside it — the join is inner, so
+    * uncovered keys drop events.
     */
   def enrichedHourly(events: DataFrame, dim: DataFrame,
-      watermark: String = "2 hours"): DataFrame =
+      watermark: String = "2 hours",
+      locationKey: Column = col("user_id") % 146): DataFrame =
     events.withWatermark("ts", watermark)
-      .withColumn("location_id", col("user_id") % 146)
+      .withColumn("location_id", locationKey)
       .join(broadcast(dim), Seq("location_id"))
       .groupBy(window(col("ts"), "1 hour"), col("province_name"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
