@@ -61,6 +61,31 @@ object TableStore {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** [[overwriteSnapshot]] when `df`'s lineage READS the same `path` it
+    * replaces — the refresh cycle's shape (carry-forward rows come from
+    * the old snapshot, `weather_data_fetcher.py:426` re-writes the same
+    * Excel file). A direct overwrite would delete the input before the
+    * job reads it (Spark rejects the plan); instead the new snapshot is
+    * fully written to a staging directory, then swapped in with two
+    * renames — the same all-or-nothing visibility the reference gets
+    * from its transaction (`:228-229`), at any snapshot size (nothing
+    * funnels through the driver).
+    */
+  def replaceSnapshot(
+      df: DataFrame, path: String, idColumn: String, stableKey: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    overwriteSnapshot(df, staging.toString, idColumn, stableKey)
+    if (fs.exists(p)) fs.rename(p, retired)
+    fs.rename(staging, p)
+    fs.delete(retired, true)
+  }
+
   /** One-time migration for a user holding the reference's Excel
     * snapshot (`all_locations.xlsx`, `weather_data_fetcher.py:36,:365`):
     * read a CSV export of it with an EXPLICIT schema (inference would

@@ -22,6 +22,42 @@ import org.apache.spark.sql.{Dataset, Encoder}
   */
 object Throttle {
 
+  /** JVM-wide named token buckets for throttling per-CALL seams — the
+    * shape [[graft.weather.WeatherMain]] needs: the geocode resolver
+    * calls its connector a variable number of times per row (one per
+    * name variant), so a per-ROW limiter ([[mapThrottled]]) cannot
+    * bound the request rate; this one sits inside the injected function
+    * and bounds every call. One bucket per key per executor JVM
+    * (`ConcurrentHashMap` of reservation timestamps, CAS-reserved, so
+    * concurrent task threads in one executor share the budget); the
+    * cluster-wide rate is `perSecPerJvm × executors` — size the
+    * per-JVM rate to `quota / numExecutors`, same sizing rule as
+    * [[mapThrottled]]'s partition count.
+    */
+  private val buckets =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Block until the named bucket grants a slot: at most `perSecPerJvm`
+    * acquisitions per second across all threads of this JVM. First call
+    * in an idle window is immediate; sustained calls space by `1/rate`.
+    */
+  def acquire(key: String, perSecPerJvm: Double): Unit = {
+    require(perSecPerJvm > 0, "rate must be positive")
+    val intervalNs = (1e9 / perSecPerJvm).toLong
+    val bucket = buckets.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+    var slot = 0L
+    var reserved = false
+    while (!reserved) {
+      val now = System.nanoTime()
+      val prev = bucket.get()
+      slot = if (prev == Long.MinValue) now else math.max(now, prev)
+      reserved = bucket.compareAndSet(prev, slot + intervalNs)
+    }
+    val waitNs = slot - System.nanoTime()
+    if (waitNs > 0) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+  }
+
   /** Map `f` over `ds` with at most `perSecPerPartition` calls per
     * second per partition (token-bucket: the first call in an idle
     * window is immediate; sustained calls space by `1/rate`).

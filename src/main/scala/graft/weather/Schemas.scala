@@ -101,6 +101,18 @@ object Schemas {
     StructField("data_datetime", TimestampType),
     StructField("inserted_at", TimestampType)))
 
+  /** The persisted locations snapshot (`all_locations.xlsx`,
+    * `weather_data_fetcher.py:36,:426`): the 10 compare columns in
+    * [[compareColumns]] order, then coordinates, then the dense id —
+    * exactly the column order [[LocationRefresh.refresh]] emits.
+    */
+  val locationsSnapshot: StructType = StructType(
+    psgcCities.fields.toSeq ++ Seq(
+      StructField("province_name", StringType),
+      StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType),
+      StructField("location_id", LongType)))
+
   /** The 10 change-detection compare columns (`weather_data_fetcher.py:377-380`). */
   val compareColumns: Seq[String] = Seq(
     "code", "name", "oldName", "isCapital", "provinceCode", "districtCode",

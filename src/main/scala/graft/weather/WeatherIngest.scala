@@ -68,6 +68,17 @@ object WeatherIngest {
       .as[(String, Option[String], Double, Double)]
       .map { case (name, prov, lat, lon) => (name, prov.orNull, fetchJson(lat, lon)) }
       .toDF("location_name", "province_name", "raw")
+      // F4 on the fetch seam: a failed fetch (connector returns null)
+      // produces NO fact row — the reference only inserts on HTTP 200
+      // (`:334-335` logs the error and skips). Fixture connectors always
+      // return a body, so this filter is a no-op in offline runs.
+      .filter(col("raw").isNotNull)
+      // Both outputs (facts, missed audit) consume this relation; persist
+      // so the connector fires exactly once per row per pass no matter
+      // how many outputs the caller evaluates — a lazy recompute would
+      // double-spend the API quota. ContextCleaner unpersists it once
+      // the frames are unreachable.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val shredded = shred(fetched)
       .withColumn("data_datetime", lit(now)) // ingestion time (:282)
