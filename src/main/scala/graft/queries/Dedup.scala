@@ -375,39 +375,16 @@ object Dedup {
     // equi-join of each key's Tau+1 segments against position-windowed
     // substrings of the others — near-linear, EXACT by pigeonhole for
     // ed <= Tau — and only the candidates pay the banded levenshtein.
-    // The oracle keeps the plain quadratic CASE join: the blocking is
-    // lossless, so semantics are identical. This is where segment
-    // blocking earns its keep (long strings over a large vocabulary);
-    // q24's short-name stats use vocabulary collapse instead.
-    "d08_editdist_neardup" -> ((s, dir) => {
-      val tau = graft.functions.Segments.Tau // 2: 13-char segments over the 40-char key
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("k"))
-      val segs = docs.select(col("doc_id").as("r_id"), col("k").as("r_k"),
-          length(col("k")).as("r_lr"),
-          explode(graft.functions.Segments.segments(col("k"))).as("g"))
-        .select(col("r_id"), col("r_k"), col("r_lr"),
-          col("g._1").as("r_i"), col("g._2").as("seg"))
-      val probes = docs.select(col("doc_id").as("s_id"), col("k").as("s_k"),
-          explode(graft.functions.Segments.probes(col("k"))).as("g"))
-        .select(col("s_id"), col("s_k"),
-          col("g._1").as("lr"), col("g._2").as("i"), col("g._3").as("sub"))
-      // the segment index is K rows/doc (same order as the corpus) —
-      // broadcast at test SF; at cluster scale both sides shuffle on
-      // the (lr, i, text) block key, still near-linear rows
-      val cand = probes.join(broadcast(segs),
-          col("lr") === col("r_lr") && col("i") === col("r_i") &&
-            col("sub") === col("seg") && col("s_id") =!= col("r_id"))
-        .select(least(col("r_id"), col("s_id")).as("a_id"),
-          greatest(col("r_id"), col("s_id")).as("b_id"),
-          when(col("r_id") < col("s_id"), col("r_k")).otherwise(col("s_k")).as("a_k"),
-          when(col("r_id") < col("s_id"), col("s_k")).otherwise(col("r_k")).as("b_k"))
-        .distinct()
-      cand.select(col("a_id"), col("b_id"),
-          levenshtein(col("a_k"), col("b_k"), tau).as("d")) // -1 when > tau
-        .filter(col("d") >= 0)
-        .orderBy("a_id", "b_id")
-    }),
+    // Participation is CAPPED per first-segment block (D08Cap, the v03
+    // pattern at the PassJoin block level); the oracle mirrors the cap
+    // with one window, then keeps the plain quadratic CASE join over
+    // the participants — the blocking itself is lossless. This is
+    // where segment blocking earns its keep (long strings over a large
+    // vocabulary); q24's short-name stats use vocabulary collapse.
+    "d08_editdist_neardup" -> ((s, dir) =>
+      editDistancePairs(Tables(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("k")))
+        .orderBy("a_id", "b_id")),
 
     "d05_simhash_neardup" -> ((s, dir) =>
       simhashPairs(shingleDocs(s, dir)).orderBy("a_id", "b_id")),
@@ -421,6 +398,100 @@ object Dedup {
       passageDedup(Tables(s, dir, "documents").select(col("doc_id"), col("text")), w = 8)
         .orderBy("doc_id"))
   )
+
+  /** Participation cap for the edit-distance join — the v03 pattern
+    * applied at the PassJoin block level. A segment block's candidate
+    * volume is seg-count × probe-count ≈ df², and the hot blocks are
+    * FIRST-segment blocks (shared leading tokens — boilerplate
+    * prefixes at web scale): measured 28.4 k candidates at sf0.1 vs
+    * 2.00 M on the 10× salted replica (α ≈ 1.85) with every hot block
+    * a segment-0 block ("customer agg " df 13 → 130). So only the
+    * D08Cap smallest doc_ids per segment-0 block participate in the
+    * join at all — bounding per-block work at O(cap²) and total work
+    * linear in the corpus. Segment 0 of the tau+1 = 3 partition has
+    * length ⌊l/3⌋ for EVERY l (the remainder spreads over the last
+    * segments), so the block key is `substr(k, 1, ⌊len(k)/3⌋)` in
+    * plain SQL and the oracle mirrors the cap with one rank window.
+    * Gate-SF max block sizes are 4 / 4 / 13 — far below 32, so the
+    * cap is provably a no-op at every gate (D08CapSpec pins the audit
+    * empty); on the salted replica it binds (11 379 of 50 000
+    * doc-slots trimmed — coverage cost in BENCHNOTES). Production
+    * recipe: cap ≈ p99 block size; [[d08CapAudit]] is the audit
+    * relation that tells you when (and where) the cap is binding.
+    */
+  private[queries] val D08Cap = 32
+
+  private def d08Block(k: Column): Column =
+    k.substr(lit(1), floor(length(k) / 3).cast("int"))
+
+  /** The capped participant relation over a `(doc_id, k)` key corpus:
+    * keep the `cap` smallest doc_ids per segment-0 block. The corpus
+    * never pays a full window exchange: hot blocks (> cap members)
+    * come from a map-side-combinable count, only THEIR members are
+    * ranked (a window over the semi-joined sliver), and the trimmed
+    * ids — empty at every gate SF, 11 k of 50 k doc-slots on the
+    * salted replica — anti-join back against the corpus (AQE
+    * broadcasts the small side). Equivalent to rank-and-filter over
+    * the whole corpus, at the cost of the sliver instead.
+    */
+  private[queries] def d08Participants(docs: DataFrame, cap: Int = D08Cap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hot = docs.groupBy(d08Block(col("k")).as("b0"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > cap).select("b0")
+    // checkpointed: both the segment and the probe side of the join
+    // read the participants; the trimmed sliver is the cheap thing to
+    // materialize once (the docs scan itself stays a narrow re-read)
+    val trimmed = cp(docs
+      .join(hot, d08Block(col("k")) === col("b0"), "left_semi")
+      .select(col("doc_id"), d08Block(col("k")).as("b0"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b0")).orderBy(col("doc_id"))))
+      .filter(col("rk") > cap)
+      .select("doc_id"))
+    docs.join(trimmed, Seq("doc_id"), "left_anti")
+  }
+
+  /** Audit relation for the d08 cap: one row per hot segment-0 block
+    * (size > cap) with its trim count. Empty ⇔ the cap is a no-op on
+    * the corpus — pinned at the gate fixtures by D08CapSpec.
+    */
+  def d08CapAudit(docs: DataFrame, cap: Int = D08Cap): DataFrame =
+    docs
+      .groupBy(d08Block(col("k")).as("b0")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > cap)
+      .select(col("b0"), col("n_docs"), (col("n_docs") - cap).as("n_trimmed"))
+
+  /** All pairs with ed ≤ Segments.Tau over a `(doc_id, k)` key corpus
+    * (capped participants only): PassJoin segment blocking for
+    * candidates, banded levenshtein verify. Columns: a_id, b_id, d.
+    */
+  private[queries] def editDistancePairs(docs0: DataFrame, cap: Int = D08Cap): DataFrame = {
+    val tau = graft.functions.Segments.Tau // 2: 13-char segments over the 40-char key
+    val docs = d08Participants(docs0, cap)
+    val segs = docs.select(col("doc_id").as("r_id"), col("k").as("r_k"),
+        length(col("k")).as("r_lr"),
+        explode(graft.functions.Segments.segments(col("k"))).as("g"))
+      .select(col("r_id"), col("r_k"), col("r_lr"),
+        col("g._1").as("r_i"), col("g._2").as("seg"))
+    val probes = docs.select(col("doc_id").as("s_id"), col("k").as("s_k"),
+        explode(graft.functions.Segments.probes(col("k"))).as("g"))
+      .select(col("s_id"), col("s_k"),
+        col("g._1").as("lr"), col("g._2").as("i"), col("g._3").as("sub"))
+    // the segment index is K rows/doc (same order as the corpus) —
+    // broadcast at test SF; at cluster scale both sides shuffle on
+    // the (lr, i, text) block key, still near-linear rows
+    val cand = probes.join(broadcast(segs),
+        col("lr") === col("r_lr") && col("i") === col("r_i") &&
+          col("sub") === col("seg") && col("s_id") =!= col("r_id"))
+      .select(least(col("r_id"), col("s_id")).as("a_id"),
+        greatest(col("r_id"), col("s_id")).as("b_id"),
+        when(col("r_id") < col("s_id"), col("r_k")).otherwise(col("s_k")).as("a_k"),
+        when(col("r_id") < col("s_id"), col("s_k")).otherwise(col("r_k")).as("b_k"))
+      .distinct()
+    cand.select(col("a_id"), col("b_id"),
+        levenshtein(col("a_k"), col("b_k"), tau).as("d")) // -1 when > tau
+      .filter(col("d") >= 0)
+  }
 
   /** Cross-doc passage dedup over a `(doc_id, text)` relation: split
     * each doc into non-overlapping `w`-token passages, keep each
@@ -568,15 +639,21 @@ object Dedup {
 
     "d07_dedup_components_star" -> COMPONENTS_SQL,
 
-    // blocking is lossless for ed <= Segments.Tau (= 2, the predicate
-    // below), so the oracle is the plain quadratic formulation — same
-    // semantics, no block to mirror
+    // the participation cap is mirrored with one rank window over the
+    // segment-0 block (substr(k, 1, len//3) — segment 0 is ⌊l/3⌋ long
+    // for every l); the blocking itself is lossless for ed <=
+    // Segments.Tau (= 2, the predicate below), so the rest stays the
+    // plain quadratic formulation over the participants
     "d08_editdist_neardup" ->
-      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS d
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 2
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 40) AS k FROM documents),
+         |g AS (SELECT doc_id, k, row_number() OVER (
+         |    PARTITION BY substr(k, 1, CAST(len(k) // 3 AS INT)) ORDER BY doc_id) AS rk FROM d),
+         |e AS (SELECT doc_id, k FROM g WHERE rk <= $D08Cap)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(levenshtein(a.k, b.k) AS INT) AS d
+         |FROM e a JOIN e b ON a.doc_id < b.doc_id
+         |WHERE levenshtein(a.k, b.k) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "d05_simhash_neardup" ->
       s"""WITH docs AS ($DOCS),
