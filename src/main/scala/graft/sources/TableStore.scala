@@ -112,6 +112,29 @@ object TableStore {
       schema: StructType, idColumn: String, stableKey: Seq[String]): Unit =
     overwriteSnapshot(Xlsx.read(spark, xlsxPath, schema), snapshotPath, idColumn, stableKey)
 
+  /** Export a snapshot back to the reference's Excel format
+    * (`weather_data_fetcher.py:365,:426` writes `all_locations.xlsx` /
+    * `missing_locations.xlsx`) — the write half of the xlsx
+    * round-trip. Every cell is stringified and written inline
+    * ([[Xlsx.writeSheet]]), so a re-import through
+    * [[importSnapshotXlsx]] with the original schema restores the
+    * exact values (leading-zero codes intact). Rows are ordered by
+    * `orderCols` (default: all columns, left to right) so the workbook
+    * bytes are deterministic for a given snapshot. Driver-side collect
+    * by design — dimension snapshots only, same guard as the reader.
+    */
+  def exportSnapshotXlsx(df: DataFrame, xlsxPath: String,
+      orderCols: Seq[String] = Seq.empty): Unit = {
+    val order = if (orderCols.nonEmpty) orderCols else df.columns.toSeq
+    val rows = df
+      .orderBy(order.map(col): _*) // sort on the ORIGINAL types (numeric ids stay numeric)
+      .select(df.columns.map(c => col(c).cast("string")).toSeq: _*)
+      .collect()
+      .map(r => df.columns.indices.map(i => Option(r.getString(i))).toSeq)
+      .toSeq
+    Xlsx.writeSheet(xlsxPath, df.columns.toSeq, rows)
+  }
+
   /** [[overwriteSnapshot]] for big tables. The plain variant's
     * un-partitioned `row_number` window is exactly right for the
     * reference-sized snapshot (146 rows) but funnels everything through

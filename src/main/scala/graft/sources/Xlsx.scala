@@ -154,6 +154,95 @@ object Xlsx {
     } finally zip.close()
   }
 
+  /** 0-based column index → A1-style letters: 0 → "A", 25 → "Z",
+    * 26 → "AA".
+    */
+  private def colLetters(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) {
+      val rem = (n - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
+  private def escXml(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '"' => sb.append("&quot;")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Write sheet1 as a minimal SpreadsheetML workbook — the write half
+    * of the reference's Excel round-trip (`weather_data_fetcher.py:365,
+    * :426` `to_excel`). Every cell is an INLINE string
+    * (`t="inlineStr"`, `xml:space="preserve"`): no sharedStrings part
+    * to build, leading-zero PSGC codes and significant whitespace
+    * survive byte-exactly, and [[readSheet]] reads its own output back
+    * verbatim (round-trip pinned in XlsxSpec). `None` cells are
+    * omitted — they read back as missing, same as a real workbook's
+    * empty cells. Driver-side by design, same dim-scale guard as the
+    * read side (the reference snapshot is 146 rows; facts are parquet).
+    */
+  def writeSheet(path: String, header: Seq[String], rows: Seq[Seq[Option[String]]]): Unit = {
+    require(header.nonEmpty, "xlsx sheet needs at least a header row")
+    val zip = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(path)))
+    def part(name: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    def rowXml(r: Int, cells: Seq[Option[String]]): String = {
+      val cs = cells.iterator.zipWithIndex.collect { case (Some(v), i) =>
+        s"""<c r="${colLetters(i)}${r + 1}" t="inlineStr">""" +
+          s"""<is><t xml:space="preserve">${escXml(v)}</t></is></c>"""
+      }
+      cs.mkString(s"""<row r="${r + 1}">""", "", "</row>")
+    }
+    try {
+      part("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        """</Types>""")
+      part("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+      part("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>""" +
+        """</workbook>""")
+      part("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""")
+      val body = new StringBuilder
+      body.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      body.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      body.append(rowXml(0, header.map(Some(_))))
+      rows.iterator.zipWithIndex.foreach { case (cells, i) =>
+        body.append(rowXml(i + 1, cells))
+      }
+      body.append("""</sheetData></worksheet>""")
+      part("xl/worksheets/sheet1.xml", body.toString)
+    } finally zip.close()
+  }
+
   /** Sheet1 as a DataFrame in `schema`'s column order and types: cells
     * load as strings (leading zeros intact) and cast by NAME, exactly
     * like [[TableStore.importSnapshotCsv]]'s schema-first discipline.

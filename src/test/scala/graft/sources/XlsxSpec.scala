@@ -88,6 +88,40 @@ class XlsxSpec extends SparkSpec {
       (2L, "098765000", null, Some(false: java.lang.Boolean), None)))
   }
 
+  test("writeSheet -> readSheet round-trip: strings identical, zeros/whitespace/entities intact") {
+    val p = java.nio.file.Files.createTempFile("rt", ".xlsx").toString
+    val header = Seq("code_city", "name", "note")
+    val rows = Seq(
+      Seq(Some("012805000"), Some("City of Laoag"), Some("a & b <c> \"d\"")),
+      Seq(Some("098765000"), None, Some("  leading and trailing  ")),
+      Seq(Some("007"), Some(""), None))
+    Xlsx.writeSheet(p, header, rows)
+    val (gotHeader, gotRows) = Xlsx.readSheet(p)
+    assert(gotHeader === header)
+    assert(gotRows === rows)
+  }
+
+  test("exportSnapshotXlsx -> importSnapshotXlsx restores the snapshot exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val snap = Seq(
+      (1L, "012805000", "City of Laoag", true, 18.1978),
+      (2L, "098765000", "Zamboanga", false, 6.9214))
+      .toDF("location_id", "code_city", "name", "isCapital", "lat")
+    val x = java.nio.file.Files.createTempFile("exp", ".xlsx").toString
+    TableStore.exportSnapshotXlsx(snap, x, orderCols = Seq("location_id"))
+    val out = java.nio.file.Files.createTempDirectory("xlsx_rt").toString + "/locations"
+    val full = StructType(StructField("location_id", LongType) +: schema.fields)
+    TableStore.importSnapshotXlsx(spark, x, out, full, "location_id", Seq("code_city"))
+    val got = spark.read.parquet(out)
+      .select("location_id", "code_city", "name", "isCapital", "lat")
+      .orderBy(col("location_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, "012805000", "City of Laoag", true, 18.1978),
+      (2L, "098765000", "Zamboanga", false, 6.9214)))
+  }
+
   test("a sheet without sharedStrings still reads (inline-only workbook)") {
     val p = java.nio.file.Files.createTempFile("inline", ".xlsx").toString
     val z = new ZipOutputStream(new FileOutputStream(p))
