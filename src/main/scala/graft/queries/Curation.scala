@@ -213,7 +213,13 @@ object Curation {
     // below the output order; the filter composes with c04/p03 as a
     // map-side predicate.
     "c05_gopher_rules" -> ((s, dir) => {
+      // output-order sort below the kernels (the t08 pattern): the rules
+      // fuse into the post-shuffle stage instead of the scan, the range
+      // sampling never recomputes tokenStats/stopHits, and parallelism
+      // follows shuffle.partitions rather than the file-split count
       val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).as("st"),
           Text.stopHits(Text.tokens(col("text")), "en").as("n_stop"))
@@ -230,7 +236,6 @@ object Curation {
       base.select(col("doc_id"), col("source"), col("n_tok").as("n_tokens"),
         (fbit(rWc, 0) + fbit(rMean, 1) + fbit(rStop, 2) + fbit(rTtr, 3)).as("fail_bits"),
         when(rWc && rMean && rStop && rTtr, lit(1L)).otherwise(lit(0L)).as("pass"))
-        .orderBy("doc_id")
     })
   )
 
@@ -360,7 +365,7 @@ object Curation {
          |  FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN frac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |  CAST(sum(CAST(floor(frac * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_frac_micros
+         |  ${sumMicros("frac", "sum_frac_micros")}
          |FROM frac GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "c03_decontaminate" ->
@@ -392,7 +397,7 @@ object Curation {
          |    ROWS UNBOUNDED PRECEDING) AS cum FROM d)
          |SELECT source, count(*) AS n_selected,
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
-         |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
+         |  ${sumMicros("q", "sum_q_micros")}
          |FROM x WHERE cum <= 5000 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "p04_weighted_sample" ->
@@ -428,7 +433,7 @@ object Curation {
          |  WHERE s IN (SELECT s FROM ev) GROUP BY 1)
          |SELECT t.source, count(*) AS n_train_docs,
          |  CAST(sum(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
-         |  CAST(1 AS BIGINT) AS no_false_neg, CAST(1 AS BIGINT) AS fp_within_bound
+         |  ${boundOk("no_false_neg")}, ${boundOk("fp_within_bound")}
          |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 

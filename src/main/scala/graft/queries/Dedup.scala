@@ -331,12 +331,20 @@ object Dedup {
     // so the gate row is one row per permutation; the array-valued
     // signature stays available engine-side via Text.minhashSig
     "d03_minhash_sig" -> ((s, dir) => {
+      // the output-order sort sits BELOW the signature kernels (the t08
+      // pattern), so the range sampling never recomputes them; the
+      // total (doc_id, perm_index) order still holds: doc_id is unique,
+      // the range exchange orders partitions by doc_id, posexplode
+      // emits pos ascending within each row, and the final
+      // sortWithinPartitions (no exchange, no sampling pass) makes the
+      // within-partition order explicit in the plan
       shingleDocs(s, dir)
+        .orderBy("doc_id")
         .select(col("doc_id"), Text.fps(col("sh")).as("fps"))
         .select(col("doc_id"), posexplode(Text.minhashSig(col("fps"))))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("perm_index"),
           col("col").as("sig_value"))
-        .orderBy("doc_id", "perm_index")
+        .sortWithinPartitions("doc_id", "perm_index")
     }),
 
     "d04_minhash_lsh_dedup" -> ((s, dir) =>

@@ -46,6 +46,28 @@ private[queries] object OracleDialect {
     s"len([t for t in $tk if list_contains([$lst], t)])"
   }
 
+  /** `Σ floor(x·1e6)` AS BIGINT named `as` — the rounding-free way to
+    * hash-compare a summed double score across engines: floor on
+    * identical doubles is bit-exact, while double→DECIMAL casts round
+    * differently per engine (the round-1 hash-mismatch root cause).
+    */
+  def sumMicros(x: String, as: String): String =
+    s"CAST(sum(CAST(floor($x * 1000000.0) AS BIGINT)) AS BIGINT) AS $as"
+
+  /** `floor(sum/count·1e6)` AS BIGINT named `as`, over an exactly
+    * computed numerator (decimal-summed or integer) — the
+    * cross-engine-exact mean (round()'s half-case differs per engine).
+    */
+  def avgMicros(sumExpr: String, as: String): String =
+    s"CAST(floor($sumExpr / count(*) * 1000000.0) AS BIGINT) AS $as"
+
+  /** The exact oracle's trivially-true twin of a sketch query's bound
+    * flag: Spark derives the flag from ITS sketch's error contract,
+    * the oracle asserts it is literally 1, so any accuracy regression
+    * breaks the hash compare (the x01–x05 gate pattern).
+    */
+  def boundOk(as: String = "within_bound"): String = s"CAST(1 AS BIGINT) AS $as"
+
   /** Sequential left-fold dot product — Vectors.dot. */
   def dot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +

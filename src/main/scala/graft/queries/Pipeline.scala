@@ -117,7 +117,7 @@ object Pipeline {
          |    ${fp("text")} % 100 AS h100
          |  FROM (SELECT source, text, $TOKS AS tk FROM d2))
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-         |  CAST(sum(CAST(floor(q * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q_micros
+         |  ${sumMicros("q", "sum_q_micros")}
          |FROM st WHERE q >= 0.3 AND h100 < 80 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the incremental replay's final verdict store equals the order-free

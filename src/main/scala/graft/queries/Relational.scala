@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import OracleDialect.{avgMicros, boundOk}
 
 /** Core relational query surface (SURVEY.md §2 + §2.6 analytics layer).
   *
@@ -763,10 +764,10 @@ object Relational {
     // avg = floor-micros of exact-decimal sum / count (see the Spark
     // twin's comment on round()'s cross-engine half-case)
     "q13_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
-        | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-        | CAST(floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS avg_value_micros
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         | count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         | ${avgMicros("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", "avg_value_micros")}
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_priority_by_year" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -785,11 +786,11 @@ object Relational {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_part_type_stats" ->
-      """SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
-        | count(*) AS n_parts,
-        | CAST(floor(CAST(sum(p_size) AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS avg_size_micros,
-        | min(p_name) AS min_name, max(p_name) AS max_name
-        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT upper(string_split(p_type, ' ')[1]) AS type_head,
+         | count(*) AS n_parts,
+         | ${avgMicros("CAST(sum(p_size) AS DOUBLE)", "avg_size_micros")},
+         | min(p_name) AS min_name, max(p_name) AS max_name
+         |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q16_json_extract" ->
       """SELECT event_type,
@@ -907,15 +908,15 @@ object Relational {
     // bound flag is literally 1 — Spark computes the SAME flag from its
     // own sketch, so any accuracy regression breaks the hash compare.
     "x01_approx_distinct" ->
-      """SELECT n_name, count(DISTINCT o_custkey) AS exact_customers,
-        | CAST(1 AS BIGINT) AS within_bound
-        |FROM orders JOIN customer ON o_custkey = c_custkey
+      s"""SELECT n_name, count(DISTINCT o_custkey) AS exact_customers,
+         | ${boundOk()}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x02_percentile_sketch" ->
-      """SELECT o_orderpriority, count(*) AS n, CAST(1 AS BIGINT) AS within_bound
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT o_orderpriority, count(*) AS n, ${boundOk()}
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q21_cube_orders" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,

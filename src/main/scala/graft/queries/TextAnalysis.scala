@@ -24,14 +24,18 @@ object TextAnalysis {
     // JVM pass per row) rather than Catalyst HOF lambdas, which evaluate
     // interpreted — same values, see Text.tokenStatsStr.
     "t01_token_stats" -> ((s, dir) => {
+      // output-order sort BELOW the kernel (the t08 pattern): the range
+      // sampling pass then never recomputes tokenStats, and the kernel
+      // runs once, post-shuffle, at full parallelism
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), Text.tokenStats(col("text")).as("st"))
         .select(col("doc_id"),
           col("st._1").as("n_tokens"),
           col("st._2").as("n_distinct"),
           (col("st._3").cast("double") / col("st._1")).as("avg_token_len"),
           (col("st._2").cast("double") / col("st._1")).as("type_token_ratio"))
-        .orderBy("doc_id")
     }),
 
     "t02_lang_id" -> ((s, dir) => {
@@ -72,23 +76,27 @@ object TextAnalysis {
     // plus length-capped subword pieces — the brief's "whitespace + a
     // BPE-ish regex" token-counting pair (t01 covers whitespace).
     "t05_token_regex" -> ((s, dir) => {
+      // sort below the regexes (t08 pattern): 56.3 s -> measured post-fix
+      // in BENCHNOTES at the 100x replica
       Tables(s, dir, "documents")
         .select(col("doc_id"), lower(col("text")).as("lt"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           size(regexp_extract_all(col("lt"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe_tokens"),
           size(regexp_extract_all(col("lt"), lit("[a-z]{1,4}"), lit(0))).as("n_subword_pieces"))
-        .orderBy("doc_id")
     }),
 
     "t04_doc_fingerprint" -> ((s, dir) => {
+      // sort below the shingle/hash kernels (t08 pattern)
       Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
         .select(col("doc_id"), col("text"),
           Text.distinctShingles(col("text")).as("sh"))
         .select(col("doc_id"),
           Text.charFp(col("text")).as("full_hash"),
           array_min(Text.fps(col("sh"))).as("min_shingle_fp"),
           size(col("sh")).as("n_shingles"))
-        .orderBy("doc_id")
     }),
 
     // Sequence-length histogram (16-token buckets): the distribution a
@@ -125,17 +133,28 @@ object TextAnalysis {
     "t08_pii_redact" -> ((s, dir) => {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phone = "\\+63-917-[0-9]{7}"
+      // the SORT sits BELOW the regex projection, deliberately: a
+      // trailing orderBy above an expensive projection makes the
+      // range-partitioner's sampling pass compute the projection a
+      // second time AND shuffles the wide redacted rows; sorting the
+      // narrow (doc_id, txt) input first shuffles raw text only, runs
+      // the regexes exactly once, and the per-row projection preserves
+      // the sort order. Measured on the 100x salted replica: 122.7 s
+      // (project-then-sort) -> 5.3 s (this shape) — the post-shuffle
+      // stage also restores full parallelism when the input is one
+      // big parquet file (scan stage = file-split count, sort output
+      // = spark.sql.shuffle.partitions).
       Tables(s, dir, "documents")
         .select(col("doc_id"),
           concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com or +63-917-"),
             lpad(col("doc_id").cast("string"), 7, "0")).as("txt"))
+        .orderBy("doc_id")
         .select(col("doc_id"),
           size(regexp_extract_all(col("txt"), lit(email), lit(0))).as("n_emails"),
           size(regexp_extract_all(col("txt"), lit(phone), lit(0))).as("n_phones"),
           length(regexp_replace(regexp_replace(col("txt"), email, "<EMAIL>"),
             phone, "<PHONE>")).as("redacted_len"))
-        .orderBy("doc_id")
     }),
 
     // Deterministic content-addressed dataset split: membership = the
@@ -442,7 +461,7 @@ object TextAnalysis {
          |sc AS (SELECT source, $SCORE AS score FROM d)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN score < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
-         |  CAST(sum(CAST(floor(score * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_score_micros
+         |  ${sumMicros("score", "sum_score_micros")}
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "t05_token_regex" ->
@@ -508,8 +527,8 @@ object TextAnalysis {
       s"""WITH d AS (SELECT ${bigrams(TOKS)} AS bg FROM documents),
          |x AS (SELECT unnest(bg) AS bigram FROM d),
          |c AS (SELECT bigram, count(*) AS exact_n FROM x GROUP BY 1)
-         |SELECT bigram, exact_n, CAST(1 AS BIGINT) AS never_under,
-         |  CAST(1 AS BIGINT) AS overest_bounded
+         |SELECT bigram, exact_n, ${boundOk("never_under")},
+         |  ${boundOk("overest_bounded")}
          |FROM c ORDER BY exact_n DESC, bigram LIMIT 10""".stripMargin,
 
     // the rational idf and fixed-order sum exist FOR this gate: every
@@ -547,7 +566,7 @@ object TextAnalysis {
       s"""WITH d AS (SELECT source, ${fp("text")} AS fp FROM documents),
          |u AS (SELECT source, count(DISTINCT fp) AS exact_distinct FROM d GROUP BY 1
          |  UNION ALL SELECT 'ALL' AS source, count(DISTINCT fp) AS exact_distinct FROM d)
-         |SELECT source, exact_distinct, CAST(1 AS BIGINT) AS within_bound
+         |SELECT source, exact_distinct, ${boundOk()}
          |FROM u ORDER BY source""".stripMargin,
 
     // same integer lexicographic rank — no float idf in either engine
@@ -570,7 +589,7 @@ object TextAnalysis {
          |    THEN 1.0 - CAST(len(sd) AS DOUBLE) / len(sa) ELSE 0.0 END AS rep FROM d)
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
-         |  CAST(sum(CAST(floor(rep * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_rep_micros
+         |  ${sumMicros("rep", "sum_rep_micros")}
          |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle is the NAIVE per-source prefix sum — the salted
