@@ -54,11 +54,13 @@ class SqlParitySpec extends SparkSpec {
 
   test("t01 token stats: SQL twin through graft_tokenstats matches plan and rows") {
     assertParity("t01_token_stats",
+      // the sort sits below the kernel, mirroring the round-10
+      // sort-below-kernel query shape (see t08's scaladoc)
       """SELECT doc_id, st._1 AS n_tokens, st._2 AS n_distinct,
         | CAST(st._3 AS DOUBLE) / st._1 AS avg_token_len,
         | CAST(st._2 AS DOUBLE) / st._1 AS type_token_ratio
-        |FROM (SELECT doc_id, graft_tokenstats(text) AS st FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT doc_id, graft_tokenstats(text) AS st
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id))""".stripMargin,
       Seq("documents"))
   }
 
@@ -80,8 +82,8 @@ class SqlParitySpec extends SparkSpec {
       """SELECT doc_id, graft_charfp(text) AS full_hash,
         | array_min(graft_fps(sh)) AS min_shingle_fp,
         | size(sh) AS n_shingles
-        |FROM (SELECT doc_id, text, graft_shingles(text) AS sh FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT doc_id, text, graft_shingles(text) AS sh
+        |  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id))""".stripMargin,
       Seq("documents"))
   }
 

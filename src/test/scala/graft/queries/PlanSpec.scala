@@ -67,9 +67,11 @@ class PlanSpec extends SparkSpec {
 
   test("c05: rule battery is scan-fused — the only exchange is the output order") {
     val p = plan("c05_gopher_rules")
-    // tokenStats/stopHits evaluate in the scan's Project; the sole
-    // Exchange is the rangepartitioning for the final orderBy, so the
-    // filter composes as a map-side predicate at 100 TB
+    // the sole Exchange is the rangepartitioning for the output order
+    // (now BELOW the kernels — round-10 sort-below-kernel pattern, so
+    // the sampling pass never recomputes tokenStats/stopHits); the
+    // rules still compose as one fused per-row predicate stage at
+    // 100 TB, just post-shuffle instead of in the scan
     assert("Exchange".r.findAllIn(p).length <= 1, p)
     assert(!p.contains("ScalaUDF"), "rule inputs must stay codegen kernels")
   }
