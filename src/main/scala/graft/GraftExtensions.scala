@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, SegmentsExpr, SimHash32, TokenStats}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LongDot, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, QuantizeUnitI8, SegmentsExpr, SimHash32, TokenStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -102,6 +102,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_segments(key) takes one argument")
         SegmentsExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeUnitI8].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_quantize_i8(vec, nrm) takes two arguments")
+        QuantizeUnitI8(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_long_dot(codesA, codesB) takes two arguments")
+        LongDot(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_probes"),

@@ -64,4 +64,18 @@ object Vectors {
         org.apache.spark.sql.GraftSqlBridge.expression(v), nPlanes, dim, planeOffset))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Int8 scalar quantization of `v / nrm` — see [[QuantizeUnitI8]]. */
+  def quantizeI8(v: Column, nrm: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      QuantizeUnitI8(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm)))
+
+  /** Exact integer dot over `array<bigint>` codes — see [[LongDot]]. */
+  def longDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      LongDot(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 }

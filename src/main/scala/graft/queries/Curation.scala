@@ -236,6 +236,68 @@ object Curation {
       base.select(col("doc_id"), col("source"), col("n_tok").as("n_tokens"),
         (fbit(rWc, 0) + fbit(rMean, 1) + fbit(rStop, 2) + fbit(rTtr, 3)).as("fail_bits"),
         when(rWc && rMean && rStop && rTtr, lit(1L)).otherwise(lit(0L)).as("pass"))
+    }),
+
+    // ADAPTIVE quality thresholding — c04/c05 filter against FIXED
+    // cutoffs; real curation recalibrates per stratum (a threshold
+    // tuned on web text guts an academic source), so the cutoff here
+    // is each source's own quality p25: pass 1 reduces to a
+    // sources-sized threshold relation (exact `percentile`, the q22
+    // cross-engine-lerp precedent), pass 2 broadcasts it back and
+    // filters map-side — the standard two-pass quantile filter, no
+    // per-source sort of the corpus. At 100 TB pass 1 swaps to
+    // percentile_approx (mergeable, bounded memory — the x02 sketch
+    // pattern with its rank-error gate); the fixture gate keeps the
+    // exact form so the hash compare stays sharp.
+    "c06_adaptive_quality" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").cast("long").as("n_tokens"),
+          Text.qualityScore(col("text")).as("q"))
+      val thr = base.groupBy("source")
+        .agg(percentile(col("q"), lit(0.25)).as("thr"))
+      base.join(broadcast(thr), Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("q") >= col("thr"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+          floor(max(col("thr")) * lit(1000000.0)).cast("long").as("thr_micros"))
+        .orderBy("source")
+    }),
+
+    // Temperature-scaled mixture quotas — p04 applies HANDED weights;
+    // the standard automatic rule (the τ=1/2 temperature of
+    // multilingual-sampling fame) derives each stratum's share from
+    // its size: quota_s = ceil(C·√n_s), which UP-weights scarce
+    // sources relative to proportional sampling without any
+    // cross-source float normalization (÷Σ√n would hang the verdict
+    // on a 20-term float sum's association order; per-source
+    // ceil(C·√n) is one sqrt + one multiply, bit-exact per engine).
+    // Membership is the content-hash rank within the source (p04's
+    // determinism story: same doc ⇒ same fate across runs/engines).
+    // Scale: quotas are a combinable count agg broadcast back; the
+    // rank is one window per source — quota ≪ n_s, so at extreme
+    // source skew the production form pre-trims map-side with a
+    // broadcast coarse hash bound (keep h < 2·quota/n·M, then exact-
+    // rank the surviving sliver — the x03 two-phase shape).
+    "p07_temperature_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").cast("long").as("n_tokens"),
+          pmod(Text.charFp(col("text")), lit(1000000L)).as("h"))
+      val quotas = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("quota",
+          ceil(lit(3.0) * sqrt(col("n_docs").cast("double"))).cast("long"))
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      base.join(broadcast(quotas), Seq("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("source"), col("n_docs"), col("quota"))
+        .agg(sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= col("quota"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+        .select("source", "n_docs", "quota", "n_kept", "tokens_kept")
+        .orderBy("source")
     })
   )
 
@@ -464,6 +526,37 @@ object Curation {
          |  CAST(CASE WHEN n_tok >= 30 AND n_tok <= 100000
          |    AND 3 * n_tok <= len AND len <= 10 * n_tok
          |    AND n_stop >= 2 AND 5 * n_dst >= n_tok THEN 1 ELSE 0 END AS BIGINT) AS pass
-         |FROM m ORDER BY doc_id""".stripMargin
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // per-source p25 via quantile_cont — same lerp as Spark's exact
+    // `percentile` (the q22 precedent); the boundary row can only sit
+    // AT an actual q value (integer rank index), never on a lerp bit
+    "c06_adaptive_quality" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    ${TextAnalysis.SCORE} AS q
+         |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)),
+         |t AS (SELECT source, quantile_cont(q, 0.25) AS thr FROM d GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN q >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN q >= thr THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  CAST(floor(max(thr) * 1000000.0) AS BIGINT) AS thr_micros
+         |FROM d JOIN t ON d.source = t.source GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ceil(3·√n) per source, content-hash rank membership — all
+    // arithmetic is one IEEE op per step (sqrt, multiply, ceil), no
+    // cross-source float reduction anywhere
+    "p07_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    ${fp("text")} % 1000000 AS h FROM documents),
+         |qt AS (SELECT source, count(*) AS n_docs,
+         |    CAST(ceil(3.0 * sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS quota
+         |  FROM d GROUP BY 1),
+         |r AS (SELECT d.source, d.n_tokens, qt.n_docs, qt.quota,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY h, doc_id) AS rk
+         |  FROM d JOIN qt ON d.source = qt.source)
+         |SELECT source, n_docs, quota,
+         |  CAST(sum(CASE WHEN rk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rk <= quota THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM r GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
   )
 }

@@ -76,4 +76,14 @@ private[queries] object OracleDialect {
   /** Cosine similarity — Vectors.cosine. */
   def cosine(a: String, b: String): String =
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+
+  /** Int8 codes of `v / nrm` — functions.QuantizeUnitI8 (same divide/
+    * multiply/add/floor sequence, so codes are bit-exact). */
+  def i8Codes(v: String, nrm: String): String =
+    s"[CAST(floor(x / $nrm * 127.0 + 0.5) AS BIGINT) for x in $v]"
+
+  /** Exact integer fold dot over BIGINT[] codes — functions.LongDot. */
+  def longDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[$a[i] * $b[i] for i in range(1, len($a) + 1)]), (a, b) -> a + b)"
 }

@@ -306,6 +306,46 @@ object Similarity {
         .orderBy("c_id", "vec_id")
     }),
 
+    // Quantized two-phase retrieval — the ANN MEMORY story at 100 TB:
+    // phase 1 scans only the int8 code relation (4× smaller than the
+    // float vectors — the index that still fits when the floats
+    // don't), scoring with the exact-integer LongDot kernel and
+    // keeping a top-C candidate frontier per query; phase 2 fetches
+    // floats BY ID for the ~C·n_q surviving rows and re-ranks with
+    // the exact cosine. Candidate selection is deterministic (integer
+    // scores, id tie-breaks) and the quantization arithmetic is
+    // mirrored literally by the oracle, so this is a hash-gated ANN —
+    // the recall dial (C) is measured in SimilarityRecallSpec.
+    // Scale: the query codes broadcast; phase 1 is a map-side scan of
+    // codes (zero shuffle before the per-query frontier window); the
+    // float fetch joins a C·n_q-row sliver against the corpus by id.
+    "v09_knn_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val codes = e.select(col("vec_id"), quantizeI8(col("v"), col("nrm")).as("qc"))
+      val qCodes = codes.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+        .select(col("vec_id").as("q_id"), col("qc").as("qqc"))
+      val candW = Window.partitionBy(col("q_id"))
+        .orderBy(col("qdot").desc, col("neighbor_id"))
+      val cands = codes.crossJoin(broadcast(qCodes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          longDot(col("qqc"), col("qc")).as("qdot"))
+        .withColumn("crk", row_number().over(candW)).filter(col("crk") <= 20)
+        .select(col("q_id"), col("neighbor_id"), col("qdot"))
+      val qFloat = e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val rankW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      cands
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .join(broadcast(qFloat), "q_id")
+        .select(col("q_id"), col("neighbor_id"), col("qdot"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= 3)
+        .select("q_id", "rank", "neighbor_id", "qdot", "cosine")
+        .orderBy("q_id", "rank")
+    }),
+
     // Near-dup with a natural blocking key (cluster-id / shard
     // blocking). A label-only block is quadratic in the hottest label
     // (measured alpha 1.47 on the salted replica — at 100x a hot label
@@ -497,6 +537,24 @@ object Similarity {
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
          |ORDER BY s.c_id, s.vec_id""".stripMargin,
+
+    // the same two phases symbolically: int8 codes off the shared nrm,
+    // integer-fold candidate scores, exact-cosine re-rank of the top-20
+    "v09_knn_int8" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |c AS (SELECT vec_id, v, nrm, ${OracleDialect.i8Codes("v", "nrm")} AS qc FROM n),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, qc AS qqc FROM c
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, c.vec_id AS neighbor_id,
+         |    ${OracleDialect.longDot("q.qqc", "c.qc")} AS qdot, q.qv, q.qn, c.v, c.nrm
+         |  FROM q, c WHERE c.vec_id <> q.q_id),
+         |cand AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, neighbor_id) AS crk FROM p),
+         |rr AS (SELECT q_id, neighbor_id, qdot,
+         |    ${OracleDialect.dot("qv", "v")} / (qn * nrm) AS cosine FROM cand WHERE crk <= 20),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
+         |SELECT q_id, CAST(rank AS INT) AS rank, neighbor_id, qdot, cosine
+         |FROM r WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "v03_neardup_blocked" ->
       s"""WITH e0 AS ($EMB),

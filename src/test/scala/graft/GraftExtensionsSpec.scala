@@ -19,6 +19,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("array<double>"))
   }
 
+  test("graft_quantize_i8 / graft_long_dot are callable from SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftSqlBridge.registerFunctions(ext, spark)
+    // unit-x vector, nrm 1: codes (127, 0), self-dot 127² = 16129
+    val r = spark.sql(
+      "SELECT graft_long_dot(c, c) AS d FROM (SELECT " +
+        "graft_quantize_i8(array(1.0d, 0.0d), 1.0d) AS c)")
+      .head.getLong(0)
+    assert(r === 16129L)
+  }
+
   test("graft_charfp (native codegen) matches the JVM kernel and handles nulls") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
