@@ -193,6 +193,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("v09: candidate frontier pre-trims map-side (WindowGroupLimit below the exchange)") {
+    val p = plan("v09_knn_int8")
+    // the codes crossJoin is the deliberate broadcast of the 10-query set
+    assert(!p.contains("CartesianProduct"), p)
+    // phase-1 top-C must carry Spark's WindowGroupLimit pushdown: one
+    // instance BELOW the q_id exchange so each map task trims to its
+    // local top-20 by integer score before any row moves — without it
+    // every scored candidate (n_corpus x n_q rows) would cross the wire
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit pair for the frontier:\n$p")
+  }
+
+  test("c06: threshold relation broadcasts; corpus never shuffles") {
+    val p = plan("c06_adaptive_quality")
+    // pass 1 reduces to a sources-sized aggregate that must come back
+    // as a broadcast; the only exchanges are the two aggregations'
+    // partial/final pairs and the output order — never a corpus-wide
+    // repartition on source
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), "c06 must not rank the corpus")
+  }
+
   test("x03: bloom probe is map-side (no exchange between scan and the probe project)") {
     val p = plan("x03_bloom_decontam")
     // the flags relation is ONE row — its crossJoin must be the
