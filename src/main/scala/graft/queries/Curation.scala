@@ -301,6 +301,52 @@ object Curation {
     })
   )
 
+  /** p07's production form for EXTREME source skew — the pre-trim the
+    * query comment promises, as a separately-witnessed equivalence
+    * (the p03 naive/bucketed pattern): membership is the top-`quota`
+    * rows by (h, doc_id) within each source, and every row with
+    * `h < h_bound` sorts strictly before every row with `h ≥ h_bound`,
+    * so whenever the sliver `{h < h_bound}` holds ≥ quota rows it
+    * provably CONTAINS the winners and local sliver rank == global
+    * rank. Phase 1 therefore counts sliver membership per source (one
+    * combinable aggregate — no sort, no window); phase 2 ranks only
+    * the ~slack·quota-row sliver for covered sources and falls back
+    * to the full rank for the rare source the bound under-covers
+    * (P(under-coverage) decays exponentially in `slack` by Chernoff —
+    * at slack=4 a 10⁶-row source pre-trims its window input by ~250×).
+    * Result is EXACTLY `p07_temperature_mix`'s output, pinned in
+    * AdaptiveMixSpec on both the fixtures and a skew fixture.
+    */
+  private[queries] def temperatureMixPretrim(docs: DataFrame, c: Double = 3.0,
+      m: Long = 1000000L, slack: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col("doc_id"), col("source"),
+      Text.tokenStats(col("text")).getField("_1").cast("long").as("n_tokens"),
+      pmod(Text.charFp(col("text")), lit(m)).as("h"))
+    val quotas = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("quota",
+        ceil(lit(c) * sqrt(col("n_docs").cast("double"))).cast("long"))
+      .withColumn("h_bound",
+        least(lit(m), ceil(lit(slack) * col("quota").cast("double")
+          * lit(m.toDouble) / col("n_docs").cast("double")).cast("long")))
+    val joined = base.join(broadcast(quotas), Seq("source"))
+    val sliverCounts = joined.filter(col("h") < col("h_bound"))
+      .groupBy("source").agg(count(lit(1)).as("n_sliver"))
+    val covered = quotas.join(sliverCounts, Seq("source"), "left")
+      .withColumn("pretrim_ok",
+        coalesce(col("n_sliver"), lit(0L)) >= col("quota"))
+      .select("source", "n_docs", "quota", "h_bound", "pretrim_ok")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    base.join(broadcast(covered), Seq("source"))
+      .filter(!col("pretrim_ok") || col("h") < col("h_bound"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("source"), col("n_docs"), col("quota"))
+      .agg(sum(when(col("rk") <= col("quota"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rk") <= col("quota"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .select("source", "n_docs", "quota", "n_kept", "tokens_kept")
+      .orderBy("source")
+  }
+
   /** x03's bloom parameters: nominal shingle-level false-positive rate,
     * and the measured-rate gate at 4× nominal — ≥ 5σ above the binomial
     * mean at every fixture SF (the global probe pool is ≥ ~1.5k even at

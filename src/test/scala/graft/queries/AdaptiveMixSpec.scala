@@ -72,6 +72,32 @@ class AdaptiveMixSpec extends SparkSpec {
       s"temperature must favor the scarce source: $fracSmall !> $fracBig")
   }
 
+  test("p07 pre-trim form: exact equivalence on fixtures and under heavy source skew") {
+    import spark.implicits._
+    // fixture corpus: the pre-trim must reproduce the declared query
+    val docsFx = graft.Tables(spark, dir, "documents")
+    val declared = Curation.queries("p07_temperature_mix")(spark, dir).collect().toSeq
+    val pretrim = Curation.temperatureMixPretrim(docsFx).collect().toSeq
+    assert(pretrim === declared)
+
+    // one 20k-row hot source next to a 7-row scarce one: the covered
+    // source must rank only its sliver (~slack·quota rows), the tiny
+    // one falls back to the full rank — outputs still identical
+    val hot = (1 to 20000).map(i => (i.toLong, "hot", s"skewed doc body $i"))
+    val cold = (20001 to 20007).map(i => (i.toLong, "cold", s"rare doc body $i"))
+    val skew = (hot ++ cold).toDF("doc_id", "source", "text")
+    val a = Curation.temperatureMixPretrim(skew).collect().toSeq
+    val dirTmp = java.nio.file.Files.createTempDirectory("p07skew").toString
+    skew.write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val b = Curation.queries("p07_temperature_mix")(spark, dirTmp).collect().toSeq
+    assert(a === b, "pre-trim must be invisible in the result")
+    // quota for 20k rows is ceil(3·√20000) = 425; covered ⇒ the hot
+    // source's window input is the sliver, not 20k rows
+    val hotRow = a.find(_.getString(0) == "hot").get
+    assert(hotRow.getLong(2) === math.ceil(3.0 * math.sqrt(20000.0)).toLong)
+    assert(hotRow.getLong(3) === hotRow.getLong(2), "hot source must fill its quota")
+  }
+
   test("v09: quantized candidate phase keeps exact-cosine recall@3 high") {
     val v09 = Similarity.queries("v09_knn_int8")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
