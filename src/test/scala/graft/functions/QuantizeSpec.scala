@@ -58,6 +58,30 @@ class QuantizeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), plan)
   }
 
+  test("randomized parity: codegen codes equal the reference fold on adversarial values") {
+    // deterministic pseudo-random corpus mixing magnitudes from 1e-6 to
+    // 1e3, exact-.5 scaled boundaries, zeros, and sign flips — the
+    // codegen path (df.select over many rows) must match the JVM
+    // reference bit-for-bit on every row
+    val rnd = new scala.util.Random(0xC0DE5)
+    val vecs = (0 until 200).map { _ =>
+      Seq.tabulate(16) { _ =>
+        rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => (rnd.nextGaussian() * 1e3)
+          case 2 => (rnd.nextGaussian() * 1e-6)
+          case 3 => (rnd.nextInt(255) - 127) / 127.0 // lands on code integers
+          case _ => rnd.nextGaussian()
+        }
+      }
+    }.filter(v => Vectors.dotKernel(v, v) > 0)
+    val df = vecs.map(Tuple1(_)).toDF("v")
+      .select(col("v"), sqrt(Vectors.dot(col("v"), col("v"))).as("nrm"))
+    val got = df.select(Vectors.quantizeI8(col("v"), col("nrm"))).collect()
+      .map(_.getSeq[Long](0))
+    vecs.zip(got).foreach { case (v, g) => assert(g === refCodes(v), s"vector $v") }
+  }
+
   test("quantized self-dot approximates 127² for unit vectors") {
     // |codes|² ≈ 127²·|v/nrm|² = 16129 with per-dim rounding error
     // ≤ 0.5 ⇒ |Σ err·2·127·x| bounded well under 5% for 64 dims
