@@ -75,6 +75,75 @@ object Similarity {
       .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
   }
 
+  /** Nearest centroid per vector against an arbitrary centroid
+    * relation `(c_id, cv, cn)` — ivfAssign's core, broken out so
+    * trained centroids ([[ivfTrain]]) plug into the same shape.
+    */
+  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"),
+        cosPre(col("v"), col("cv"), col("nrm"), col("cn")).as("c_cos"))
+  }
+
+  /** Lloyd-trained IVF centroids: start from the deterministic
+    * first-`nlist` seed and run `iters` refinement steps, each one
+    * shuffle — assign every vector to its nearest centroid (broadcast
+    * argmax, the ivfAssign shape), then recompute each centroid as its
+    * cluster's MEAN vector via a mergeable per-(c_id, dim) sum/count
+    * aggregate (posexplode → partial+final agg; at 100 TB this is the
+    * classic distributed k-means step: shuffle rows ≈ nlist·dim, not
+    * corpus size, thanks to map-side combine). Spherical k-means on
+    * unit-normalized data: the mean maximizes within-cluster cosine,
+    * and cosPre's norm division makes explicit renormalization
+    * unnecessary. An emptied cluster keeps its previous centroid.
+    *
+    * Training is an ENGINE-SIDE tool, not an oracle-gated query: the
+    * per-cluster double sums are add-order-dependent (like every
+    * distributed k-means), so trained centroids are not bit-pinned —
+    * what IS pinned (IvfTrainSpec) is the objective's monotone
+    * improvement and that trained centroids never lose recall at equal
+    * nprobe. Downstream, a SAVED centroid relation makes assignment
+    * deterministic again (the v02/v08 contract holds given centroids).
+    */
+  def ivfTrain(s: SparkSession, dir: String, nlist: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val e = emb(s, dir)
+    var cents = centroids(e, nlist)
+    for (_ <- 0 until iters) {
+      val assigned = assignTo(e, cents).select(col("c_id"), col("v"), col("nrm"))
+      // spherical: average the UNIT vectors (a raw mean would weight
+      // long vectors and void the cosine-objective ascent guarantee)
+      val means = assigned
+        .select(col("c_id"), col("nrm"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c_id", "pos").agg(avg(col("x") / col("nrm")).as("m"))
+        .groupBy("c_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("c_id"),
+          expr("transform(pm, p -> p.m)").as("cv"))
+        .withColumn("cn", norm(col("cv")))
+        .filter(col("cn") > 0)
+      // emptied (or degenerate) clusters keep their previous centroid
+      cents = means.unionByName(
+        cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
+    }
+    cents
+  }
+
+  /** Mean best-centroid cosine over the corpus — the spherical k-means
+    * objective [[ivfTrain]] ascends; exposed for IvfTrainSpec.
+    */
+  def ivfObjective(s: SparkSession, dir: String, cents: DataFrame): Double =
+    assignTo(emb(s, dir), cents).agg(avg(col("c_cos"))).head().getDouble(0)
+
+  /** [[ivfAssign]] against an arbitrary (e.g. trained) centroid
+    * relation — same deterministic argmax given the centroids.
+    */
+  def ivfAssignWith(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
+    assignTo(emb(s, dir), cents).select("vec_id", "c_id", "v", "nrm")
+
   /** Exact brute-force top-k for the query set `lo <= vec_id < hi`:
     * query side broadcasts, each partition scores locally, one ranking
     * window per query takes the frontier. Shared by v01/v04 (as the
