@@ -365,6 +365,42 @@ object Text {
     org.apache.spark.sql.GraftSqlBridge.column(
       TokenStats(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** Per-doc term frequencies `(term, tf)` in first-occurrence order —
+    * the map-side tf kernel: a document's tokens all live in its own
+    * row, so the doc-term matrix never needs the `(doc_id, term)`
+    * shuffle that `explode → groupBy` pays (every raw pair crossed the
+    * wire just to be merge-counted with itself). Counts are identical
+    * to `groupBy(doc_id, term).count()` over [[tokens]] by
+    * construction — same tokenizer, exact integer counts — so t13's
+    * hash gate is unaffected by the rewrite.
+    */
+  def termCountsArrayData(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = s.toString.toLowerCase.split(" ")
+    val counts = new java.util.LinkedHashMap[String, Long]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) counts.merge(toks(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey),
+          e.getValue))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** `array<struct<term, tf>>` column — native codegen'd [[TermCounts]]. */
+  def termCounts(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      TermCounts(org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Tiny function-word lists for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),

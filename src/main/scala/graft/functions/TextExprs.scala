@@ -274,6 +274,37 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the per-doc term-frequency kernel
+  * [[Text.termCountsArrayData]]: `array<struct<term, tf>>` computed
+  * entirely in the scan — the doc-term matrix with ZERO tf shuffle
+  * (t13's rewrite; `explode` of this replaces `explode(tokens) →
+  * groupBy(doc_id, term)`).
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_termcounts expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "graft_termcounts"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.termCountsArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.termCountsArrayData($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the t03 quality score
   * [[Text.qualityScore]] — same IEEE double op sequence as the kernel
   * and the oracle SQL.

@@ -104,4 +104,19 @@ class TextSpec extends SparkSpec {
       assert(shinglesAllStr(t, 2).toSeq === viaHof, t)
     }
   }
+
+  test("termCounts equals explode(tokens) → groupBy counting (t13's rewrite contract)") {
+    import spark.implicits._
+    for (t <- parityTexts) {
+      val viaKernel = Seq(t).toDF("text")
+        .select(explode(Text.termCounts(col("text"))).as("tc"))
+        .select(col("tc.term"), col("tc.tf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val viaGroup = Seq(t).toDF("text")
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("tf"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaKernel === viaGroup, t)
+    }
+  }
 }

@@ -184,12 +184,17 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregate pairs for winners and reassembly:\n$p")
   }
 
-  test("t13: doc-term matrix partially aggregates; per-doc ranking, no cartesian") {
+  test("t13: tf is born in the scan (no doc-term aggregate); df partial+final; no cartesian") {
     val p = plan("t13_keyword_topk")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // tf and df both need partial+final HashAggregate pairs
-    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    // round-10 rewrite: the TermCounts kernel emits already-counted
+    // (term, tf) pairs map-side, so ONLY df aggregates — exactly one
+    // partial+final pair, where the old explode → groupBy(doc_id, term)
+    // shape needed two (and shuffled every raw token pair)
+    assert(p.contains("graft_termcounts"), p)
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    assert(aggs >= 2 && aggs <= 3, s"expected only df's aggregate pair, got $aggs:\n$p")
     assert(p.contains("Window"), p)
   }
 
