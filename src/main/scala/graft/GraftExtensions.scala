@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LongDot, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, QuantizeUnitI8, SegmentsExpr, SimHash32, TermCounts, TokenStats}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LangHits, LongDot, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, QuantizeUnitI8, SegmentsExpr, SimHash32, TermCounts, TokenStats}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_segments(key) takes one argument")
         SegmentsExpr(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_langhits"),
+      new ExpressionInfo(classOf[LangHits].getName, "graft_langhits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_langhits(text) takes one argument")
+        LangHits(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_termcounts"),

@@ -411,4 +411,40 @@ object Text {
   /** Number of tokens that are function words of `lang`. */
   def stopHits(tk: Column, lang: String): Column =
     size(filter(tk, t => t.isInCollection(stopwords(lang))))
+
+  private val StopSets: Array[java.util.HashSet[String]] =
+    Array("en", "es", "de", "fr").map { l =>
+      val s = new java.util.HashSet[String]()
+      stopwords(l).foreach(s.add)
+      s
+    }
+
+  /** All four languages' function-word hit counts in ONE tokenization
+    * and ONE pass — the compiled twin of four [[stopHits]] calls
+    * (which are Catalyst HOF `filter` lambdas: interpreted, and t02
+    * paid 4 tokenizations × an interpreted scan each). Counts are
+    * identical to `stopHits(tokens(text), lang)` per lang by
+    * construction — same tokenizer, same membership lists.
+    */
+  def langHitsRow(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.toLowerCase.split(" ")
+    val h = new Array[Int](4)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        var l = 0
+        while (l < 4) { if (StopSets(l).contains(t)) h(l) += 1; l += 1 }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h(0), h(1), h(2), h(3)))
+  }
+
+  /** struct<h_en, h_es, h_de, h_fr> column — native codegen'd [[LangHits]]. */
+  def langHits(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      LangHits(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 }

@@ -305,6 +305,36 @@ case class TermCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the four-language function-word counter
+  * [[Text.langHitsRow]] — t02's kernel (one tokenization, one pass,
+  * four counters; replaces four interpreted HOF `filter` lambdas).
+  */
+case class LangHits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_langhits expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h_en", IntegerType, nullable = false),
+    StructField("h_es", IntegerType, nullable = false),
+    StructField("h_de", IntegerType, nullable = false),
+    StructField("h_fr", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_langhits"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.langHitsRow(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.langHitsRow($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangHits =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the t03 quality score
   * [[Text.qualityScore]] — same IEEE double op sequence as the kernel
   * and the oracle SQL.

@@ -222,7 +222,7 @@ object Curation {
         .orderBy("doc_id")
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).as("st"),
-          Text.stopHits(Text.tokens(col("text")), "en").as("n_stop"))
+          Text.langHits(col("text")).getField("h_en").as("n_stop"))
         .select(col("doc_id"), col("source"),
           col("st").getField("_1").cast("long").as("n_tok"),
           col("st").getField("_2").cast("long").as("n_dst"),

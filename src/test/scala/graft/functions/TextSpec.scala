@@ -105,6 +105,21 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("langHits equals four stopHits HOF columns (t02/c05's rewrite contract)") {
+    import spark.implicits._
+    for (t <- parityTexts) {
+      val viaKernel = Seq(t).toDF("text")
+        .select(Text.langHits(col("text")).as("lh"))
+        .select(col("lh.h_en"), col("lh.h_es"), col("lh.h_de"), col("lh.h_fr"))
+        .head()
+      val viaHof = Seq(t).toDF("text")
+        .select(stopHits(tokens(col("text")), "en"), stopHits(tokens(col("text")), "es"),
+          stopHits(tokens(col("text")), "de"), stopHits(tokens(col("text")), "fr"))
+        .head()
+      assert((0 to 3).map(viaKernel.getInt) === (0 to 3).map(viaHof.getInt), t)
+    }
+  }
+
   test("termCounts equals explode(tokens) → groupBy counting (t13's rewrite contract)") {
     import spark.implicits._
     for (t <- parityTexts) {
