@@ -144,6 +144,30 @@ object Similarity {
   def ivfAssignWith(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
     assignTo(emb(s, dir), cents).select("vec_id", "c_id", "v", "nrm")
 
+  /** SemDeDup with the nlist DIAL exposed — v08 pins nlist=16 (so the
+    * hand-written oracle stays exact); production grows nlist ~ √n so
+    * the within-cluster pair volume Σ C(|cluster|,2) ≈ n²/(2·nlist)
+    * stays bounded (cost model pinned in SemDedupDialSpec). Verdict is
+    * keep-first: a vector drops iff a smaller-id member of ITS cluster
+    * sits at cosine ≥ 0.3.
+    */
+  def semDedup(s: SparkSession, dir: String, nlist: Int): DataFrame = {
+    val assign = ivfAssign(s, dir, nlist)
+    val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assign.select(col("c_id"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
+      .filter(cosPre(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("dropped", lit(0L))
+    assign.select(col("vec_id"), col("c_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("c_id"), col("vec_id"),
+        coalesce(col("dropped"), lit(1L)).as("keep"))
+      .orderBy("c_id", "vec_id")
+  }
+
   /** Exact brute-force top-k for the query set `lo <= vec_id < hi`:
     * query side broadcasts, each partition scores locally, one ranking
     * window per query takes the frontier. Shared by v01/v04 (as the
@@ -358,22 +382,7 @@ object Similarity {
     // ~sqrt(n) via ivfAssign's nlist parameter so per-cluster pair
     // counts stay bounded — the cluster-local quadratic is the
     // declared cost model, never a corpus-wide cross join.
-    "v08_semdedup" -> ((s, dir) => {
-      val assign = ivfAssign(s, dir, 16)
-      val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = assign.select(col("c_id"), col("vec_id").as("b_id"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      val dropped = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
-        .filter(cosPre(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
-        .select(col("b_id").as("vec_id")).distinct()
-        .withColumn("dropped", lit(0L))
-      assign.select(col("vec_id"), col("c_id"))
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("c_id"), col("vec_id"),
-          coalesce(col("dropped"), lit(1L)).as("keep"))
-        .orderBy("c_id", "vec_id")
-    }),
+    "v08_semdedup" -> ((s, dir) => semDedup(s, dir, nlist = 16)),
 
     // Quantized two-phase retrieval — the ANN MEMORY story at 100 TB:
     // phase 1 scans only the int8 code relation (4× smaller than the
