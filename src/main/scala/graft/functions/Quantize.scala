@@ -26,6 +26,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * parquet dictionary+RLE encodes the small-int values to ~1 B each
   * on disk, and the unpacked form keeps [[LongDot]] a straight-line
   * codegen loop with no bit-twiddling in the hot path.
+  *
+  * Malformed inputs fail LOUDLY (ADVICE r10): a null element or a
+  * non-positive norm would otherwise quantize as silent garbage while
+  * the declared output claims containsNull=false — both now raise,
+  * because a corrupt embedding that scores plausibly is strictly worse
+  * than a failed task. The input type still ADMITS containsNull=true
+  * (parquet list columns carry that flag schema-wide even when no
+  * element is null, so rejecting it in checkInputDataTypes would
+  * reject every real corpus); the guarantee moves to runtime where the
+  * actual nulls are.
   */
 case class QuantizeUnitI8(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,9 +54,13 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
     val x = v.asInstanceOf[ArrayData]
     val n = x.numElements()
     val d = nrm.asInstanceOf[Double]
+    if (!(d > 0.0)) throw new IllegalArgumentException(
+      s"graft_quantize_i8: norm must be positive, got $d (zero vector has no direction)")
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_quantize_i8: null element at position $i")
       out(i) = math.floor(x.getDouble(i) / d * 127.0 + 0.5).toLong
       i += 1
     }
@@ -60,8 +74,12 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
       val out = ctx.freshName("out")
       s"""
          |int $n = $v.numElements();
+         |if (!($nrm > 0.0)) throw new IllegalArgumentException(
+         |  "graft_quantize_i8: norm must be positive, got " + $nrm);
          |long[] $out = new long[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) throw new IllegalArgumentException(
+         |    "graft_quantize_i8: null element at position " + $i);
          |  $out[$i] = (long) java.lang.Math.floor($v.getDouble($i) / $nrm * 127.0 + 0.5);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
@@ -81,6 +99,13 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
   * to the oracle's `list_reduce` integer fold by construction.
   * Whole-stage-codegen'd so the n_query × n_corpus candidate scan —
   * the hot loop of quantized retrieval — stays a primitive JIT loop.
+  *
+  * Mismatched code lengths RAISE (ADVICE r10): the previous
+  * min-length truncation produced a plausible-looking score on this
+  * engine where the DuckDB oracle (which indexes by len(a)) yields
+  * NULL — cross-engine divergence on exactly the malformed rows a
+  * gate exists to catch. Every legitimate caller compares codes of
+  * one quantizer, so unequal dims are corruption, not data.
   */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -102,7 +127,9 @@ case class LongDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"graft_long_dot: code length mismatch ($n vs ${y.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
@@ -115,7 +142,9 @@ case class LongDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) throw new IllegalArgumentException(
+         |  "graft_long_dot: code length mismatch (" + $n + " vs " + $b.numElements() + ")");
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $a.getLong($i) * $b.getLong($i);

@@ -242,20 +242,43 @@ object Curation {
     // cutoffs; real curation recalibrates per stratum (a threshold
     // tuned on web text guts an academic source), so the cutoff here
     // is each source's own quality p25: pass 1 reduces to a
-    // sources-sized threshold relation (exact `percentile`, the q22
-    // cross-engine-lerp precedent), pass 2 broadcasts it back and
-    // filters map-side — the standard two-pass quantile filter, no
-    // per-source sort of the corpus. At 100 TB pass 1 swaps to
-    // percentile_approx (mergeable, bounded memory — the x02 sketch
-    // pattern with its rank-error gate); the fixture gate keeps the
-    // exact form so the hash compare stays sharp.
+    // sources-sized threshold relation, pass 2 broadcasts it back and
+    // filters map-side — the standard two-pass quantile filter. The
+    // p25 is computed from its two RANK NEIGHBORS with an explicit
+    // lerp whose IEEE op sequence the oracle mirrors literally
+    // (ADVICE r10: Spark's builtin Percentile lerps as
+    // (hi_idx−pos)·lo + (pos−lo_idx)·hi while DuckDB's quantile_cont
+    // does lo + frac·(hi−lo) — last-ULP divergence that thr_micros'
+    // floor(·1e6) could expose; deriving thr identically on both
+    // sides makes the gate exact BY CONSTRUCTION, not by luck). The
+    // rank window sorts each source's q's — the same per-group
+    // materialization Spark's exact Percentile buffer pays — and the
+    // 100 TB path is c06b's mergeable percentile_approx form, which
+    // never sorts or buffers a group.
     "c06_adaptive_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Text.tokenStats(col("text")).getField("_1").cast("long").as("n_tokens"),
           Text.qualityScore(col("text")).as("q"))
-      val thr = base.groupBy("source")
-        .agg(percentile(col("q"), lit(0.25)).as("thr"))
+      // pos = 0.25·(n−1); lo = floor(pos); thr = q_lo + frac·(q_hi−q_lo)
+      // — each step one IEEE double op, oracle-identical (n < 2^53 so
+      // the int→double casts are exact)
+      val cnt = base.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("pos", lit(0.25) * (col("n") - lit(1)).cast("double"))
+        .withColumn("lo", floor(col("pos")))
+      val w = Window.partitionBy(col("source")).orderBy(col("q"))
+      val thr = base.select(col("source"), col("q"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(cnt), "source")
+        .filter(col("rk") === col("lo") + 1 || col("rk") === col("lo") + 2)
+        .groupBy("source")
+        .agg(min(col("pos")).as("pos"), min(col("lo")).as("lo"),
+          min(when(col("rk") === col("lo") + 1, col("q"))).as("q_lo"),
+          min(when(col("rk") === col("lo") + 2, col("q"))).as("q_hi"))
+        .select(col("source"),
+          (col("q_lo") + (col("pos") - col("lo").cast("double")) *
+            (coalesce(col("q_hi"), col("q_lo")) - col("q_lo"))).as("thr"))
       base.join(broadcast(thr), Seq("source"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -574,19 +597,31 @@ object Curation {
          |    AND n_stop >= 2 AND 5 * n_dst >= n_tok THEN 1 ELSE 0 END AS BIGINT) AS pass
          |FROM m ORDER BY doc_id""".stripMargin,
 
-    // per-source p25 via quantile_cont — same lerp as Spark's exact
-    // `percentile` (the q22 precedent); the boundary row can only sit
-    // AT an actual q value (integer rank index), never on a lerp bit
+    // per-source p25 as the EXPLICIT rank-neighbor lerp — the same
+    // IEEE op sequence as the Spark side, step for step (ADVICE r10:
+    // relying on quantile_cont vs Spark's Percentile agreeing to the
+    // last ULP was the one soft spot in this gate; now neither
+    // engine's builtin lerp is on the path)
     "c06_adaptive_quality" ->
       s"""WITH d AS (SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
          |    ${TextAnalysis.SCORE} AS q
          |  FROM (SELECT doc_id, source, $TOKS AS tk FROM documents)),
-         |t AS (SELECT source, quantile_cont(q, 0.25) AS thr FROM d GROUP BY 1)
+         |c AS (SELECT source,
+         |    CAST(0.25 AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE) AS pos,
+         |    CAST(floor(CAST(0.25 AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)) AS BIGINT) AS lo
+         |  FROM d GROUP BY 1),
+         |r AS (SELECT source, q, row_number() OVER (PARTITION BY source ORDER BY q) AS rk FROM d),
+         |t AS (SELECT r.source, min(pos) AS pos, min(lo) AS lo,
+         |    min(CASE WHEN rk = lo + 1 THEN q END) AS q_lo,
+         |    min(CASE WHEN rk = lo + 2 THEN q END) AS q_hi
+         |  FROM r JOIN c USING (source) WHERE rk = lo + 1 OR rk = lo + 2 GROUP BY 1),
+         |t2 AS (SELECT source,
+         |    q_lo + (pos - CAST(lo AS DOUBLE)) * (COALESCE(q_hi, q_lo) - q_lo) AS thr FROM t)
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN q >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(sum(CASE WHEN q >= thr THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
          |  CAST(floor(max(thr) * 1000000.0) AS BIGINT) AS thr_micros
-         |FROM d JOIN t ON d.source = t.source GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM d JOIN t2 ON d.source = t2.source GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ceil(3·√n) per source, content-hash rank membership — all
     // arithmetic is one IEEE op per step (sqrt, multiply, ceil), no

@@ -126,8 +126,18 @@ object Similarity {
         .withColumn("cn", norm(col("cv")))
         .filter(col("cn") > 0)
       // emptied (or degenerate) clusters keep their previous centroid
-      cents = means.unionByName(
+      val next = means.unionByName(
         cents.join(means.select("c_id"), Seq("c_id"), "left_anti"))
+      // MATERIALIZE each iteration (ADVICE r10): `next` references the
+      // previous cents ~3× (assignTo's crossJoin, means, the left_anti
+      // branch), so an unpersisted loop grows the plan ~3^iters and
+      // recomputes every prior assignment pass. The centroid relation
+      // is nlist rows — collect-and-parallelize truncates the lineage
+      // to a LocalRelation at the cost of one nlist-row collect per
+      // iteration, exactly the k-means driver-sync every distributed
+      // Lloyd implementation pays.
+      cents = s.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     cents
   }

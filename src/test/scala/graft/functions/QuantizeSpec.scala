@@ -82,6 +82,30 @@ class QuantizeSpec extends SparkSpec {
     vecs.zip(got).foreach { case (v, g) => assert(g === refCodes(v), s"vector $v") }
   }
 
+  test("malformed inputs fail loudly instead of scoring as garbage (ADVICE r10)") {
+    // a null ELEMENT inside the array (the whole-array-null case stays
+    // null via nullSafeEval) must raise, not quantize as 0
+    val nullElem = Seq(Tuple1(Seq(Some(0.5), None, Some(0.25))))
+      .toDF("v").select(col("v").cast("array<double>").as("v"), lit(1.0).as("nrm"))
+    val e1 = intercept[Exception] {
+      nullElem.select(Vectors.quantizeI8(col("v"), col("nrm"))).collect()
+    }
+    assert(e1.toString.contains("null element") || e1.getCause != null)
+    // zero/negative norm must raise, not emit saturated Long.MAX codes
+    val zeroNrm = Seq(Tuple1(Seq(0.0, 0.0))).toDF("v")
+      .select(col("v"), lit(0.0).as("nrm"))
+    intercept[Exception] {
+      zeroNrm.select(Vectors.quantizeI8(col("v"), col("nrm"))).collect()
+    }
+    // mismatched code dims must raise on THIS engine too (the oracle's
+    // len(a)-indexed fold yields NULL there — silent min-length
+    // truncation here was the one cross-engine asymmetry left)
+    val mismatch = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    intercept[Exception] {
+      mismatch.select(Vectors.longDot(col("a"), col("b"))).collect()
+    }
+  }
+
   test("quantized self-dot approximates 127² for unit vectors") {
     // |codes|² ≈ 127²·|v/nrm|² = 16129 with per-dim rounding error
     // ≤ 0.5 ⇒ |Σ err·2·127·x| bounded well under 5% for 64 dims

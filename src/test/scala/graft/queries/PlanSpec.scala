@@ -210,15 +210,26 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit pair for the frontier:\n$p")
   }
 
-  test("c06: threshold relation broadcasts; corpus never shuffles") {
+  test("c06: threshold relation broadcasts; doc pass stays map-side; rank pass is narrow") {
     val p = plan("c06_adaptive_quality")
-    // pass 1 reduces to a sources-sized aggregate that must come back
-    // as a broadcast; the only exchanges are the two aggregations'
-    // partial/final pairs and the output order — never a corpus-wide
-    // repartition on source
+    // the sources-sized threshold relation must come back as a
+    // broadcast, and the per-doc membership pass must join map-side —
+    // never a corpus-wide repartition on source for the docs
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("Window"), "c06 must not rank the corpus")
+    // r11: the threshold is the explicit rank-neighbor lerp (shared
+    // IEEE formula with the oracle — ADVICE r10), so ONE window exists,
+    // but it ranks a two-column (source, q) projection, not the corpus:
+    // its scan must read only text+source (column pruning proves the
+    // narrow shape; n_tokens/doc_id never enter the sort)
+    assert("Window \\[row_number".r.findAllIn(p).length === 1, p)
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"rank pass must scan only (text, source):\n$p")
+    // exchanges: the rank pass's hash partition, the per-source count
+    // agg, and the final agg's partial/final pair — nothing else (the
+    // doc-side membership pass contributes zero exchanges below the
+    // output order)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
   test("x03: bloom probe is map-side (no exchange between scan and the probe project)") {
