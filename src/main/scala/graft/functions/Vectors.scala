@@ -72,6 +72,24 @@ object Vectors {
         org.apache.spark.sql.GraftSqlBridge.expression(v),
         org.apache.spark.sql.GraftSqlBridge.expression(nrm)))
 
+  /** Cosine-nearest-centroid against an embedded codebook — see
+    * [[NearestCentroid]]. `cents` are (c_id, centroid, norm) triples,
+    * iterated in the given order with smallest-first tie-breaks;
+    * callers sort by c_id to match the oracle's `ORDER BY cos DESC,
+    * c_id` argmax.
+    */
+  def nearestCentroid(v: Column, nrm: Column,
+      cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val dim = cents.head._2.length
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NearestCentroid(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        cents.map(_._1).toArray,
+        cents.flatMap(_._2).toArray,
+        cents.map(_._3).toArray, dim))
+  }
+
   /** Exact integer dot over `array<bigint>` codes — see [[LongDot]]. */
   def longDot(a: Column, b: Column): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -288,6 +288,33 @@ object Curation {
         .orderBy("source")
     }),
 
+    // c06's PRODUCTION threshold pass, gated x02-style (VERDICT r10
+    // ask #6): at 100 TB the exact per-source percentile (which
+    // buffers/sorts every group) swaps for percentile_approx — a
+    // MERGEABLE GK sketch: bounded memory per partition, partial+final
+    // combine, no group materialization anywhere. Approx sketches
+    // can't hash-match a foreign engine, so the gate is the sketch's
+    // CONTRACT: accuracy=1000 bounds rank error by n/1000, and the
+    // approx p25 must land between the exact quantiles at 0.25 ∓ 0.05
+    // (50× the nominal error — wide enough for the 25-doc smallest
+    // fixture source where ±0.01 spans less than one rank, and still
+    // orders of magnitude tighter than any real sketch regression).
+    // The flag is deterministic, so rows+schema+hash gate it; the
+    // oracle asserts the bound holds for every source.
+    // AdaptiveApproxSpec pins the downstream effect: the approx cut
+    // keeps within the rank-window of the exact cut per source.
+    "c06b_adaptive_quality_approx" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), Text.qualityScore(col("text")).as("q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("q"), lit(0.25), lit(1000)).as("ta"),
+          percentile(col("q"), array(lit(0.20), lit(0.30))).as("qs"))
+        .select(col("source"), col("n_docs"),
+          when(col("ta") >= col("qs")(0) && col("ta") <= col("qs")(1),
+            lit(1L)).otherwise(lit(0L)).as("within_bound"))
+        .orderBy("source")),
+
     // Temperature-scaled mixture quotas — p04 applies HANDED weights;
     // the standard automatic rule (the τ=1/2 temperature of
     // multilingual-sampling fame) derives each stratum's share from
@@ -323,6 +350,34 @@ object Curation {
         .orderBy("source")
     })
   )
+
+  /** c06's production form as a callable API: the same two-pass
+    * adaptive-threshold cut with pass 1 swapped from the exact
+    * per-source percentile to the mergeable `percentile_approx`
+    * sketch (accuracy `acc` ⇒ rank error ≤ n/acc). Pass 1 becomes a
+    * partial+final combinable aggregate — no per-group buffer, no
+    * sort, executor memory bounded by the sketch size — which is the
+    * form that survives a source with 10¹⁰ documents. The threshold
+    * it picks is an ACTUAL q value within the rank window of the true
+    * p25; AdaptiveApproxSpec pins the resulting kept-counts against
+    * the exact cut's within that window, and the gated
+    * `c06b_adaptive_quality_approx` asserts the sketch contract
+    * cross-engine every round.
+    */
+  private[queries] def adaptiveQualityApprox(docs: DataFrame,
+      acc: Int = 1000): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      Text.tokenStats(col("text")).getField("_1").cast("long").as("n_tokens"),
+      Text.qualityScore(col("text")).as("q"))
+    val thr = base.groupBy("source")
+      .agg(percentile_approx(col("q"), lit(0.25), lit(acc)).as("thr"))
+    base.join(broadcast(thr), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("q") >= col("thr"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
 
   /** p07's production form for EXTREME source skew — the pre-trim the
     * query comment promises, as a separately-witnessed equivalence
@@ -622,6 +677,13 @@ object Curation {
          |  CAST(sum(CASE WHEN q >= thr THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
          |  CAST(floor(max(thr) * 1000000.0) AS BIGINT) AS thr_micros
          |FROM d JOIN t2 ON d.source = t2.source GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the sketch-contract gate: the oracle asserts the bound HOLDS
+    // (within_bound = 1 for every source) — the x01/x02 precedent for
+    // gating an approximate operator on its published error contract
+    "c06b_adaptive_quality_approx" ->
+      """SELECT source, count(*) AS n_docs, CAST(1 AS BIGINT) AS within_bound
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ceil(3·√n) per source, content-hash rank membership — all
     // arithmetic is one IEEE op per step (sqrt, multiply, ceil), no

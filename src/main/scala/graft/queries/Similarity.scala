@@ -67,25 +67,31 @@ object Similarity {
     */
   def ivfAssign(s: SparkSession, dir: String, nlist: Int = 16): DataFrame = {
     val e = emb(s, dir)
-    val c = centroids(e, nlist)
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
-    e.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"))
+    assignTo(e, centroids(e, nlist)).select("vec_id", "c_id", "v", "nrm")
   }
 
   /** Nearest centroid per vector against an arbitrary centroid
     * relation `(c_id, cv, cn)` — ivfAssign's core, broken out so
     * trained centroids ([[ivfTrain]]) plug into the same shape.
+    *
+    * r11: the argmax is the [[graft.functions.NearestCentroid]] scan
+    * kernel, not a crossJoin+window — the declarative form
+    * materializes n·nlist vector-carrying rows through a per-vec_id
+    * sort, which at the production dial nlist ≈ √n is n^1.5 rows
+    * (measured 172 s for v08b at the 100× replica; the kernel runs
+    * the identical argmax scan-side in ~12 s). The centroid relation
+    * is collected driver-side (nlist rows — the k-means/IVF codebook
+    * sync every implementation pays) in ascending c_id so
+    * strictly-greater wins reproduce the oracle's
+    * `ORDER BY cos DESC, c_id` tie-break exactly.
     */
   private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(cosPre(col("v"), col("cv"), col("nrm"), col("cn")).desc, col("c_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(assignW)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("v"), col("nrm"),
-        cosPre(col("v"), col("cv"), col("nrm"), col("cn")).as("c_cos"))
+    val book = cents.select(col("c_id"), col("cv"), col("cn"))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    e.withColumn("nc", nearestCentroid(col("v"), col("nrm"), book))
+      .select(col("vec_id"), col("nc.c_id").as("c_id"), col("v"), col("nrm"),
+        col("nc.c_cos").as("c_cos"))
   }
 
   /** Lloyd-trained IVF centroids: start from the deterministic
@@ -394,6 +400,24 @@ object Similarity {
     // declared cost model, never a corpus-wide cross join.
     "v08_semdedup" -> ((s, dir) => semDedup(s, dir, nlist = 16)),
 
+    // v08's PRODUCTION dial, gated (VERDICT r10 ask #1): the same
+    // SemDeDup semantics at nlist = ceil(√n), the setting a real corpus
+    // runs — within-cluster pair volume Σ C(|c|,2) ≈ n²/(2·nlist)
+    // collapses from the pinned-16 fixture's n²/32 to ~n^1.5/2.
+    // SemDedupDialSpec already proves the verdict survives any dial;
+    // this query makes the √n form itself hash-exact: the oracle
+    // derives the identical nlist from its own count(*) (sqrt and ceil
+    // are correctly-rounded IEEE ops, so both engines pick the same
+    // integer), and centroid choice/assignment stay the deterministic
+    // first-nlist argmax. The driver-side count is parquet metadata,
+    // not a data scan. With this, the 100× suite's v08 reading stops
+    // being a fixture artifact: the slowest query measures the
+    // operator's real cost model.
+    "v08b_semdedup_dial" -> ((s, dir) => {
+      val n = Tables(s, dir, "embeddings").count()
+      semDedup(s, dir, nlist = math.ceil(math.sqrt(n.toDouble)).toInt)
+    }),
+
     // Quantized two-phase retrieval — the ANN MEMORY story at 100 TB:
     // phase 1 scans only the int8 code relation (4× smaller than the
     // float vectors — the index that still fits when the floats
@@ -614,6 +638,24 @@ object Similarity {
     // v02's assign CTE + within-cluster keep-first verdict
     "v08_semdedup" ->
       s"""WITH e AS ($EMB), c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT b.vec_id FROM assign a
+         |  JOIN assign b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v")} >= 0.3)
+         |SELECT s.c_id, s.vec_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         |ORDER BY s.c_id, s.vec_id""".stripMargin,
+
+    // v08's CTEs with nlist derived from the corpus count — the same
+    // ceil(sqrt(n)) both engines compute on identical IEEE ops
+    "v08b_semdedup_dial" ->
+      s"""WITH e AS ($EMB),
+         |nl AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS nlist FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT nlist FROM nl)),
          |assign AS (SELECT vec_id, c_id, v FROM (
          |    SELECT e.vec_id, c.c_id, e.v,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
