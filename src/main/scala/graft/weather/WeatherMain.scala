@@ -64,7 +64,19 @@ object WeatherMain {
       apiKey: String = "",
       countryCode: String = "PH",
       geocodePerSec: Double = 1.0,
-      weatherPerSec: Double = 60.0)
+      weatherPerSec: Double = 60.0,
+      // CLUSTER-wide budgets (req/s summed over every executor JVM).
+      // When set they OVERRIDE the per-JVM rates above: each JVM gets
+      // budget / executorJvms (Throttle.perJvmShare), so a
+      // 100-executor deployment cannot accidentally 100× the
+      // reference's 1 req/s geocode quota. `executorJvms` pins the
+      // divisor explicitly; unset, [[resolveRates]] counts live
+      // executors via the status tracker (local mode → 1; cluster
+      // mode includes the driver row — one JVM over-divided, i.e. the
+      // SAFE direction for a quota).
+      geocodePerSecCluster: Option[Double] = None,
+      weatherPerSecCluster: Option[Double] = None,
+      executorJvms: Option[Int] = None)
 
   /** What one run did — the reference's log lines as data. */
   final case class Report(
@@ -124,11 +136,27 @@ object WeatherMain {
     }
   }
 
+  /** Fold the cluster-wide rate budgets (when configured) down to the
+    * per-JVM rates the connectors' token buckets enforce. Separated
+    * from [[run]] so WeatherMainCliSpec can pin the arithmetic without
+    * a lifecycle run.
+    */
+  private[weather] def resolveRates(spark: SparkSession, cfg: Config): Config = {
+    lazy val jvms = cfg.executorJvms.getOrElse(
+      math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length))
+    cfg.copy(
+      geocodePerSec = cfg.geocodePerSecCluster
+        .map(Throttle.perJvmShare(_, jvms)).getOrElse(cfg.geocodePerSec),
+      weatherPerSec = cfg.weatherPerSecCluster
+        .map(Throttle.perJvmShare(_, jvms)).getOrElse(cfg.weatherPerSec))
+  }
+
   /** One full pipeline run (the reference's `main`). `now` is injected
     * for determinism, as in the jobs (SURVEY.md §7.4 #3).
     */
-  def run(spark: SparkSession, cfg: Config,
+  def run(spark: SparkSession, cfg0: Config,
       now: Timestamp = new Timestamp(System.currentTimeMillis())): Report = {
+    val cfg = resolveRates(spark, cfg0)
     // K1: idempotent ensure (`:346`). Facts are day-partitioned on
     // append (SURVEY.md §4), so only the snapshot gets an empty seed —
     // a pre-created unpartitioned empty table would conflict with the
@@ -181,5 +209,102 @@ object WeatherMain {
       resolved = snapshot.filter(col("latitude").isNotNull && col("longitude").isNotNull).count(),
       factsAppended = ordered.count(),
       missedLookups = missed.count())
+  }
+
+  // ---- spark-submit entry (the reference's `__main__` guard,
+  //      weather_data_fetcher.py:455-456) -----------------------------
+
+  private[weather] val Usage: String =
+    """usage: graft.weather.WeatherMain
+      |  --cities-url URL --provinces-url URL --geocode-base URL
+      |  --weather-base URL --snapshot-path PATH --facts-path PATH
+      |  [--api-key KEY]                 (default: $WEATHER_API_KEY, else unauthenticated)
+      |  [--country-code CC]             (default: PH)
+      |  [--geocode-per-sec R]           (per-JVM, default: 1)
+      |  [--weather-per-sec R]           (per-JVM, default: 60)
+      |  [--geocode-per-sec-cluster R]   (cluster-wide budget; overrides per-JVM)
+      |  [--weather-per-sec-cluster R]   (cluster-wide budget; overrides per-JVM)
+      |  [--executor-jvms N]             (budget divisor; default: live executor count)""".stripMargin
+
+  /** `--key value` args (+ `WEATHER_API_KEY` from `env`) → [[Config]],
+    * or a usage-carrying error for anything malformed. Pure so the
+    * spec covers every rejection branch without a process.
+    */
+  private[weather] def parseConfig(args: Array[String],
+      env: Map[String, String] = sys.env): Either[String, Config] = {
+    val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!k.startsWith("--")) return Left(s"unexpected argument '$k'\n$Usage")
+      if (i + 1 >= args.length) return Left(s"missing value for $k\n$Usage")
+      kv(k.stripPrefix("--")) = args(i + 1)
+      i += 2
+    }
+    val known = Set("cities-url", "provinces-url", "geocode-base", "weather-base",
+      "snapshot-path", "facts-path", "api-key", "country-code",
+      "geocode-per-sec", "weather-per-sec",
+      "geocode-per-sec-cluster", "weather-per-sec-cluster", "executor-jvms")
+    val unknown = kv.keySet.filterNot(known)
+    if (unknown.nonEmpty)
+      return Left(s"unknown option(s): ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}\n$Usage")
+    def req(k: String): Either[String, String] =
+      kv.get(k).toRight(s"missing required --$k\n$Usage")
+    def num(k: String, parse: String => AnyVal): Either[String, Unit] =
+      kv.get(k) match {
+        case Some(v) if Try(parse(v)).isFailure =>
+          Left(s"--$k: '$v' is not a number\n$Usage")
+        case _ => Right(())
+      }
+    for {
+      cities <- req("cities-url"); provinces <- req("provinces-url")
+      geo <- req("geocode-base"); weather <- req("weather-base")
+      snap <- req("snapshot-path"); facts <- req("facts-path")
+      _ <- num("geocode-per-sec", _.toDouble); _ <- num("weather-per-sec", _.toDouble)
+      _ <- num("geocode-per-sec-cluster", _.toDouble)
+      _ <- num("weather-per-sec-cluster", _.toDouble)
+      _ <- num("executor-jvms", _.toInt)
+    } yield Config(cities, provinces, geo, weather, snap, facts,
+      apiKey = kv.getOrElse("api-key", env.getOrElse("WEATHER_API_KEY", "")),
+      countryCode = kv.getOrElse("country-code", "PH"),
+      geocodePerSec = kv.get("geocode-per-sec").map(_.toDouble).getOrElse(1.0),
+      weatherPerSec = kv.get("weather-per-sec").map(_.toDouble).getOrElse(60.0),
+      geocodePerSecCluster = kv.get("geocode-per-sec-cluster").map(_.toDouble),
+      weatherPerSecCluster = kv.get("weather-per-sec-cluster").map(_.toDouble),
+      executorJvms = kv.get("executor-jvms").map(_.toInt))
+  }
+
+  /** [[main]]'s body returning the exit code instead of calling
+    * `sys.exit` — 0 = run completed (Report printed), 1 = run raised,
+    * 2 = bad usage — so WeatherMainCliSpec drives the whole entry
+    * in-JVM against the loopback server. Reuses (or lazily creates)
+    * the ambient SparkSession exactly like any spark-submit app.
+    */
+  private[weather] def cliRun(args: Array[String]): Int =
+    parseConfig(args) match {
+      case Left(msg) =>
+        System.err.println(msg); 2
+      case Right(cfg) =>
+        val spark = SparkSession.builder().appName("graft-weather").getOrCreate()
+        Try(run(spark, cfg)) match {
+          case scala.util.Success(r) =>
+            // the reference's end-of-run log lines as one parseable line
+            println(s"[weather] refreshed=${r.refreshed} locations=${r.locations} " +
+              s"resolved=${r.resolved} factsAppended=${r.factsAppended} " +
+              s"missedLookups=${r.missedLookups}")
+            0
+          case scala.util.Failure(e) =>
+            System.err.println(s"[weather] run failed: $e"); 1
+        }
+    }
+
+  /** The runnable pipeline (`spark-submit --class graft.weather.WeatherMain`)
+    * — the deployment story the reference schedules with Task Scheduler
+    * (`README.md:25`): parse config from args/env, run once, print the
+    * report, non-zero exit on failure.
+    */
+  def main(args: Array[String]): Unit = {
+    val code = cliRun(args)
+    if (code != 0) sys.exit(code)
   }
 }

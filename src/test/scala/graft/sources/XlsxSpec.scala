@@ -122,6 +122,45 @@ class XlsxSpec extends SparkSpec {
       (2L, "098765000", "Zamboanga", false, 6.9214)))
   }
 
+  test("the REAL reference workbook parses to SURVEY §1.3's ground truth") {
+    // /root/reference/all_locations.xlsx is the one genuine
+    // Excel-writer artifact available (openpyxl output: inlineStr
+    // cells, t="b" boolean cells, self-closing empty cells, dimension
+    // hints, style attributes — quirks the synthetic fixtures above
+    // only imitate). Read as DATA only. Header is the reference's
+    // pandas-merge naming (`code_city` from suffixes=('_city', ...),
+    // weather_data_fetcher.py:356).
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("code_city", StringType),
+      StructField("name", StringType),
+      StructField("oldName", StringType),
+      StructField("isCapital", BooleanType),
+      StructField("provinceCode", StringType),
+      StructField("islandGroupCode", StringType),
+      StructField("psgc10DigitCode", StringType),
+      StructField("province_name", StringType),
+      StructField("latitude", DoubleType),
+      StructField("longitude", DoubleType)))
+    val df = Xlsx.read(spark, "/root/reference/all_locations.xlsx", schema)
+    val rows = df.collect()
+    assert(rows.length === 146, "reference snapshot is 146 locations")
+    assert(rows.count(_.isNullAt(2)) === 143, "143/146 null oldName")
+    // leading zeros survive: string codes, never numeric re-parse
+    assert(rows.count(r => r.getString(0).startsWith("0")) === 98)
+    assert(rows.exists(_.getString(0) == "012805000"))
+    assert(rows.exists(_.getString(6) == "0102805000"), "10-digit code keeps its zero")
+    assert(df.select("islandGroupCode").distinct().collect().map(_.getString(0)).sorted
+      === Array("luzon", "mindanao", "visayas"))
+    // t="b" boolean cells surface as "0"/"1" and cast cleanly
+    assert(rows.count(_.getBoolean(3)) === 45, "45 capital cities")
+    // the geocode pass resolved every row in the shipped artifact
+    assert(rows.forall(r => !r.isNullAt(8) && !r.isNullAt(9)))
+    val batac = rows.find(_.getString(1) == "City of Batac").get
+    assert(batac.getString(7) === "Ilocos Norte")
+    assert(batac.getDouble(8) === 18.0555035 && batac.getDouble(9) === 120.5645243)
+  }
+
   test("a sheet without sharedStrings still reads (inline-only workbook)") {
     val p = java.nio.file.Files.createTempFile("inline", ".xlsx").toString
     val z = new ZipOutputStream(new FileOutputStream(p))
