@@ -232,6 +232,29 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3, p)
   }
 
+  test("v08b: IVF assignment is the scan kernel — no window, no assignment join") {
+    val p = plan("v08b_semdedup_dial")
+    // the argmax must be graft_nearest_centroid fused into the scan:
+    // the old crossJoin+row_number shape materialized n·nlist vector
+    // rows through a per-vec_id sort — n^1.5 at the √n dial (measured
+    // 172 s at 100×; the kernel reads 12.5 s)
+    assert(p.contains("graft_nearest_centroid"), p)
+    assert(!p.contains("Window"), s"assignment must not rank n·nlist rows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only join left is the within-cluster pair join + the
+    // keep-verdict left join — on c_id/vec_id, never a centroid join
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x04: the returned plan reads the checkpointed counts, not the corpus again") {
+    val p = plan("x04_cms_heavy_hitters")
+    // one-pass rewrite: by the time the result DF is built, the
+    // vocabulary-sized counts relation is (lazily) checkpointed — the
+    // top-10 side must scan blocks, not re-tokenize documents
+    assert(!p.contains("FileScan parquet"), s"top-10 must not rescan the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("x03: bloom probe is map-side (no exchange between scan and the probe project)") {
     val p = plan("x03_bloom_decontam")
     // the flags relation is ONE row — its crossJoin must be the
