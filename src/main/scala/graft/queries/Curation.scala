@@ -38,15 +38,55 @@ object Curation {
     * (removal); Catalyst prunes `n_tokens` out of c01's plan, so the
     * report pays nothing for the extra column.
     */
-  private def contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir, "documents")
+  private def contamination(s: SparkSession, dir: String): DataFrame =
+    // rides the suite-shared silver projection (Dedup.shingleDocs):
+    // under a suite runner the tokenization is paid once across the
+    // dedup+contamination families; standalone it is the same plan the
+    // inline projection produced
+    contaminationDocs(Dedup.shingleDocs(s, dir), prefilter = true)
+
+  /** c01/c03's core over a raw documents relation. `prefilter = true`
+    * (the shipped form, r11) probes a broadcast bloom of the eval
+    * shingle FINGERPRINTS map-side and pays the explode + vocabulary
+    * semi-join only for docs the bloom flags. EXACT by the bloom's
+    * one-sided error: a shingle that string-matches the eval
+    * vocabulary has the same fingerprint, and the bloom never returns
+    * false for an inserted value — so an unflagged doc provably has
+    * zero exact hits (its left-join row coalesces to the same 0.0 the
+    * naive form computes); a false POSITIVE only sends a clean doc
+    * through the exact join, which scores it 0 as before. Decontam
+    * corpora are mostly clean — at the salted 100× replica the
+    * flagged sliver is a few percent, so the corpus-sized
+    * explode-and-shuffle (the whole cost of the naive shape) collapses
+    * to the sliver while results stay hash-identical
+    * (ContaminationPrefilterSpec pins naive == prefiltered; the x03
+    * driver-built-sketch precedent covers the probe UDF).
+    */
+  private[queries] def contaminationOver(raw: DataFrame,
+      prefilter: Boolean): DataFrame =
+    contaminationDocs(raw
       .select(col("doc_id"), col("source"),
-        Text.distinctShingles(col("text")).as("sh"),
-        Text.tokenStats(col("text")).getField("_1").as("n_tokens"))
+        Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+        Text.distinctShingles(col("text")).as("sh")), prefilter)
+
+  private def contaminationDocs(docs: DataFrame,
+      prefilter: Boolean): DataFrame = {
     val evalVocab = docs.filter(isEval)
       .select(explode(col("sh")).as("s")).distinct()
     val train = docs.filter(!isEval)
-    val hits = train
+    val candidates = if (!prefilter) train else {
+      val evalFps = evalVocab.select(Text.charFp(col("s")).as("f")).distinct()
+      val nEval = evalFps.count()
+      // empty eval vocabulary ⇒ nothing can overlap (stat.bloomFilter
+      // also NPEs on an empty relation) — skip every doc outright
+      if (nEval == 0) train.limit(0)
+      else {
+        val bf = evalFps.stat.bloomFilter("f", nEval, BloomFpp)
+        val nBloomHits = udf((fps: Seq[Long]) => fps.count(bf.mightContainLong).toLong)
+        train.filter(nBloomHits(Text.fps(col("sh"))) > 0)
+      }
+    }
+    val hits = candidates
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(evalVocab, Seq("s"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
@@ -175,9 +215,10 @@ object Curation {
     // emits the same exact columns and literal 1s — a bloom regression
     // flips a flag and breaks the hash.
     "x03_bloom_decontam" -> ((s, dir) =>
-      bloomDecontam(
-        Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
-        isEval).orderBy("source")),
+      bloomDecontamDocs(
+        Dedup.shingleDocs(s, dir)
+          .select(col("doc_id"), col("source"), col("sh"), isEval.as("is_eval")),
+        BloomFpp, BloomFpBound).orderBy("source")),
 
     // Model-based quality filtering — the fasttext-style classifier
     // step (CCNet / LLaMA-1 data prep) that sits next to t03's
@@ -441,9 +482,18 @@ object Curation {
     * it with synthetic corpora (known overlap, adversarial fp loads).
     */
   private[queries] def bloomDecontam(raw: DataFrame, evalPred: Column,
-      fpp: Double = BloomFpp, bound: Double = BloomFpBound): DataFrame = {
-    val docs = raw.select(col("doc_id"), col("source"),
-      Text.distinctShingles(col("text")).as("sh"), evalPred.as("is_eval"))
+      fpp: Double = BloomFpp, bound: Double = BloomFpBound): DataFrame =
+    bloomDecontamDocs(raw.select(col("doc_id"), col("source"),
+      Text.distinctShingles(col("text")).as("sh"), evalPred.as("is_eval")),
+      fpp, bound)
+
+  /** [[bloomDecontam]] over a pre-built `(doc_id, source, sh,
+    * is_eval)` projection — the gated x03 passes the suite-shared
+    * silver relation (r11) so its branches stop re-tokenizing the
+    * corpus.
+    */
+  private def bloomDecontamDocs(docs: DataFrame,
+      fpp: Double, bound: Double): DataFrame = {
     val evalFps = docs.filter(col("is_eval"))
       .select(explode(col("sh")).as("s"))
       .select(Text.charFp(col("s")).as("f")).distinct()

@@ -29,14 +29,21 @@ import OracleDialect._
   */
 object Dedup {
 
-  /** doc_id + distinct 3-gram shingle set — cached across the suite
-    * when a runner enabled [[graft.SharedProjections]] (six queries
-    * recompute this identical relation otherwise).
+  /** The documents "silver" projection — doc_id, source, token count,
+    * distinct 3-gram shingle set — cached across the suite when a
+    * runner enabled [[graft.SharedProjections]]. Widened in r11 from
+    * (doc_id, sh) so the contamination family (c01/c03) reads the SAME
+    * cached relation as the dedup family instead of re-tokenizing the
+    * corpus per branch; with sharing OFF, each query's narrow select
+    * prunes the unused columns (and their kernels) out of the plan, so
+    * standalone plans are unchanged.
     */
-  private def shingleDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def shingleDocs(s: SparkSession, dir: String): DataFrame =
     graft.SharedProjections.reuse("shingles", dir) {
       Tables(s, dir, "documents")
-        .select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("source"),
+          Text.tokenStats(col("text")).getField("_1").as("n_tokens"),
+          Text.distinctShingles(col("text")).as("sh"))
     }
 
   /** MinHash+LSH near-dup canonical map over a `(doc_id, sh)` relation:

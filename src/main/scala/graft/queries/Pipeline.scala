@@ -33,7 +33,12 @@ object Pipeline {
         .agg(min(col("doc_id")).as("doc_id"))
       val d1 = docs.join(keep.select("doc_id"), "doc_id")
       // 2. near-dup dedup: drop docs with a smaller LSH-verified near-dup
-      val sh = d1.select(col("doc_id"), Text.distinctShingles(col("text")).as("sh"))
+      // (shingles come from the suite-shared silver projection — a
+      // doc's shingle set is dedup-invariant, so joining the full-
+      // corpus relation down to the survivors is the same relation the
+      // inline recompute built, r11)
+      val sh = Dedup.shingleDocs(s, dir).select(col("doc_id"), col("sh"))
+        .join(keep.select("doc_id"), "doc_id")
       val d2 = d1.join(Dedup.lshCanonicals(sh).select("doc_id"), Seq("doc_id"), "left_anti")
         // 3. language filter (metadata column; the content heuristic is t02)
         .filter(col("lang") === "en")
