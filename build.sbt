@@ -32,6 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default (SPARK_DRIVER_MEM overrides): the whole-suite runners
+  // hold the shared silver projection, sketch checkpoints, and the
+  // widest join's execution memory in ONE local-mode JVM — at the 8g
+  // default the 100x suite thrashed storage against execution (v08
+  // read 73 s in-suite vs 31 s in an empty heap). The driver box has
+  // 125 GiB; a real cluster sizes executor memory the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
 scalacOptions += "-deprecation"

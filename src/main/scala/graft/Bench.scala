@@ -43,7 +43,11 @@ object Bench {
     // diagnostic can never land after (and break) the JSON result line
     filter.foreach(_.diff(SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
       System.err.println(s"WARNING: SPARK_GRAFT_QUERIES entry matches no query: $n")))
-    val names = SparkEntry.queries.keys.toSeq
+    // SORTED: Map iteration order varies run to run, and execution
+    // order moves memory/page-cache pressure between queries — v08's
+    // single-pass reading swung 2x on order alone. A fixed order makes
+    // round-over-round suite readings comparable.
+    val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filter.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)

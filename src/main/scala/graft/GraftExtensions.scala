@@ -138,5 +138,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_probes(key) takes one argument")
         ProbesExpr(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cms_weighted"),
+      new ExpressionInfo(classOf[graft.functions.CmsWeightedAgg].getName, "graft_cms_weighted"),
+      (children: Seq[Expression]) => {
+        // graft_cms_weighted(item, cnt[, eps, confidence, seed]) — the
+        // aggregate itself; the analyzer wraps it in AggregateExpression
+        // like any builtin agg. eps/confidence/seed must be literals.
+        require(children.length == 2 || children.length == 5,
+          "graft_cms_weighted(item, cnt[, eps, confidence, seed])")
+        def num(i: Int, what: String): Double = children(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) =>
+            v.doubleValue()
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_cms_weighted: $what must be a numeric literal, got $other")
+        }
+        if (children.length == 2)
+          graft.functions.CmsWeightedAgg(children.head, children(1), 0.001, 0.99, 42)
+        else
+          graft.functions.CmsWeightedAgg(children.head, children(1),
+            num(2, "eps"), num(3, "confidence"), num(4, "seed").toInt)
+      }))
   }
 }

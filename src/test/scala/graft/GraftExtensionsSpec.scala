@@ -31,6 +31,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r === 16129L)
   }
 
+  test("graft_cms_weighted is callable from SQL; sketch equals the builtin") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftSqlBridge.registerFunctions(ext, spark)
+    import spark.implicits._
+    Seq(("a", 3L), ("b", 2L), ("a", 1L)).toDF("item", "c")
+      .createOrReplaceTempView("cms_in")
+    // 2-arg form (x04's eps/conf/seed defaults) and the explicit 5-arg
+    // form must agree with count_min_sketch over the expanded multiset
+    val rows = spark.sql(
+      """SELECT graft_cms_weighted(item, c) AS w2,
+        |  graft_cms_weighted(item, c, 0.001d, 0.99d, 42) AS w5
+        |FROM cms_in""".stripMargin).head
+    val expanded = Seq.fill(4)("a") ++ Seq.fill(2)("b")
+    val builtin = expanded.toDF("item")
+      .agg(org.apache.spark.sql.functions.expr(
+        "count_min_sketch(item, 0.001d, 0.99d, 42)")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(rows.getAs[Array[Byte]](0), builtin))
+    assert(java.util.Arrays.equals(rows.getAs[Array[Byte]](1), builtin))
+    // non-literal sketch params are rejected at analysis, not silently
+    intercept[Exception] {
+      spark.sql("SELECT graft_cms_weighted(item, c, c, 0.99d, 42) FROM cms_in").collect()
+    }
+  }
+
   test("graft_charfp (native codegen) matches the JVM kernel and handles nulls") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
