@@ -401,6 +401,41 @@ object Text {
     org.apache.spark.sql.GraftSqlBridge.column(
       TermCounts(org.apache.spark.sql.GraftSqlBridge.expression(text)))
 
+  /** One-pass document length + per-query-term frequencies — t14's
+    * kernel (r11): `struct<dl: int, tf: array<int>>` where `dl` counts
+    * the non-empty lowercased tokens and `tf(i)` counts tokens equal
+    * to `terms(i)`. Replaces a tokenization HOF plus one array_remove
+    * COPY of the token array per query term, per pass — the BM25
+    * shape needs the corpus twice (stats, then scoring), so the old
+    * form paid 2 interpreted tokenizations and 6 array copies per doc.
+    */
+  def queryTfRow(s: org.apache.spark.unsafe.types.UTF8String,
+      terms: Array[String]): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.toLowerCase.split(" ")
+    var dl = 0
+    val tf = new Array[Int](terms.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        dl += 1
+        var j = 0
+        while (j < terms.length) {
+          if (t == terms(j)) tf(j) += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](dl,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(tf)))
+  }
+
+  /** `struct<dl, tf>` column — native codegen'd [[QueryTf]]. */
+  def queryTf(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      QueryTf(org.apache.spark.sql.GraftSqlBridge.expression(text), terms))
+
   /** Tiny function-word lists for the n-gram language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to"),

@@ -305,6 +305,43 @@ case class TermCounts(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the one-pass document-length +
+  * per-query-term frequency kernel [[Text.queryTfRow]] — t14's scan
+  * stage (r11): one tokenization, zero array materialization, vs the
+  * interpreted tokens-HOF plus one array_remove copy per term per
+  * pass. The terms ride as a codegen reference object.
+  */
+case class QueryTf(child: Expression, terms: Seq[String]) extends UnaryExpression {
+
+  require(terms.nonEmpty, "graft_querytf needs at least one query term")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_querytf expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("tf", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+  override def prettyName: String = "graft_querytf"
+
+  private lazy val termsArr: Array[String] = terms.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Text.queryTfRow(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], termsArr)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { c =>
+      val t = ctx.addReferenceObj("terms", termsArr, "java.lang.String[]")
+      s"${ev.value} = graft.functions.Text.queryTfRow($c, $t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QueryTf =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the four-language function-word counter
   * [[Text.langHitsRow]] — t02's kernel (one tokenization, one pass,
   * four counters; replaces four interpreted HOF `filter` lambdas).

@@ -17,7 +17,6 @@ import OracleDialect._
   */
 object TextAnalysis {
 
-  private def tk = Text.tokens(col("text"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats come from the compiled tokenStats kernel (one
@@ -297,11 +296,15 @@ object TextAnalysis {
     // the final top-20 is TakeOrdered, never a global sort.
     "t14_bm25_search" -> ((s, dir) => {
       val qterms = Seq("dup", "vector", "spark")
-      def tfc(i: Int): Column =
-        (size(col("tk")) - size(array_remove(col("tk"), qterms(i)))).as(s"tf$i")
+      // r11: dl + all three tf's from ONE QueryTf kernel pass — the
+      // old shape ran the interpreted tokens HOF plus an array_remove
+      // COPY per term, and BM25's two passes (stats, scoring) paid it
+      // twice; integers are identical by construction (TextSpec pins
+      // kernel == HOF parity), so the gate is untouched
       val base = Tables(s, dir, "documents")
-        .select(col("doc_id"), tk.as("tk"))
-        .select(col("doc_id"), size(col("tk")).as("dl"), tfc(0), tfc(1), tfc(2))
+        .select(col("doc_id"), Text.queryTf(col("text"), qterms).as("q"))
+        .select(col("doc_id"), col("q.dl").as("dl"),
+          col("q.tf")(0).as("tf0"), col("q.tf")(1).as("tf1"), col("q.tf")(2).as("tf2"))
       val stats = base.agg(
         count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"),
         sum(when(col("tf0") > 0, 1L).otherwise(0L)).as("df0"),

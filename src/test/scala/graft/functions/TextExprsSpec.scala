@@ -90,6 +90,38 @@ class TextExprsSpec extends SparkSpec {
     assert(p === Segments.probesOf("abcdefghij", Segments.Tau).length)
   }
 
+  test("queryTf kernel == tokens-HOF + array_remove formulation (t14 parity)") {
+    import org.apache.spark.sql.functions._
+    val terms = Seq("dup", "vector", "spark")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, "dup dup DUP Vector  spark   dup"), // case + multi-space
+        (900002L, ""),                                // empty doc
+        (900003L, "   "),                             // whitespace only
+        (900004L, "no query terms here at all")
+      ).toDF("doc_id", "text"))
+    val tk = Text.tokens(col("text"))
+    val naive = docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"),
+        (size(col("tk")) - size(array_remove(col("tk"), terms(0)))).as("tf0"),
+        (size(col("tk")) - size(array_remove(col("tk"), terms(1)))).as("tf1"),
+        (size(col("tk")) - size(array_remove(col("tk"), terms(2)))).as("tf2"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val kernel = docs
+      .select(col("doc_id"), Text.queryTf(col("text"), terms).as("q"))
+      .select(col("doc_id"), col("q.dl").as("dl"),
+        col("q.tf")(0).as("tf0"), col("q.tf")(1).as("tf1"), col("q.tf")(2).as("tf2"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(kernel.keySet === naive.keySet)
+    kernel.foreach { case (id, v) => assert(v === naive(id), s"doc $id") }
+    // codegen-inlined, and lowercase matching caught the cased tokens
+    val plan = docs.select(Text.queryTf(col("text"), terms))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("graft_querytf")), plan)
+    assert(kernel(900001L) === Seq(6, 4, 1, 1))
+  }
+
   test("graft_fps and graft_simhash are callable from SQL") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
