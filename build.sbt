@@ -32,12 +32,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 48g default (SPARK_DRIVER_MEM overrides): the whole-suite runners
-  // hold the shared silver projection, sketch checkpoints, and the
-  // widest join's execution memory in ONE local-mode JVM — at the 8g
-  // default the 100x suite thrashed storage against execution (v08
-  // read 73 s in-suite vs 31 s in an empty heap). The driver box has
-  // 125 GiB; a real cluster sizes executor memory the same way.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fork heap = min(48g, ~40% of host RAM), SPARK_DRIVER_MEM overrides.
+  // The whole-suite runners hold the shared silver projection, sketch
+  // checkpoints, and the widest join's execution memory in ONE
+  // local-mode JVM — at 8g the 100x suite thrashed storage against
+  // execution (v08 read 73 s in-suite vs 31 s in an empty heap), so on
+  // the 125 GiB driver box this resolves to 48g. Capping at 40% of
+  // MemTotal (ADVICE r11) keeps smaller contributor machines out of
+  // the OOM killer: every sbt fork inherits this -Xmx.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val memTotalGb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemTotal"))
+        .map(_.filter(_.isDigit).toLong / (1024 * 1024)).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
+    val gb = if (memTotalGb <= 0) 8L else math.max(4L, math.min(48L, memTotalGb * 2 / 5))
+    s"${gb}g"
+  })}",
 )
 scalacOptions += "-deprecation"

@@ -30,8 +30,14 @@ import org.apache.spark.sql.types._
   * (`ORDER BY cos DESC, c_id`): centroids are iterated in ascending
   * c_id and a candidate wins only on STRICTLY greater cosine, so ties
   * keep the smallest c_id; each cosine is the same left-fold dot /
-  * (nrm·cn) IEEE sequence as [[DotProduct]]/cosPre. Hash-gated
-  * cross-engine through v02/v07/v08/v08b.
+  * (nrm·cn) IEEE sequence as [[DotProduct]]/cosPre. "Greater" is the
+  * `java.lang.Double.compare` TOTAL order with −0.0 collapsed to 0.0
+  * first (r12, ADVICE r11): a zero-norm vector or centroid yields NaN
+  * cosines, and both engines' `ORDER BY cos DESC` sorts NaN above
+  * every double — a naive `>` would never select NaN and return a
+  * stale default instead; the collapse keeps ±0.0 ties on c_id like
+  * SQL sort equality does. Hash-gated cross-engine through
+  * v02/v07/v08/v08b.
   *
   * Output: struct<c_id: bigint, c_cos: double> (the assignment and
   * its objective value — ivfTrain's ascent measure rides the same
@@ -63,7 +69,7 @@ case class NearestCentroid(left: Expression, right: Expression,
     if (x.numElements() != dim) throw new IllegalArgumentException(
       s"graft_nearest_centroid: vector dim ${x.numElements()} != codebook dim $dim")
     val n = nrm.asInstanceOf[Double]
-    var bestId = 0L
+    var bestId = cids(0)
     var best = Double.NegativeInfinity
     var c = 0
     while (c < cids.length) {
@@ -71,8 +77,9 @@ case class NearestCentroid(left: Expression, right: Expression,
       val off = c * dim
       var i = 0
       while (i < dim) { acc += x.getDouble(i) * flat(off + i); i += 1 }
-      val cos = acc / (n * cns(c))
-      if (cos > best) { best = cos; bestId = cids(c) }
+      var cos = acc / (n * cns(c))
+      if (cos == 0.0) cos = 0.0
+      if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestId = cids(c) }
       c += 1
     }
     new GenericInternalRow(Array[Any](bestId, best)): InternalRow
@@ -93,7 +100,7 @@ case class NearestCentroid(left: Expression, right: Expression,
       s"""
          |if ($v.numElements() != $dim) throw new IllegalArgumentException(
          |  "graft_nearest_centroid: vector dim " + $v.numElements() + " != codebook dim $dim");
-         |long $bestId = 0L;
+         |long $bestId = $idsRef[0];
          |double $best = Double.NEGATIVE_INFINITY;
          |for (int $c = 0; $c < ${cids.length}; $c++) {
          |  double $acc = 0.0;
@@ -102,7 +109,8 @@ case class NearestCentroid(left: Expression, right: Expression,
          |    $acc += $v.getDouble($i) * $flatRef[$off + $i];
          |  }
          |  double $cos = $acc / ($nrm * $cnsRef[$c]);
-         |  if ($cos > $best) { $best = $cos; $bestId = $idsRef[$c]; }
+         |  if ($cos == 0.0d) $cos = 0.0d;
+         |  if (java.lang.Double.compare($cos, $best) > 0) { $best = $cos; $bestId = $idsRef[$c]; }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new Object[]{$bestId, $best});

@@ -186,16 +186,28 @@ object Dedup {
         count(lit(1)).over(byDoc).as("n")))
     val pref = base
       .filter(col("rk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
-      .select("doc_id", "s", "n")
+      .select("doc_id", "s", "rk", "n")
     // PPJoin length filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so pairs
     // with incompatible sizes never qualify — lossless prune of the
     // candidate join output (the ε guards double-rounding at the
     // boundary: it can only keep an extra pair, never drop one; the
-    // exact jaccard filter below decides the boundary)
+    // exact jaccard filter below decides the boundary).
+    // PPJoin POSITIONAL filter (r12): J ≥ t needs overlap o ≥ α =
+    // ⌈t/(1+t)·(na+nb)⌉, and a match on the docs' rk_a-th / rk_b-th
+    // fps under the shared global (df, fp) order caps the overlap
+    // reachable THROUGH that fp at 1 + min(na−rk_a, nb−rk_b) — the
+    // common fps after it consume one tail slot on each side. Pruning
+    // per matched row is lossless for pair candidacy: a qualifying
+    // pair's SMALLEST common fp has no common fps before it, so its
+    // bound ≥ o ≥ α and that row always survives (and that fp provably
+    // sits inside both prefixes — same argument as the prefix lemma).
+    val alpha = ceil((col("a.n") + col("b.n")).cast("double")
+      * lit(t / (1 + t)) - lit(1e-9))
     val ids = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n").cast("double") >= lit(t) * col("b.n") - lit(1e-9) &&
-          col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9))
+          col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9) &&
+          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >= alpha)
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id2"))
     // the counting verify below stays near-linear even if many docs are
     // candidates: the global df cap bounds per-shingle join fan-out at

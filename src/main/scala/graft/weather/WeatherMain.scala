@@ -250,11 +250,19 @@ object WeatherMain {
       return Left(s"unknown option(s): ${unknown.toSeq.sorted.map("--" + _).mkString(", ")}\n$Usage")
     def req(k: String): Either[String, String] =
       kv.get(k).toRight(s"missing required --$k\n$Usage")
-    def num(k: String, parse: String => AnyVal): Either[String, Unit] =
+    // the numeric dials are rates and JVM counts — zero/negative would
+    // only blow up later inside Throttle.perJvmShare's require (exit 1,
+    // stack trace); malformed args must uniformly get the usage error
+    // (exit 2), so positivity is validated HERE (ADVICE r11)
+    def num(k: String, parse: String => Double): Either[String, Unit] =
       kv.get(k) match {
-        case Some(v) if Try(parse(v)).isFailure =>
-          Left(s"--$k: '$v' is not a number\n$Usage")
-        case _ => Right(())
+        case Some(v) =>
+          Try(parse(v)).toOption match {
+            case None => Left(s"--$k: '$v' is not a number\n$Usage")
+            case Some(d) if d <= 0 => Left(s"--$k: '$v' must be positive\n$Usage")
+            case _ => Right(())
+          }
+        case None => Right(())
       }
     for {
       cities <- req("cities-url"); provinces <- req("provinces-url")
@@ -263,7 +271,7 @@ object WeatherMain {
       _ <- num("geocode-per-sec", _.toDouble); _ <- num("weather-per-sec", _.toDouble)
       _ <- num("geocode-per-sec-cluster", _.toDouble)
       _ <- num("weather-per-sec-cluster", _.toDouble)
-      _ <- num("executor-jvms", _.toInt)
+      _ <- num("executor-jvms", _.toInt.toDouble)
     } yield Config(cities, provinces, geo, weather, snap, facts,
       apiKey = kv.getOrElse("api-key", env.getOrElse("WEATHER_API_KEY", "")),
       countryCode = kv.getOrElse("country-code", "PH"),

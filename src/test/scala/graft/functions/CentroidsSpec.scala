@@ -55,6 +55,23 @@ class CentroidsSpec extends SparkSpec {
     assert(got.forall(_ === 5L), got.toSeq)
   }
 
+  test("NaN cosines (zero-norm vector or centroid) follow the engines' sort order") {
+    // Both engines' ORDER BY cos DESC place NaN ABOVE every double, so
+    // a zero-norm centroid (NaN against everything) must win for every
+    // vector even though NaN never compares greater under IEEE `>` —
+    // the kernel's total-order compare reproduces that (ADVICE r11).
+    val book = Seq((1L, Seq(1.0, 0.0), 1.0), (3L, Seq(0.0, 0.0), 0.0))
+    val got = Seq(Seq(1.0, 1.0), Seq(0.0, 0.0)).map(Tuple1(_)).toDF("v")
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .select(Vectors.nearestCentroid(col("v"), col("nrm"), book).as("nc"))
+      .select(col("nc.c_id"), col("nc.c_cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // (1,1): finite cos vs c1, NaN vs c3 → NaN sorts first → c_id 3
+    assert(got(0)._1 === 3L && got(0)._2.isNaN, got.toSeq)
+    // (0,0): all-NaN → ties keep the SMALLEST c_id, not a stale default
+    assert(got(1)._1 === 1L && got(1)._2.isNaN, got.toSeq)
+  }
+
   test("kernel inlines into whole-stage codegen; dim mismatch raises") {
     val e = emb("/root/testdata/sf0.001")
     val rows = e.filter(col("vec_id") < 4)

@@ -129,7 +129,10 @@ class XlsxSpec extends SparkSpec {
     // hints, style attributes — quirks the synthetic fixtures above
     // only imitate). Read as DATA only. Header is the reference's
     // pandas-merge naming (`code_city` from suffixes=('_city', ...),
-    // weather_data_fetcher.py:356).
+    // weather_data_fetcher.py:356). Cancelled (not failed) on
+    // checkouts without the reference tree (ADVICE r11).
+    assume(new java.io.File("/root/reference/all_locations.xlsx").exists,
+      "reference workbook /root/reference/all_locations.xlsx not present")
     import org.apache.spark.sql.functions._
     val schema = StructType(Seq(
       StructField("code_city", StringType),

@@ -55,7 +55,12 @@ class WeatherMainCliSpec extends SparkSpec {
       Array("--cities-url"),                            // missing value
       required("/tmp/x", 1) ++ Array("--nope", "v"),    // unknown flag
       required("/tmp/x", 1).drop(2),                    // missing required
-      required("/tmp/x", 1) ++ Array("--geocode-per-sec", "fast"))
+      required("/tmp/x", 1) ++ Array("--geocode-per-sec", "fast"),
+      // non-positive dials are usage errors (exit 2) up front, never a
+      // later Throttle.perJvmShare require stack trace (ADVICE r11)
+      required("/tmp/x", 1) ++ Array("--executor-jvms", "0"),
+      required("/tmp/x", 1) ++ Array("--geocode-per-sec", "-1"),
+      required("/tmp/x", 1) ++ Array("--weather-per-sec-cluster", "0"))
     bad.foreach { args =>
       val r = WeatherMain.parseConfig(args, Map.empty)
       assert(r.isLeft && r.left.exists(_.contains("usage:")), args.mkString(" "))
