@@ -82,8 +82,13 @@ object Curation {
       if (nEval == 0) train.limit(0)
       else {
         val bf = evalFps.stat.bloomFilter("f", nEval, BloomFpp)
-        val nBloomHits = udf((fps: Seq[Long]) => fps.count(bf.mightContainLong).toLong)
-        train.filter(nBloomHits(Text.fps(col("sh"))) > 0)
+        // r12: codegen probe (functions/SketchProbes.scala), not a
+        // Scala UDF — no per-row Seq[Long] boxing on the corpus-sized
+        // side, and a null `sh` now yields null > 0 = false (skip the
+        // candidate; the final left join still emits the doc with
+        // frac 0.0, matching the naive path) instead of an NPE
+        train.filter(graft.functions.SketchProbes
+          .bloomHits(Text.fps(col("sh")), bf) > 0)
       }
     }
     val hits = candidates
@@ -498,11 +503,11 @@ object Curation {
       .select(explode(col("sh")).as("s"))
       .select(Text.charFp(col("s")).as("f")).distinct()
     val bf = evalFps.stat.bloomFilter("f", math.max(evalFps.count(), 1L), fpp)
-    // driver-built sketch probed via a compiled-Scala UDF (a JVM loop
-    // over the doc's fingerprint array — the sketch object itself is
-    // what rules out a pure Catalyst expression here; Spark's own
-    // runtime bloom joins inject the same shape)
-    val nBloomHits = udf((fps: Seq[Long]) => fps.count(bf.mightContainLong).toLong)
+    // driver-built sketch probed via the reference-object codegen
+    // expression (functions/SketchProbes.scala, r12) — the map-side
+    // probe stays inside whole-stage codegen, like Spark's own
+    // runtime-filter bloom probe
+    val nBloomHits = (fps: Column) => graft.functions.SketchProbes.bloomHits(fps, bf)
     val evalVocab = docs.filter(col("is_eval"))
       .select(explode(col("sh")).as("s")).distinct()
     val train = docs.filter(!col("is_eval"))

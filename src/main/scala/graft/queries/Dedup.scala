@@ -173,7 +173,16 @@ object Dedup {
     *    fails J ≥ t by the prefix lemma (contrapositive), so the
     *    final filter removes exactly the non-qualifying pairs.
     */
-  private[queries] def jaccardPairs(docs: DataFrame, t: Double = 0.5): DataFrame = {
+  /** The checkpointed PPJoin index (`base`: doc_id, fp, rank, set
+    * size) and the candidate-PAIR relation its prefix join emits —
+    * jaccardPairs' front half, split out so the candidate volume is
+    * observable (the filters' whole point is shrinking this relation
+    * before the verify join) and so the positional filter can be
+    * toggled for an A/B probe. `positional = false` is measurement
+    * surface only; every caller but the probe uses the default.
+    */
+  private[graft] def jaccardBaseAndCands(docs: DataFrame, t: Double,
+      positional: Boolean): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val ex = docs.select(col("doc_id"),
       explode(array_distinct(Text.fps(col("sh")))).as("s"))
@@ -191,7 +200,7 @@ object Dedup {
     // with incompatible sizes never qualify — lossless prune of the
     // candidate join output (the ε guards double-rounding at the
     // boundary: it can only keep an extra pair, never drop one; the
-    // exact jaccard filter below decides the boundary).
+    // exact jaccard filter downstream decides the boundary).
     // PPJoin POSITIONAL filter (r12): J ≥ t needs overlap o ≥ α =
     // ⌈t/(1+t)·(na+nb)⌉, and a match on the docs' rk_a-th / rk_b-th
     // fps under the shared global (df, fp) order caps the overlap
@@ -203,12 +212,28 @@ object Dedup {
     // sits inside both prefixes — same argument as the prefix lemma).
     val alpha = ceil((col("a.n") + col("b.n")).cast("double")
       * lit(t / (1 + t)) - lit(1e-9))
+    val lengthOk =
+      col("a.n").cast("double") >= lit(t) * col("b.n") - lit(1e-9) &&
+        col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9)
+    val posOk =
+      lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >= alpha
     val ids = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.n").cast("double") >= lit(t) * col("b.n") - lit(1e-9) &&
-          col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9) &&
-          lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >= alpha)
+          (if (positional) lengthOk && posOk else lengthOk))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id2"))
+    (base, ids)
+  }
+
+  /** The candidate-pair relation alone (distinct pairs) — the A/B
+    * probe and JaccardPropertySpec's containment check read this.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, t: Double = 0.5,
+      positional: Boolean = true): DataFrame =
+    jaccardBaseAndCands(docs, t, positional)._2.distinct()
+
+  private[queries] def jaccardPairs(docs: DataFrame, t: Double = 0.5,
+      positional: Boolean = true): DataFrame = {
+    val (base, ids) = jaccardBaseAndCands(docs, t, positional)
     // the counting verify below stays near-linear even if many docs are
     // candidates: the global df cap bounds per-shingle join fan-out at
     // C(MaxDf, 2), so total verify work ≤ MaxDf · Σ df — linear in the

@@ -160,6 +160,46 @@ object Similarity {
   def ivfAssignWith(s: SparkSession, dir: String, cents: DataFrame): DataFrame =
     assignTo(emb(s, dir), cents).select("vec_id", "c_id", "v", "nrm")
 
+  /** Train (r11's `ivfTrain`), assign the corpus against the trained
+    * codebook, and persist BOTH through [[graft.sources.IvfIndex]] —
+    * the wiring that takes training output off the spec shelf and into
+    * the index artifact a deployment actually probes (r12). Returns
+    * the trained centroids so callers can compare against the loaded
+    * copy. Training is paid once, off the query path; everything
+    * downstream of the SAVED codebook is deterministic again (parquet
+    * doubles round-trip bit-exact), so index rebuilds and probes
+    * reproduce even though distributed float sums made the training
+    * itself non-bit-pinned.
+    */
+  def buildTrainedIndex(s: SparkSession, dir: String, path: String,
+      nlist: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = ivfTrain(s, dir, nlist, iters)
+    graft.sources.IvfIndex.writeWithCodebook(
+      ivfAssignWith(s, dir, cents), cents, path)
+    cents
+  }
+
+  /** Re-assign a corpus against a PERSISTED codebook — byte-identical
+    * to the index's own assignment relation (IvfPersistSpec pins the
+    * round-trip), which is what makes incremental index adds safe:
+    * new vectors land in the same partitions the original build chose.
+    */
+  def ivfAssignFromIndex(s: SparkSession, dir: String, path: String): DataFrame =
+    ivfAssignWith(s, dir, graft.sources.IvfIndex.codebook(s, path))
+
+  /** v02-shaped ANN against a persisted trained index: codebook AND
+    * assignment both load from `path`; queries come from the live
+    * corpus by predicate. The scan side is the `partitionBy(c_id)`
+    * layout, so the probe join prunes to the probed centroids'
+    * directories (dynamic partition pruning; static pruning via
+    * [[graft.sources.IvfIndex.probe]] when the probe list is known
+    * up front).
+    */
+  def knnIvfIndexed(s: SparkSession, dir: String, path: String,
+      qPred: Column, nprobe: Int = 2): DataFrame =
+    knnIvfOver(emb(s, dir), graft.sources.IvfIndex.codebook(s, path),
+      graft.sources.IvfIndex.read(s, path), qPred, nprobe)
+
   /** SemDeDup with the nlist DIAL exposed — v08 pins nlist=16 (so the
     * hand-written oracle stays exact); production grows nlist ~ √n so
     * the within-cluster pair volume Σ C(|cluster|,2) ≈ n²/(2·nlist)
@@ -193,7 +233,7 @@ object Similarity {
       lo: Long, hi: Long, k: Int): DataFrame =
     exactTopKWhere(s, dir, col("vec_id") >= lo && col("vec_id") < hi, k)
 
-  private def exactTopKWhere(s: SparkSession, dir: String,
+  private[queries] def exactTopKWhere(s: SparkSession, dir: String,
       qPred: Column, k: Int): DataFrame = {
     val e = emb(s, dir)
     val q = e.filter(qPred)
@@ -214,11 +254,22 @@ object Similarity {
     * recall/cost dial (scan fraction = nprobe/nlist);
     * SimilarityRecallSpec measures the dial's recall side.
     */
-  private def knnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
+  private[queries] def knnIvf(s: SparkSession, dir: String, nprobe: Int = 2): DataFrame = {
     val e = emb(s, dir)
-    val c = centroids(e, 16)
-    val assign = ivfAssign(s, dir, 16)
-    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    knnIvfOver(e, centroids(e, 16), ivfAssign(s, dir, 16),
+      col("vec_id") >= 100 && col("vec_id") < 110, nprobe)
+  }
+
+  /** v02's probe-and-score body over an ARBITRARY centroid relation
+    * `(c_id, cv, cn)` and matching assignment `(vec_id, c_id, v, nrm)`
+    * — shared by the inline seed path ([[knnIvf]]) and the persisted
+    * trained-index path ([[knnIvfIndexed]]). Per query: rank the
+    * broadcast codebook, keep the top `nprobe` centroids, score only
+    * their members.
+    */
+  private def knnIvfOver(e: DataFrame, c: DataFrame, assign: DataFrame,
+      qPred: Column, nprobe: Int): DataFrame = {
+    val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(cosPre(col("qv"), col("cv"), col("qn"), col("cn")).desc, col("c_id"))
@@ -275,7 +326,7 @@ object Similarity {
     * exact integers (a recall regression from a bucket-width or probe
     * change breaks the hash).
     */
-  private def recallOf(variant: String, exact: DataFrame, ann: DataFrame): DataFrame = {
+  private[queries] def recallOf(variant: String, exact: DataFrame, ann: DataFrame): DataFrame = {
     val hits = exact.join(ann.select("q_id", "neighbor_id"),
         Seq("q_id", "neighbor_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))

@@ -236,7 +236,8 @@ object TextAnalysis {
       val (cmsBytes, nTotal) = (row.getAs[Array[Byte]](0), row.getLong(1))
       val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(cmsBytes))
-      val est = udf((b: String) => cms.estimateCount(b))
+      // r12: codegen probe (functions/SketchProbes.scala), not a UDF
+      val est = (b: Column) => graft.functions.SketchProbes.cmsEstimate(b, cms)
       val slack = math.ceil(4 * eps * nTotal).toLong
       counts
         .orderBy(col("exact_n").desc, col("bigram")).limit(10)

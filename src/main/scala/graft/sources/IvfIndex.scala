@@ -27,7 +27,36 @@ object IvfIndex {
   def write(assign: DataFrame, path: String): Unit =
     assign.write.mode("overwrite").partitionBy("c_id").parquet(path)
 
+  /** Persist an assignment relation TOGETHER with the codebook that
+    * produced it (r12): the codebook lands as an nlist-row parquet at
+    * the SIBLING path `<path>_codebook` — one logical artifact carrying
+    * both the partitioned vectors and the centroids needed to route new
+    * queries/vectors into them. A sibling, not a subdirectory: an
+    * underscore-prefixed dir inside `path` is invisible even to a
+    * direct read (Hadoop hidden-path filter), and a non-`c_id=` child
+    * would break the scan's partition discovery.
+    */
+  def writeWithCodebook(assign: DataFrame, cents: DataFrame, path: String): Unit = {
+    write(assign, path)
+    cents.select("c_id", "cv", "cn").repartition(1)
+      .write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** The persisted codebook `(c_id, cv, cn)` — parquet doubles
+    * round-trip bit-exact, so assignment against a loaded codebook
+    * reproduces the build's assignment (IvfPersistSpec).
+    */
+  def codebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_codebook")
+
+  /** The full persisted assignment relation. Partition-directory type
+    * inference parses `c_id=N` as INT; cast back to the relation's
+    * BIGINT so readers see the written schema.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("c_id", col("c_id").cast("long"))
+
   /** Read only the probed centroids' partitions. */
   def probe(spark: SparkSession, path: String, centroidIds: Seq[Long]): DataFrame =
-    spark.read.parquet(path).filter(col("c_id").isin(centroidIds: _*))
+    read(spark, path).filter(col("c_id").isin(centroidIds: _*))
 }

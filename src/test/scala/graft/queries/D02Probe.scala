@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement main (test scope, not part of the engine): A/B of
+  * the r12 PPJoin positional filter on d02 at a scaled corpus —
+  * candidate-pair volume and end-to-end wall time with the filter off
+  * vs on, same session, interleaved passes.
+  *
+  *   sbt "Test/runMain graft.queries.D02Probe target/scaled/sf10salt"
+  */
+object D02Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("target/scaled/sf10salt")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val docs = Dedup.shingleDocs(spark, dir).select("doc_id", "sh")
+    // cost split: the checkpointed PPJoin index build alone (explode +
+    // df join + per-doc rank window) vs the candidate join vs verify
+    for (pass <- 1 to 2) {
+      val (nb, tb) = time(Dedup.jaccardBaseAndCands(docs, 0.5, true)._1.count())
+      println(f"[d02probe] pass=$pass base_rows=$nb%d base_time=$tb%.1fs")
+    }
+    for (pass <- 1 to 2; positional <- Seq(false, true)) {
+      val (nc, tc) = time(Dedup.jaccardCandidates(docs, 0.5, positional).count())
+      val (_, tq) = time(Dedup.jaccardPairs(docs, 0.5, positional)
+        .orderBy("a_id", "b_id")
+        .write.format("noop").mode("overwrite").save())
+      println(f"[d02probe] pass=$pass positional=$positional " +
+        f"candidates=$nc%d cand_count_time=$tc%.1fs d02_wall=$tq%.1fs")
+    }
+  }
+}

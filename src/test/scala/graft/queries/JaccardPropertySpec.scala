@@ -66,4 +66,22 @@ class JaccardPropertySpec extends SparkSpec {
       if (t <= 0.5) assert(want.nonEmpty, s"fixture should plant near-dups (seed=$seed t=$t)")
     }
   }
+
+  test("positional filter (r12) only shrinks the candidate relation; final pairs unchanged") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val docs = docsOf(randomCorpus(99, 40))
+      def cands(positional: Boolean) =
+        Dedup.jaccardCandidates(docs, t, positional)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (pos, noPos) = (cands(true), cands(false))
+      assert(pos.subsetOf(noPos), s"t=$t: positional filter ADDED candidates")
+      def pairs(positional: Boolean) =
+        Dedup.jaccardPairs(docs, t, positional)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs(true) === pairs(false), s"t=$t: positional filter changed the result")
+      // every surviving candidate row must still cover every true pair
+      assert(pairs(true).map(p => (p._1, p._2)).subsetOf(pos),
+        s"t=$t: a qualifying pair lost its candidate row")
+    }
+  }
 }
