@@ -45,7 +45,7 @@ object Similarity {
   private[queries] val V03Cap = 1000
 
   /** Base projection: double vector + its precomputed L2 norm. */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -55,7 +55,7 @@ object Similarity {
     dot(a, b) / (na * nb)
 
   /** First `nlist` vectors as fixed centroids (deterministic). */
-  private def centroids(e: DataFrame, nlist: Int): DataFrame =
+  private[queries] def centroids(e: DataFrame, nlist: Int): DataFrame =
     e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
 
@@ -267,7 +267,7 @@ object Similarity {
     * broadcast codebook, keep the top `nprobe` centroids, score only
     * their members.
     */
-  private def knnIvfOver(e: DataFrame, c: DataFrame, assign: DataFrame,
+  private[queries] def knnIvfOver(e: DataFrame, c: DataFrame, assign: DataFrame,
       qPred: Column, nprobe: Int): DataFrame = {
     val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))

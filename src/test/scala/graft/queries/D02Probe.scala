@@ -24,10 +24,26 @@ object D02Probe {
     }
     val docs = Dedup.shingleDocs(spark, dir).select("doc_id", "sh")
     // cost split: the checkpointed PPJoin index build alone (explode +
-    // df join + per-doc rank window) vs the candidate join vs verify
+    // df join + per-doc rank window) vs the candidate join vs verify;
+    // plus the index build's own stages, fresh lineage each
+    import graft.functions.Text
+    import org.apache.spark.sql.expressions.Window
     for (pass <- 1 to 2) {
+      val ex = docs.select(col("doc_id"),
+        explode(array_distinct(Text.fps(col("sh")))).as("s"))
+      val (nex, tEx) = time(ex.count())
+      val dfRel = ex.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+      val (ndf, tDf) = time(dfRel.count())
+      val joined = ex.join(dfRel, "s")
+      val (nj, tJ) = time(joined.count())
+      val byDoc = Window.partitionBy("doc_id")
+      val (nw, tW) = time(joined
+        .select(col("doc_id"), col("s"),
+          row_number().over(byDoc.orderBy("df", "s")).as("rk"),
+          count(lit(1)).over(byDoc).as("n")).count())
       val (nb, tb) = time(Dedup.jaccardBaseAndCands(docs, 0.5, true)._1.count())
-      println(f"[d02probe] pass=$pass base_rows=$nb%d base_time=$tb%.1fs")
+      println(f"[d02probe] pass=$pass explode=$nex%d/$tEx%.1fs df=$ndf%d/$tDf%.1fs " +
+        f"join=$nj%d/$tJ%.1fs join+window=$nw%d/$tW%.1fs base_full=$nb%d/$tb%.1fs")
     }
     for (pass <- 1 to 2; positional <- Seq(false, true)) {
       val (nc, tc) = time(Dedup.jaccardCandidates(docs, 0.5, positional).count())

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
     assert(!p.toLowerCase.contains("array_intersect"),
       "verify is the counting join, not array intersection")
+    // r12: the r11-widened shared silver must not leak into the
+    // STANDALONE plan — with sharing off, d02 needs only (doc_id, sh),
+    // so the token-stats kernel and source column are column-pruned
+    // out of every scan/projection
+    assert(!p.contains("graft_tokenstats"),
+      "standalone d02 plan did not prune the widened silver's n_tokens kernel")
   }
 
   test("q29: every dimension broadcasts; the fact join is never a cartesian") {

@@ -118,6 +118,15 @@ def main():
             pq.write_table(t, f"{dst}/{table}.parquet")
             print(f"{table}: {t.num_rows} rows (shared dim)")
             continue
+        # row-group layout (r12): the default writer put ALL rows in ONE
+        # row group, and a parquet row group is the unit of scan
+        # parallelism — Spark assigned 18 splits but only the one
+        # containing the row-group midpoint had data, so every
+        # documents/embeddings scan at 100x ran ONE task (x04's "25 s"
+        # was a single core tokenizing 500k docs while 31 idled). A real
+        # 100 TB table is thousands of files x row groups; ~64 groups
+        # per table makes the replica's scan parallelism realistic.
+        rg = max(4096, (t.num_rows * copies) // 64)
         parts = []
         for c in range(copies):
             shifted = t
@@ -132,8 +141,9 @@ def main():
                 shifted = salt_embeddings(shifted, c)
             parts.append(shifted)
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{dst}/{table}.parquet")
-        print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
+        pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rg)
+        print(f"{table}: {t.num_rows} -> {out.num_rows} rows "
+              f"({(out.num_rows + rg - 1) // rg} row groups)")
 
 
 if __name__ == "__main__":
