@@ -96,4 +96,32 @@ object Vectors {
       LongDot(
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Top-`w` nearest centroids (ids in rank order) — see
+    * [[NearestCentroidsTopW]]; the two-level IVF's coarse router.
+    */
+  def nearestCentroidsTopW(v: Column, nrm: Column,
+      cents: Seq[(Long, Seq[Double], Double)], w: Int): Column = {
+    val dim = cents.head._2.length
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NearestCentroidsTopW(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        cents.map(_._1).toArray,
+        cents.flatMap(_._2).toArray,
+        cents.map(_._3).toArray, dim, w))
+  }
+
+  /** Shard-local argmax over a row-carried codebook — see
+    * [[ShardNearest]]; the two-level IVF's fine step.
+    */
+  def shardNearest(v: Column, nrm: Column,
+      scids: Column, sflat: Column, scns: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      ShardNearest(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        org.apache.spark.sql.GraftSqlBridge.expression(scids),
+        org.apache.spark.sql.GraftSqlBridge.expression(sflat),
+        org.apache.spark.sql.GraftSqlBridge.expression(scns)))
 }

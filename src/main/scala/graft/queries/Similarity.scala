@@ -85,7 +85,7 @@ object Similarity {
     * strictly-greater wins reproduce the oracle's
     * `ORDER BY cos DESC, c_id` tie-break exactly.
     */
-  private def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
     val book = cents.select(col("c_id"), col("cv"), col("cn"))
       .orderBy("c_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
@@ -200,6 +200,90 @@ object Similarity {
     knnIvfOver(emb(s, dir), graft.sources.IvfIndex.codebook(s, path),
       graft.sources.IvfIndex.read(s, path), qPred, nprobe)
 
+  /** TWO-LEVEL IVF assignment (r12 — the tier above the single
+    * embedded codebook's ~51 MB / nlist≈1e5 ceiling, prototyped; cost
+    * model in SCALE.md). Structure:
+    *
+    *  1. COARSE: route each vector to its `w` nearest of ⌈√nlist⌉
+    *     super-centroids (the first ⌈√nlist⌉ fine centroids — the
+    *     deterministic seed convention) via the
+    *     [[graft.functions.NearestCentroidsTopW]] scan kernel — zero
+    *     shuffle, w·n skinny probe rows out.
+    *  2. FINE: each fine centroid belongs to the shard of its nearest
+    *     super (computed driver-side over the nlist-row codebook with
+    *     the SAME total-order tie-break); probe rows join their
+    *     shard's row — codebook-sized, broadcast here, pre-partitioned
+    *     by s_id at the scale tier — and
+    *     [[graft.functions.ShardNearest]] runs the argmax over the
+    *     row-carried shard codebook.
+    *  3. REDUCE: best (cos DESC, c_id ASC) across the w probed shards
+    *     per vector — a max over w skinny rows, vectors never carried.
+    *
+    * With `w` = the full super count every fine centroid is reachable,
+    * so the result is EXACTLY the single-level argmax (TwoLevelIvfSpec
+    * pins row-for-row equality); smaller `w` is the standard IVF
+    * multi-probe trade, and the spec pins the observed match rate
+    * floor at w=2. Returns `(vec_id, c_id, c_cos)`.
+    */
+  def twoLevelAssign(s: SparkSession, dir: String, fine: DataFrame,
+      w: Int): DataFrame = {
+    val book = fine.select(col("c_id"), col("cv"), col("cn"))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val nSup = math.ceil(math.sqrt(book.size.toDouble)).toInt
+    val supers = book.take(nSup)
+    def nearestSuper(cv: Seq[Double], cn: Double): Long = {
+      var bestId = supers.head._1
+      var best = Double.NegativeInfinity
+      for ((sid, sv, sn) <- supers) {
+        var acc = 0.0
+        var i = 0
+        while (i < cv.length) { acc += cv(i) * sv(i); i += 1 }
+        var cos = acc / (cn * sn)
+        if (cos == 0.0) cos = 0.0
+        if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestId = sid }
+      }
+      bestId
+    }
+    val shardRows = book.groupBy { case (_, cv, cn) => nearestSuper(cv, cn) }
+      .toSeq.sortBy(_._1)
+      .map { case (sid, cs) =>
+        val sorted = cs.sortBy(_._1)
+        (sid, sorted.map(_._1), sorted.flatMap(_._2), sorted.map(_._3))
+      }
+    import s.implicits._
+    val shards = broadcast(
+      shardRows.toDF("s_id", "sh_cids", "sh_flat", "sh_cns"))
+    val probes = emb(s, dir)
+      .withColumn("s_id",
+        explode(nearestCentroidsTopW(col("v"), col("nrm"), supers,
+          math.min(w, supers.size))))
+    probes.join(shards, "s_id")
+      .select(col("vec_id"),
+        shardNearest(col("v"), col("nrm"),
+          col("sh_cids"), col("sh_flat"), col("sh_cns")).as("nc"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("nc.c_cos").as("c_cos"),
+        (-col("nc.c_id")).as("neg_id"))).as("b"))
+      .select(col("vec_id"), (-col("b.neg_id")).as("c_id"),
+        col("b.c_cos").as("c_cos"))
+  }
+
+  /** Pair-join salt factor for [[semDedup]]: a fixed-nlist dial (v08
+    * pins 16) gives the self-join only nlist distinct keys, capping
+    * shuffle-join parallelism at nlist tasks on ANY cluster size —
+    * and AQE's skew split never fires because each cluster's bucket
+    * (~16 MB at the 100x replica) sits far under the 256 MB skew
+    * threshold. Salting spreads each cluster's pair block over `salt`
+    * reducers: the b side keeps ONE row with pk = pmod(hash(b_id), salt)
+    * and the a side replicates `salt` ways, so every (a, b) pair still
+    * meets exactly once — the result set is provably unchanged (hash
+    * gates pin it). Derived from nlist alone (deterministic): the √n
+    * production dial already carries enough keys, so it salts 1 = the
+    * plan v08b always had.
+    */
+  private[queries] def pairSalt(nlist: Int): Int = math.max(1, 128 / nlist)
+
   /** SemDeDup with the nlist DIAL exposed — v08 pins nlist=16 (so the
     * hand-written oracle stays exact); production grows nlist ~ √n so
     * the within-cluster pair volume Σ C(|cluster|,2) ≈ n²/(2·nlist)
@@ -209,11 +293,17 @@ object Similarity {
     */
   def semDedup(s: SparkSession, dir: String, nlist: Int): DataFrame = {
     val assign = ivfAssign(s, dir, nlist)
-    val a = assign.select(col("c_id"), col("vec_id").as("a_id"),
+    val salt = pairSalt(nlist)
+    val a0 = assign.select(col("c_id"), col("vec_id").as("a_id"),
       col("v").as("va"), col("nrm").as("na"))
-    val b = assign.select(col("c_id"), col("vec_id").as("b_id"),
+    val b0 = assign.select(col("c_id"), col("vec_id").as("b_id"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val dropped = a.join(b, Seq("c_id")).filter(col("a_id") < col("b_id"))
+    val (a, b, keys) =
+      if (salt == 1) (a0, b0, Seq("c_id"))
+      else (a0.withColumn("pk", explode(array((0 until salt).map(lit(_)): _*))),
+        b0.withColumn("pk", pmod(hash(col("b_id")), lit(salt))),
+        Seq("c_id", "pk"))
+    val dropped = a.join(b, keys).filter(col("a_id") < col("b_id"))
       .filter(cosPre(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("dropped", lit(0L))

@@ -64,5 +64,25 @@ class SemDedupDialSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSet
     assert(clusterMins.intersect(dropped).isEmpty, "a cluster's smallest id can never drop")
     assert(dropped.subsetOf(all))
+
+    // and the ENGINE's semDedup at the same off-pin dial (nlist=32 →
+    // pairSalt 4, the salted join) must reproduce this unsalted
+    // reference derivation verdict-for-verdict: salting is a pure
+    // parallelism move, every (a, b) pair still meets exactly once
+    val engine = Similarity.semDedup(spark, dir, nlist = 32)
+      .select("vec_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(engine.keySet === all)
+    all.foreach { vid =>
+      val expect = if (dropped(vid)) 0L else 1L
+      assert(engine(vid) === expect, s"vec $vid: salted semDedup diverged from unsalted reference")
+    }
+  }
+
+  test("pairSalt derives from the dial alone: pinned-16 salts, sqrt-n dials don't") {
+    assert(Similarity.pairSalt(16) === 8)
+    assert(Similarity.pairSalt(32) === 4)
+    assert(Similarity.pairSalt(128) === 1)
+    assert(Similarity.pairSalt(448) === 1) // the 100x sqrt-n dial: salt-free
   }
 }
