@@ -628,6 +628,20 @@ object Similarity {
           cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("label", "a_id", "b_id")
+    }),
+
+    // The TWO-LEVEL IVF assignment under the driver's hash gate: at
+    // w = the full super count (⌈√64⌉ = 8) every fine centroid is
+    // reachable through its shard, so the coarse-route → shard-argmax
+    // → cross-shard-reduce pipeline must reproduce the exact
+    // single-level argmax — ids AND cosines (same IEEE sequence, same
+    // total-order tie-breaks at every stage). This gates the tier-2
+    // MECHANISM (SCALE.md) end to end cross-engine; the multi-probe
+    // accuracy dial (w < nSup) stays spec'd in TwoLevelIvfSpec because
+    // approximate routing is not oracle-expressible.
+    "v10_twolevel_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      twoLevelAssign(s, dir, centroids(e, 64), w = 8).orderBy("vec_id")
     })
   )
 
@@ -834,6 +848,19 @@ object Similarity {
          |  WHERE rk <= $V03Cap),
          |p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id, ${cosSql("a.v", "b.v")} AS cosine
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT label, a_id, b_id, cosine FROM p WHERE cosine >= 0.4 ORDER BY label, a_id, b_id""".stripMargin
+         |SELECT label, a_id, b_id, cosine FROM p WHERE cosine >= 0.4 ORDER BY label, a_id, b_id""".stripMargin,
+
+    // the order-free single-level argmax — at w = nSup the two-level
+    // pipeline must collapse to exactly this (precomputed-norm cosine,
+    // the v09 `n` CTE shape, mirroring cosPre's op sequence)
+    "v10_twolevel_ivf" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 64),
+         |p AS (SELECT n.vec_id, c.c_id,
+         |    ${OracleDialect.dot("n.v", "c.cv")} / (n.nrm * c.cn) AS cos FROM n, c),
+         |a AS (SELECT vec_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM p)
+         |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }
