@@ -73,4 +73,37 @@ class TwoLevelIvfSpec extends SparkSpec {
     assert(plan.contains("graft_shard_nearest"), plan)
     assert(!plan.contains("ScalaUDF"), plan)
   }
+
+  test("topW kernel at w = nlist enumerates the exact (cos DESC, c_id ASC) argsort") {
+    // the kernel doc's strongest claim, pinned directly: for every
+    // vector, the full-width output must equal a reference argsort of
+    // the SAME IEEE cosine sequence under the total order
+    // java.lang.Double.compare (NaN first on DESC, -0.0 == 0.0),
+    // ties broken on ascending c_id
+    import org.apache.spark.sql.functions.col
+    val e = Similarity.emb(spark, dir)
+    val book = Similarity.centroids(e, 16)
+      .select(col("c_id"), col("cv"), col("cn")).orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    val got = e.select(col("vec_id"),
+        graft.functions.Vectors.nearestCentroidsTopW(col("v"), col("nrm"),
+          book.map { case (id, cv, cn) => (id, cv.toSeq, cn) }.toSeq, w = 16).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+    vecs.foreach { case (vid, v, nrm) =>
+      val expect = book.map { case (cid, cv, cn) =>
+        var acc = 0.0
+        var i = 0
+        while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+        var cos = acc / (nrm * cn)
+        if (cos == 0.0) cos = 0.0
+        (cid, cos)
+      }.sortWith { case ((ia, ca), (ib, cb)) =>
+        val c = java.lang.Double.compare(ca, cb)
+        if (c != 0) c > 0 else ia < ib
+      }.map(_._1).toSeq
+      assert(got(vid) === expect, s"vec $vid: kernel argsort diverged")
+    }
+  }
 }
