@@ -80,6 +80,7 @@ object Vectors {
     */
   def nearestCentroid(v: Column, nrm: Column,
       cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    require(cents.nonEmpty, "graft_nearest_centroid: empty codebook")
     val dim = cents.head._2.length
     org.apache.spark.sql.GraftSqlBridge.column(
       NearestCentroid(
@@ -102,6 +103,7 @@ object Vectors {
     */
   def nearestCentroidsTopW(v: Column, nrm: Column,
       cents: Seq[(Long, Seq[Double], Double)], w: Int): Column = {
+    require(cents.nonEmpty, "graft_nearest_centroids_topw: empty codebook")
     val dim = cents.head._2.length
     org.apache.spark.sql.GraftSqlBridge.column(
       NearestCentroidsTopW(

@@ -259,7 +259,10 @@ object WeatherMain {
         case Some(v) =>
           Try(parse(v)).toOption match {
             case None => Left(s"--$k: '$v' is not a number\n$Usage")
-            case Some(d) if d <= 0 => Left(s"--$k: '$v' must be positive\n$Usage")
+            // !(d > 0) (not d <= 0) so NaN is rejected too; infinities
+            // are "numbers" to toDouble but not valid rates (ADVICE r12)
+            case Some(d) if !(d > 0) || d.isInfinite =>
+              Left(s"--$k: '$v' must be positive and finite\n$Usage")
             case _ => Right(())
           }
         case None => Right(())

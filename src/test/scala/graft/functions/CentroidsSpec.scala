@@ -87,4 +87,18 @@ class CentroidsSpec extends SparkSpec {
       e.select(Vectors.nearestCentroid(col("v"), col("nrm"), bad)).collect()
     }
   }
+
+  test("empty codebook raises the kernels' descriptive require, not a bare head() error") {
+    // ADVICE r12: the Column builders dereferenced cents.head before the
+    // expression's own require could fire
+    val c = col("v")
+    val e1 = intercept[IllegalArgumentException] {
+      Vectors.nearestCentroid(c, col("nrm"), Seq.empty)
+    }
+    assert(e1.getMessage.contains("graft_nearest_centroid: empty codebook"))
+    val e2 = intercept[IllegalArgumentException] {
+      Vectors.nearestCentroidsTopW(c, col("nrm"), Seq.empty, 2)
+    }
+    assert(e2.getMessage.contains("graft_nearest_centroids_topw: empty codebook"))
+  }
 }

@@ -53,5 +53,6 @@ object D02Probe {
       println(f"[d02probe] pass=$pass positional=$positional " +
         f"candidates=$nc%d cand_count_time=$tc%.1fs d02_wall=$tq%.1fs")
     }
+    spark.stop()
   }
 }

@@ -89,5 +89,10 @@ object ScaleProbe {
         f"seed_hits=$seedHits%d/30 (query $tSeedQ%.1fs) " +
         f"trained_hits=$trainedHits%d/30 (query $tTrainQ%.1fs)")
     }
+    // dev-probe hygiene (ADVICE r12): release the JVM state and the
+    // throwaway index dirs so repeated probe runs don't accumulate
+    spark.stop()
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(tmp)).deleteRecursively()
   }
 }

@@ -60,7 +60,12 @@ class WeatherMainCliSpec extends SparkSpec {
       // later Throttle.perJvmShare require stack trace (ADVICE r11)
       required("/tmp/x", 1) ++ Array("--executor-jvms", "0"),
       required("/tmp/x", 1) ++ Array("--geocode-per-sec", "-1"),
-      required("/tmp/x", 1) ++ Array("--weather-per-sec-cluster", "0"))
+      required("/tmp/x", 1) ++ Array("--weather-per-sec-cluster", "0"),
+      // NaN fails d <= 0 (every compare is false) and Infinity parses —
+      // both must still get the usage error, not a Throttle blowup
+      // (ADVICE r12)
+      required("/tmp/x", 1) ++ Array("--geocode-per-sec", "NaN"),
+      required("/tmp/x", 1) ++ Array("--weather-per-sec", "Infinity"))
     bad.foreach { args =>
       val r = WeatherMain.parseConfig(args, Map.empty)
       assert(r.isLeft && r.left.exists(_.contains("usage:")), args.mkString(" "))
