@@ -44,6 +44,17 @@ object Similarity {
     */
   private[queries] val V03Cap = 1000
 
+  /** v10b's gated w=2 match-fraction floor. Measured with the trained
+    * router on the near-isotropic fixtures (the HARDEST routing case —
+    * cosines to all centroids nearly equal): 0.634 / 0.660 / 0.637 at
+    * sf0.001/0.01/0.1 (TwoLevelProbe, BENCHNOTES r13). 0.35 sits ~45%
+    * under the smallest reading — fixture regeneration can't flap the
+    * flag — while staying well above the ~0.25 a BROKEN router (w=2
+    * random shard choice over 8 supers) would score, so a real routing
+    * regression still trips it.
+    */
+  private[queries] val V10bFloor = 0.35
+
   /** Base projection: double vector + its precomputed L2 norm. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -226,38 +237,68 @@ object Similarity {
     * floor at w=2. Returns `(vec_id, c_id, c_cos)`.
     */
   def twoLevelAssign(s: SparkSession, dir: String, fine: DataFrame,
-      w: Int): DataFrame = {
+      w: Int, trainedRouter: Boolean = false): DataFrame = {
     val book = fine.select(col("c_id"), col("cv"), col("cn"))
       .orderBy("c_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
     val nSup = math.ceil(math.sqrt(book.size.toDouble)).toInt
-    val supers = book.take(nSup)
-    def nearestSuper(cv: Seq[Double], cn: Double): Long = {
-      var bestId = supers.head._1
-      var best = Double.NegativeInfinity
-      for ((sid, sv, sn) <- supers) {
-        var acc = 0.0
-        var i = 0
-        while (i < cv.length) { acc += cv(i) * sv(i); i += 1 }
-        var cos = acc / (cn * sn)
-        if (cos == 0.0) cos = 0.0
-        if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestId = sid }
-      }
-      bestId
+    val supers =
+      if (trainedRouter) trainSupers(book, nSup) else book.take(nSup)
+    import s.implicits._
+    val shards = broadcast(
+      shardRowsOf(book, supers).toDF("s_id", "sh_cids", "sh_flat", "sh_cns"))
+    twoLevelCore(emb(s, dir), supers, shards, w)
+  }
+
+  /** Cosine-nearest super id for one fine centroid — the shard-
+    * membership rule, shared by the broadcast prototype and the
+    * persisted-index build so both produce identical shards. Same
+    * total-order compare (−0.0 collapsed) and ascending-id
+    * strictly-greater tie-break as the kernels.
+    */
+  private def nearestSuperId(cv: Seq[Double], cn: Double,
+      supers: Seq[(Long, Seq[Double], Double)]): Long = {
+    var bestId = supers.head._1
+    var best = Double.NegativeInfinity
+    for ((sid, sv, sn) <- supers) {
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i) * sv(i); i += 1 }
+      var cos = acc / (cn * sn)
+      if (cos == 0.0) cos = 0.0
+      if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestId = sid }
     }
-    val shardRows = book.groupBy { case (_, cv, cn) => nearestSuper(cv, cn) }
+    bestId
+  }
+
+  /** Group a fine codebook into per-shard rows `(s_id, cids, flat,
+    * cns)` — centroid lists sorted ascending by c_id so
+    * [[graft.functions.ShardNearest]]'s strictly-greater wins keep the
+    * smallest id (the oracle's tie-break).
+    */
+  private def shardRowsOf(book: Seq[(Long, Seq[Double], Double)],
+      supers: Seq[(Long, Seq[Double], Double)])
+      : Seq[(Long, Seq[Long], Seq[Double], Seq[Double])] =
+    book.groupBy { case (_, cv, cn) => nearestSuperId(cv, cn, supers) }
       .toSeq.sortBy(_._1)
       .map { case (sid, cs) =>
         val sorted = cs.sortBy(_._1)
         (sid, sorted.map(_._1), sorted.flatMap(_._2), sorted.map(_._3))
       }
-    import s.implicits._
-    val shards = broadcast(
-      shardRows.toDF("s_id", "sh_cids", "sh_flat", "sh_cns"))
-    val probes = emb(s, dir)
-      .withColumn("s_id",
-        explode(nearestCentroidsTopW(col("v"), col("nrm"), supers,
-          math.min(w, supers.size))))
+
+  /** The route → shard-argmax → reduce pipeline shared by the
+    * broadcast prototype and the persisted sharded path: coarse-route
+    * each vector to its `w` nearest supers (scan kernel, zero
+    * shuffle), join the probe rows to their shard's codebook row, run
+    * [[graft.functions.ShardNearest]], and take the best
+    * (cos DESC, c_id ASC) across the probed shards.
+    */
+  private def twoLevelCore(e: DataFrame,
+      supers: Seq[(Long, Seq[Double], Double)], shards: DataFrame,
+      w: Int): DataFrame = {
+    val probes = e.withColumn("s_id",
+      explode(nearestCentroidsTopW(col("v"), col("nrm"), supers,
+        math.min(w, supers.size))))
     probes.join(shards, "s_id")
       .select(col("vec_id"),
         shardNearest(col("v"), col("nrm"),
@@ -267,6 +308,121 @@ object Similarity {
         (-col("nc.c_id")).as("neg_id"))).as("b"))
       .select(col("vec_id"), (-col("b.neg_id")).as("c_id"),
         col("b.c_cos").as("c_cos"))
+  }
+
+  /** Driver-side spherical Lloyd over the FINE codebook (r13, verdict
+    * ask #5) — trains the two-level router's super layer. The input is
+    * nlist rows (the codebook, NOT the corpus), so training is cheap
+    * at any data scale, and the sequential ascending-c_id fold makes
+    * it fully deterministic — unlike corpus-side [[ivfTrain]], whose
+    * distributed float sums are add-order-dependent. Seeded from the
+    * first `nSup` fine centroids (the r12 convention); each iteration
+    * assigns every fine centroid to its nearest super under the
+    * kernels' total-order tie-break, then recomputes each super as the
+    * mean of its members' UNIT vectors (spherical k-means — the cosine
+    * objective's ascent step); an emptied or degenerate super keeps
+    * its previous vector. Supers are re-numbered 0..nSup−1.
+    */
+  private[queries] def trainSupers(book: Seq[(Long, Seq[Double], Double)],
+      nSup: Int, iters: Int = 4): Seq[(Long, Seq[Double], Double)] = {
+    require(book.nonEmpty, "trainSupers: empty codebook")
+    val dim = book.head._2.length
+    var sup: Array[(Array[Double], Double)] =
+      book.take(nSup).map { case (_, v, n) => (v.toArray, n) }.toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(sup.length)(new Array[Double](dim))
+      val cnts = new Array[Int](sup.length)
+      for ((_, cv, cn) <- book) {
+        var bestS = 0
+        var best = Double.NegativeInfinity
+        var sI = 0
+        while (sI < sup.length) {
+          val (sv, sn) = sup(sI)
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += cv(i) * sv(i); i += 1 }
+          var cos = acc / (cn * sn)
+          if (cos == 0.0) cos = 0.0
+          if (java.lang.Double.compare(cos, best) > 0) { best = cos; bestS = sI }
+          sI += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bestS)(i) += cv(i) / cn; i += 1 }
+        cnts(bestS) += 1
+      }
+      sup = Array.tabulate(sup.length) { sI =>
+        if (cnts(sI) == 0) sup(sI)
+        else {
+          val m = Array.tabulate(dim)(i => sums(sI)(i) / cnts(sI))
+          var acc = 0.0
+          var i = 0
+          while (i < dim) { acc += m(i) * m(i); i += 1 }
+          val nn = math.sqrt(acc)
+          if (nn > 0) (m, nn) else sup(sI)
+        }
+      }
+    }
+    sup.toSeq.zipWithIndex.map { case ((v, n), i) => (i.toLong, v.toSeq, n) }
+  }
+
+  /** Build and persist the TWO-LEVEL index layout (r13, verdict ask
+    * #2): trained supers + the fine codebook tagged with its shard
+    * (`s_id` = nearest super, the [[nearestSuperId]] rule) written
+    * `partitionBy(s_id)` through [[graft.sources.IvfIndex
+    * .writeTwoLevel]]. This is the tier where the SCALE.md cost model
+    * lives: past nlist ≈ 1e5 the flat codebook (~51 MB) stops being
+    * broadcast/reference-object material, but the per-shard slices
+    * (~√nlist centroids each) stay small, and a probe touches only
+    * its `w` shards' rows.
+    */
+  def buildTwoLevelIndex(s: SparkSession, dir: String, path: String,
+      nlist: Int): Unit = {
+    val e = emb(s, dir)
+    val book = centroids(e, nlist).select(col("c_id"), col("cv"), col("cn"))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val nSup = math.ceil(math.sqrt(book.size.toDouble)).toInt
+    val supers = trainSupers(book, nSup)
+    import s.implicits._
+    val fineTagged = book
+      .map { case (cid, cv, cn) => (cid, cv, cn, nearestSuperId(cv, cn, supers)) }
+      .toDF("c_id", "cv", "cn", "s_id")
+    val supDf = supers.toDF("s_id", "sv", "sn")
+    graft.sources.IvfIndex.writeTwoLevel(fineTagged, supDf, path)
+  }
+
+  /** Two-level assignment against a PERSISTED sharded index — the
+    * broadcast of the full fine codebook is GONE (the
+    * `Similarity.scala:230-233` line the r12 verdict asked to kill):
+    * probes JOIN their shard's codebook row, read from the
+    * `partitionBy(s_id)` parquet and grouped into one row per shard.
+    * Only the nSup-row SUPER layer is collected (the √nlist-sized sync
+    * that stays cheap at every tier — 316 rows at nlist=1e5). The join
+    * is pinned `shuffle_hash` on the shard side: at the target tier
+    * the grouped shard relation exceeds any broadcast threshold, so
+    * the plan that ships is the plan that scales — both sides
+    * partition on s_id (nSup keys ≈ √nlist grows with the corpus;
+    * bucketed storage on s_id would pre-co-locate the shard side).
+    * Row-identical to the broadcast prototype at every `w`
+    * (TwoLevelShardedSpec pins w = 2 and w = nSup).
+    */
+  def twoLevelAssignSharded(s: SparkSession, dir: String, path: String,
+      w: Int): DataFrame = {
+    val supers = graft.sources.IvfIndex.supers(s, path)
+      .orderBy("s_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val fine = graft.sources.IvfIndex.fineShards(s, path)
+    // nlist rows total — the one-time per-shard grouping; the HOF
+    // lambdas here run over the codebook relation, never the corpus
+    val shards = fine
+      .groupBy("s_id")
+      .agg(array_sort(collect_list(struct(col("c_id"), col("cv"), col("cn")))).as("cs"))
+      .select(col("s_id"),
+        expr("transform(cs, c -> c.c_id)").as("sh_cids"),
+        flatten(expr("transform(cs, c -> c.cv)")).as("sh_flat"),
+        expr("transform(cs, c -> c.cn)").as("sh_cns"))
+      .hint("shuffle_hash")
+    twoLevelCore(emb(s, dir), supers, shards, w)
   }
 
   /** Pair-join salt factor for [[semDedup]]: a fixed-nlist dial (v08
@@ -642,6 +798,52 @@ object Similarity {
     "v10_twolevel_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       twoLevelAssign(s, dir, centroids(e, 64), w = 8).orderBy("vec_id")
+    }),
+
+    // The MULTI-PROBE two-level dial (w < nSup) under the driver's
+    // gate via the within_bound CONTRACT pattern (x01/x02/c06b — the
+    // oracle emits literal flags; r13, closing the r12 verdict's "not
+    // oracle-expressible only holds for exact values" finding). The
+    // router is the TRAINED super layer (driver-side spherical Lloyd
+    // over the 64-row fine codebook — deterministic, so the flags are
+    // reproducible cross-run). Gated contracts, each DETERMINISTIC
+    // given the corpus, none statistical:
+    //  - n_vecs: the inner joins against both two-level outputs
+    //    preserve exactly one row per vector (a lost vector shrinks
+    //    the count, a duplicate grows it — either breaks the gate);
+    //  - monotone_ok: POINTWISE monotonicity — a vector matched at
+    //    w=1 can never unmatch at w=2, because the w=1 probe set is a
+    //    prefix of the w=2 set and the argmax centroid wins whenever
+    //    its shard is probed (same total order at every stage);
+    //  - never_better: no probed-subset cosine exceeds the
+    //    single-level optimum (equality is bit-exact when the same
+    //    centroid wins — identical IEEE sequence);
+    //  - frac_ok: the w=2 match fraction clears V10bFloor — the
+    //    near-isotropic fixture's measured floor with ~40% margin
+    //    (real clustered embeddings route far better; the DIAL's
+    //    quality lives in TwoLevelIvfSpec's per-w rates).
+    "v10b_twolevel_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val fine = centroids(e, 64)
+      val single = assignTo(e, fine)
+        .select(col("vec_id"), col("c_id").as("opt_id"), col("c_cos").as("opt_cos"))
+      def two(w: Int) =
+        twoLevelAssign(s, dir, fine, w, trainedRouter = true)
+          .select(col("vec_id"), col("c_id").as(s"id$w"), col("c_cos").as(s"cos$w"))
+      single.join(two(1), "vec_id").join(two(2), "vec_id")
+        .agg(
+          count(lit(1)).as("nv"),
+          sum(when(col("id2") === col("opt_id"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("id1") === col("opt_id") && col("id2") =!= col("opt_id"),
+            1L).otherwise(0L)).as("mono_viol"),
+          sum(when(col("cos1") <= col("opt_cos") && col("cos2") <= col("opt_cos"),
+            0L).otherwise(1L)).as("bound_viol"))
+        .select(
+          col("nv").as("n_vecs"),
+          when(col("m2").cast("double") / col("nv").cast("double") >= V10bFloor,
+            lit(1L)).otherwise(lit(0L)).as("frac_ok"),
+          when(col("mono_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("monotone_ok"),
+          when(col("bound_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
     })
   )
 
@@ -861,6 +1063,17 @@ object Similarity {
          |    ${OracleDialect.dot("n.v", "c.cv")} / (n.nrm * c.cn) AS cos FROM n, c),
          |a AS (SELECT vec_id, c_id, cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM p)
-         |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // within_bound contract gate (the x01/c06b pattern): Spark computes
+    // the multi-probe contracts in-query — exact-one-row-per-vector,
+    // pointwise monotonicity in w, never-better-than-optimum, match
+    // fraction over the floor — and the oracle pins the corpus count
+    // plus literal 1 for every flag
+    "v10b_twolevel_probe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(1 AS BIGINT) AS frac_ok, CAST(1 AS BIGINT) AS monotone_ok,
+        |  CAST(1 AS BIGINT) AS never_better
+        |FROM embeddings""".stripMargin
   )
 }

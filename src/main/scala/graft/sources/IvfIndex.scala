@@ -59,4 +59,30 @@ object IvfIndex {
   /** Read only the probed centroids' partitions. */
   def probe(spark: SparkSession, path: String, centroidIds: Seq[Long]): DataFrame =
     read(spark, path).filter(col("c_id").isin(centroidIds: _*))
+
+  /** Persist the TWO-LEVEL layout (r13): the fine codebook tagged with
+    * its shard id, written `partitionBy(s_id)` at `<path>_fine` — a
+    * probe of `w` shards reads only those shards' directories, the
+    * same pruning story the single-level index gets from c_id — plus
+    * the nSup-row super layer at `<path>_supers`. Sibling paths for
+    * the same reason as [[writeWithCodebook]]: underscore-prefixed
+    * children are invisible to Hadoop listings and a non-partition
+    * child would break partition discovery.
+    */
+  def writeTwoLevel(fine: DataFrame, supers: DataFrame, path: String): Unit = {
+    fine.select("c_id", "cv", "cn", "s_id").write.mode("overwrite")
+      .partitionBy("s_id").parquet(path + "_fine")
+    supers.select("s_id", "sv", "sn").repartition(1)
+      .write.mode("overwrite").parquet(path + "_supers")
+  }
+
+  /** The persisted super layer `(s_id, sv, sn)` — √nlist rows. */
+  def supers(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_supers")
+
+  /** The persisted sharded fine codebook `(c_id, cv, cn, s_id)`;
+    * partition-directory inference parses `s_id=N` as INT — cast back.
+    */
+  def fineShards(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_fine").withColumn("s_id", col("s_id").cast("long"))
 }

@@ -28,9 +28,9 @@ class TwoLevelIvfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
   }
 
-  private def twoLevel(w: Int): Map[Long, (Long, Double)] = {
+  private def twoLevel(w: Int, trained: Boolean = false): Map[Long, (Long, Double)] = {
     val e = Similarity.emb(spark, dir)
-    Similarity.twoLevelAssign(spark, dir, Similarity.centroids(e, nlist), w)
+    Similarity.twoLevelAssign(spark, dir, Similarity.centroids(e, nlist), w, trained)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
   }
 
@@ -63,6 +63,36 @@ class TwoLevelIvfSpec extends SparkSpec {
     // random routing by a wide margin
     assert(rates(0) > 2.0 / 8 && rates(1) >= rates(0) && rates(2) >= rates(1),
       s"multi-probe dial broken: rates $rates")
+  }
+
+  test("trained super router: exact collapse at full width; beats the seed router at every probe width") {
+    // r13 (verdict ask #5): supers from driver-side spherical Lloyd
+    // over the 64-row fine codebook instead of book.take(8)
+    val single = singleLevel()
+    assert(twoLevel(w = 8, trained = true) === single,
+      "trained router at full probe width diverged from the kernel argmax")
+    val deltas = Seq(1, 2, 4).map { w =>
+      val seed = twoLevel(w)
+      val tr = twoLevel(w, trained = true)
+      assert(tr.size === single.size)
+      tr.foreach { case (vid, (_, cos)) =>
+        assert(cos <= single(vid)._2, s"trained w=$w vec $vid beats the optimum")
+      }
+      val rSeed = seed.count { case (v, (c, _)) => single(v)._1 == c }.toDouble / seed.size
+      val rTr = tr.count { case (v, (c, _)) => single(v)._1 == c }.toDouble / tr.size
+      (w, rSeed, rTr)
+    }
+    deltas.foreach { case (w, rSeed, rTr) =>
+      info(f"w=$w%d seed=$rSeed%.4f trained=$rTr%.4f")
+      // measured: 0.408→0.466 / 0.540→0.660 / 0.772→0.874 at w=1/2/4
+      // on this fixture — Lloyd clustering the router is a strict win
+      assert(rTr >= rSeed,
+        f"trained router lost to the seed router at w=$w ($rTr%.4f < $rSeed%.4f)")
+    }
+    // the v10b gate's floor must hold with real margin at w=2
+    val (_, _, r2) = deltas(1)
+    assert(r2 >= Similarity.V10bFloor + 0.2,
+      f"trained w=2 rate $r2%.4f too close to V10bFloor ${Similarity.V10bFloor}")
   }
 
   test("coarse router and shard argmax stay inside whole-stage codegen") {
