@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LangHits, LongDot, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, QuantizeUnitI8, SegmentsExpr, SimHash32, TermCounts, TokenStats}
+import graft.functions.{CharFp, DistinctShingles, DotProduct, FpsExpr, HashedClassifier, LangHits, LongDot, LshBucket, MinHashSig, Passages, ProbesExpr, QualityScore, QuantizeUnitI8, SegmentsExpr, SimHash32, TermCounts, TokenStats, WindowFps}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so
@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "graft_passages(text) takes one argument")
         Passages(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_window_fps"),
+      new ExpressionInfo(classOf[WindowFps].getName, "graft_window_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_window_fps(text) takes one argument (w/stride fixed at 40/20)")
+        WindowFps(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_fps"),

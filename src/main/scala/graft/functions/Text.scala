@@ -186,6 +186,64 @@ object Text {
     s
   }
 
+  /** JVM kernel of d10's OVERLAPPING-window fingerprints (the
+    * substring-level exact-dedup granularity of Lee et al. 2022,
+    * window form): lowercase whitespace tokens; windows of `w` tokens
+    * start at positions 0, s, 2s, … while pos + w ≤ n, PLUS the tail
+    * window at n − w when the stride doesn't land on it — so every
+    * token is covered by at least one window. A doc shorter than `w`
+    * emits one whole-doc window; an empty doc none. Each window is
+    * fingerprinted with the [[charFpStr]] recurrence over the
+    * space-joined window string WITHOUT materializing it (the fold
+    * walks token chars and injects the ' ' separator) — the 100 TB
+    * shape: only 8-byte digests leave the scan, never ~40-token
+    * strings. Output in ascending-position order, so the array index
+    * is a within-doc occurrence rank.
+    */
+  def windowFpsArr(text: String, w: Int, s: Int): Array[Long] = {
+    val toks = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return Array.empty
+    def fpOf(start: Int): Long = {
+      val end = math.min(start + w, n)
+      var a = 0L
+      var j = start
+      while (j < end) {
+        if (j > start) a = (a * 31 + ' ') % P
+        val t = toks(j)
+        var i = 0
+        while (i < t.length) { a = (a * 31 + t.charAt(i)) % P; i += 1 }
+        j += 1
+      }
+      a
+    }
+    if (n <= w) Array(fpOf(0))
+    else {
+      val full = (n - w) / s + 1
+      val tail = if ((n - w) % s != 0) 1 else 0
+      val out = new Array[Long](full + tail)
+      var c = 0
+      while (c < full) { out(c) = fpOf(c * s); c += 1 }
+      if (tail == 1) out(full) = fpOf(n - w)
+      out
+    }
+  }
+
+  /** [[windowFpsArr]] on UTF8String → Catalyst ArrayData — the
+    * eval/codegen entry of the native [[WindowFps]] expression.
+    */
+  def windowFpsArrayData(t: org.apache.spark.unsafe.types.UTF8String,
+      w: Int, s: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      windowFpsArr(t.toString, w, s))
+
+  /** Overlapping `w`-token window fingerprints of a raw text column at
+    * stride `s` — native codegen'd [[WindowFps]]; d10's window stage.
+    */
+  def windowFps(text: Column, w: Int = 40, s: Int = 20): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      WindowFps(org.apache.spark.sql.GraftSqlBridge.expression(text), w, s))
+
   /** Hashed-classifier score of a raw text column — native codegen'd
     * [[HashedClassifier]]; c04's scoring stage.
     */

@@ -164,6 +164,40 @@ case class ShinglesAll(child: Expression, n: Int = 2) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst form of the overlapping-window fingerprint kernel
+  * [[Text.windowFpsArr]] — d10's substring-level dedup stage: `w`-token
+  * windows at stride `s` (tail window included), each reduced to its
+  * portable charFp digest scan-side, so only array<bigint> leaves the
+  * row. The DuckDB oracle rebuilds the same windows as strings and
+  * applies the same fp recurrence.
+  */
+case class WindowFps(child: Expression, w: Int = 40, s: Int = 20)
+    extends UnaryExpression {
+
+  require(w >= 1, "graft_window_fps: w must be >= 1")
+  require(s >= 1 && s <= w, "graft_window_fps: stride must be in [1, w]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_window_fps expects a string input, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_window_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    Text.windowFpsArrayData(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, s)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Text.windowFpsArrayData($c, $w, $s);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFps =
+    copy(child = newChild)
+}
+
 /** Native Catalyst form of the random-hyperplane LSH bucket
   * [[graft.functions.Vectors.lshBucket]]: bit p set iff
   * Σ_d v[d]·s(p,d) > 0, signs derived from the portable hash of

@@ -448,6 +448,16 @@ object Dedup {
     // finer-grained sibling of d01's whole-doc keep-first
     "d09_passage_dedup" -> ((s, dir) =>
       passageDedup(Tables(s, dir, "documents").select(col("doc_id"), col("text")), w = 8)
+        .orderBy("doc_id")),
+
+    // SUBSTRING-level exact dedup (Lee et al. 2022, the overlapping-
+    // window form a production LLM pipeline runs): ~40-token windows at
+    // stride 20 (+ tail window — every token covered), keep-first on
+    // the window FINGERPRINT, doc survival = fraction of windows
+    // surviving. The cross-passage sibling of d09: a duplicated span
+    // straddling d09's fixed passage boundaries still collides here.
+    "d10_substring_dedup" -> ((s, dir) =>
+      substringDedup(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
         .orderBy("doc_id"))
   )
 
@@ -587,6 +597,48 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Substring-level exact dedup over a `(doc_id, text)` relation
+    * (d10): overlapping `w`-token windows at stride `s` (tail window
+    * included — [[graft.functions.Text.windowFpsArr]]), keep-first on
+    * the window fingerprint — an occurrence survives iff it is the
+    * global (doc_id, position) minimum for its fp — and a per-doc
+    * survival summary. Output: doc_id, n_windows, n_kept,
+    * survival_ppm (⌊kept/windows·1e6⌋; windowless docs report 1e6 —
+    * nothing was removed).
+    *
+    * Scale shape (d09's, at digest granularity): the scan emits ONLY
+    * 8-byte window fps (the kernel never materializes window
+    * strings), the winner pick is a map-side-combining
+    * `groupBy(wfp).agg(min(struct(doc_id, seq)))` that absorbs hot
+    * boilerplate windows per map task, occurrences re-join winners on
+    * the fp (AQE handles residual skew), and the summary is one
+    * shuffle back on doc_id. Window volume is n/s per doc — 2× the
+    * token stream's 1/s·w coverage factor, independent of corpus
+    * size. The fp is the shared portable charFp, so the oracle
+    * reproduces it over the reconstructed window strings.
+    */
+  private[queries] def substringDedup(docs: DataFrame, w: Int = 40,
+      stride: Int = 20): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), posexplode(Text.windowFps(col("text"), w, stride)))
+      .select(col("doc_id"), col("pos").cast("long").as("seq"), col("col").as("wfp"))
+    val winners = occ.groupBy("wfp")
+      .agg(min(struct(col("doc_id"), col("seq"))).as("win"))
+    val byDoc = occ.join(winners, "wfp")
+      .withColumn("kept",
+        col("doc_id") === col("win.doc_id") && col("seq") === col("win.seq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("nk"))
+    val nw = coalesce(col("nw"), lit(0L))
+    val nk = coalesce(col("nk"), lit(0L))
+    docs.select(col("doc_id")).join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), nw.as("n_windows"), nk.as("n_kept"),
+        when(nw === 0L, lit(1000000L))
+          .otherwise(floor(nk.cast("double") / nw.cast("double") * lit(1000000.0)))
+          .as("survival_ppm"))
   }
 
   /** SimHash near-dup pairs over a `(doc_id, sh)` relation: 32-bit
@@ -739,6 +791,37 @@ object Dedup {
          |  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
          |  coalesce(r.text_clean, '') AS text_clean
          |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the same overlapping windows rebuilt as STRINGS (positions
+    // 0, 20, 40, … plus the uncovered tail at n−40), fingerprinted
+    // with the shared portable fp; rn = 1 is the keep-first winner —
+    // the same (doc_id, position) minimum Spark's min(struct) picks
+    "d10_substring_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |m AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         |ps AS (SELECT doc_id, tk,
+         |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN n <= 40 THEN [CAST(0 AS BIGINT)]
+         |         ELSE list_concat([CAST(p AS BIGINT) for p in range(0, n - 39, 20)],
+         |           CASE WHEN (n - 40) % 20 = 0 THEN CAST([] AS BIGINT[])
+         |                ELSE [CAST(n - 40 AS BIGINT)] END)
+         |    END AS plist FROM m),
+         |o AS (SELECT doc_id, p AS pos,
+         |    array_to_string(tk[CAST(p + 1 AS BIGINT):CAST(p + 40 AS BIGINT)], ' ') AS wstr
+         |  FROM ps, unnest(plist) AS u(p)),
+         |f AS (SELECT doc_id, pos, ${fp("wstr")} AS wfp FROM o),
+         |r AS (SELECT doc_id, wfp,
+         |    row_number() OVER (PARTITION BY wfp ORDER BY doc_id, pos) AS rn FROM f),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM r GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(g.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN g.n_windows IS NULL THEN 1000000
+         |       ELSE floor(CAST(g.n_kept AS DOUBLE) / CAST(g.n_windows AS DOUBLE) * 1000000.0)
+         |       END AS BIGINT) AS survival_ppm
+         |FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id
          |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -56,6 +56,15 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_window_fps is callable from SQL and matches the JVM kernel") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    GraftSqlBridge.registerFunctions(ext, spark)
+    val text = (0 until 90).map(i => s"t$i").mkString(" ")
+    val got = spark.sql(s"SELECT graft_window_fps('$text') AS w").head.getSeq[Long](0)
+    assert(got === graft.functions.Text.windowFpsArr(text, 40, 20).toSeq)
+  }
+
   test("graft_charfp (native codegen) matches the JVM kernel and handles nulls") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
