@@ -32,6 +32,18 @@ object ReplayProbe {
     val (maxId, tMax) = time(docs.agg(max(col("doc_id"))).first().getLong(0))
     println(f"[replayprobe] maxId scan: $tMax%.1fs")
     val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+    // r13 (verdict ask #7): `warm` runs a throwaway batch-0 (a 1/30
+    // slice into a discarded state dir) BEFORE the timed batches, so
+    // batch-1's reading no longer carries JVM/codegen cold start — if
+    // the b1-vs-b2 gap survives warm, the cost is real, not JIT
+    if (args.contains("warm")) {
+      val warmState = java.nio.file.Files
+        .createTempDirectory("replayprobe-warm").toString
+      val (_, tWarm) = time(
+        DocPipeline.processBatch(docs.filter(col("doc_id") <= cut1 / 10), warmState))
+      println(f"[replayprobe] warm-up batch-0 (1/30 slice): $tWarm%.1fs")
+      new scala.reflect.io.Directory(new java.io.File(warmState)).deleteRecursively()
+    }
     val batches = Seq(
       ("b1", docs.filter(col("doc_id") <= cut1)),
       ("b2", docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)),
@@ -54,5 +66,6 @@ object ReplayProbe {
     println(s"[replayprobe] state files: docs=${fileCount(s"$stateDir/docs")} " +
       s"bands=${fileCount(s"$stateDir/bands")}")
     spark.stop()
+    new scala.reflect.io.Directory(new java.io.File(stateDir)).deleteRecursively()
   }
 }

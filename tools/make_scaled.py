@@ -47,9 +47,13 @@ SHIFT = {
 }
 
 
+NEARDUP_MOD = 20  # 1/MOD of each copy stays a near-dup (salt:MOD dial)
+
+
 def keep_neardup(ids, c):
-    """~5% of each copy stays a true near-dup of its source doc."""
-    return (ids + c) % 20 == 0
+    """1/NEARDUP_MOD of each copy stays a true near-dup of its source
+    doc (default 5%; `salt:4` -> 25% for the d02 payoff-regime probe)."""
+    return (ids + c) % NEARDUP_MOD == 0
 
 
 def salt_documents(t, c):
@@ -109,10 +113,16 @@ def salt_embeddings(t, c):
 
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    salt = len(sys.argv) > 4 and sys.argv[4] == "salt"
+    salt = len(sys.argv) > 4 and sys.argv[4].startswith("salt")
+    if salt and ":" in sys.argv[4]:
+        global NEARDUP_MOD
+        NEARDUP_MOD = int(sys.argv[4].split(":", 1)[1])
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     import os
     os.makedirs(dst, exist_ok=True)
     for table, keys in SHIFT.items():
+        if only is not None and table not in only:
+            continue
         t = pq.read_table(f"{src}/{table}.parquet")
         if not keys:  # shared dims: single copy
             pq.write_table(t, f"{dst}/{table}.parquet")
