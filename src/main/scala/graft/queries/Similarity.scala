@@ -844,6 +844,27 @@ object Similarity {
             lit(1L)).otherwise(lit(0L)).as("frac_ok"),
           when(col("mono_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("monotone_ok"),
           when(col("bound_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
+    }),
+
+    // The PERSISTED SHARDED two-level path under the driver's hash
+    // gate (r13 — the spec'd→gated progression applied to ask #2's
+    // mechanism): build the partitionBy(s_id) index to a temp path,
+    // then assign THROUGH it — supers read from parquet, probes JOIN
+    // their shard's grouped codebook row (pinned shuffle_hash; zero
+    // codebook broadcast), `graft_shard_nearest` argmax, cross-shard
+    // reduce. At w = nSup every shard is probed, so whatever the
+    // trained router does the result must collapse to the exact
+    // single-level argmax — same oracle as v10, which means the gate
+    // proves the PRODUCTION-TIER plan (the one that survives a
+    // non-broadcastable codebook) computes the identical answer
+    // through a completely different physical shape. The index build
+    // (codebook-sized, off the query path in production) runs
+    // in-query here so the gate stays self-contained per SF.
+    "v10c_twolevel_sharded" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-v10c").toString + "/idx"
+      buildTwoLevelIndex(s, dir, path, nlist = 64)
+      twoLevelAssignSharded(s, dir, path, w = 8).orderBy("vec_id")
     })
   )
 
@@ -1056,6 +1077,18 @@ object Similarity {
     // pipeline must collapse to exactly this (precomputed-norm cosine,
     // the v09 `n` CTE shape, mirroring cosPre's op sequence)
     "v10_twolevel_ivf" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 64),
+         |p AS (SELECT n.vec_id, c.c_id,
+         |    ${OracleDialect.dot("n.v", "c.cv")} / (n.nrm * c.cn) AS cos FROM n, c),
+         |a AS (SELECT vec_id, c_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM p)
+         |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // Same single-level-argmax oracle as v10: at w = nSup the sharded
+    // path must reproduce it exactly, shard layout notwithstanding.
+    "v10c_twolevel_sharded" ->
       s"""WITH e AS ($EMB),
          |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
          |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 64),

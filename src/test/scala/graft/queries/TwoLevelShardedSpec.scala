@@ -54,6 +54,14 @@ class TwoLevelShardedSpec extends SparkSpec {
       "super layer leaked into the fine-shard scan")
   }
 
+  test("gated v10c query == gated v10 query (same schema, same rows)") {
+    val v10 = graft.SparkEntry.queries("v10_twolevel_ivf")(spark, dir)
+    val v10c = graft.SparkEntry.queries("v10c_twolevel_sharded")(spark, dir)
+    assert(v10c.schema === v10.schema)
+    assert(v10c.exceptAll(v10).isEmpty && v10.exceptAll(v10c).isEmpty,
+      "the gated sharded query diverged from the gated broadcast query")
+  }
+
   test("probe join is shuffle-hash (no broadcast of the fine codebook); kernels stay codegen") {
     val path = java.nio.file.Files.createTempDirectory("ivf2l").toString + "/index"
     Similarity.buildTwoLevelIndex(spark, dir, path, nlist)
