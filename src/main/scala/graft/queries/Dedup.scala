@@ -57,8 +57,29 @@ object Dedup {
     * — |A∩B|/|A∪B| over distinct sets equals d02's count formulation.
     */
   def lshCanonicals(docs: DataFrame): DataFrame =
-    lshVerifiedPairs(docs)
-      .groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+    canonicalsOf(lshVerifiedPairs(docs))
+
+  private def canonicalsOf(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("b_id").as("doc_id")).agg(min(col("a_id")).as("canonical_id"))
+
+  /** Suite-shared LSH-verified near-dup EDGE relation over the full
+    * corpus — the (a_id, b_id) pair set that d04's canonical map and
+    * both component queries (d06/d07) derive from. With a suite runner's
+    * [[graft.SharedProjections]] enabled, the band join + exact-Jaccard
+    * verify runs ONCE per session and all three consumers read the
+    * persisted edges (r13: the edge build was ~2/3 of d06/d07's
+    * in-suite cost, paid three times); standalone each query still
+    * builds its own, so the pinned per-query plans are unchanged. This
+    * mirrors production shape: at 100 TB the verified near-dup edge
+    * list is a first-class silver artifact — written once, read by the
+    * canonical-map job and the clustering job alike. p01 deliberately
+    * does NOT share it: its edges are over the exact-dedup survivor
+    * corpus, a different relation.
+    */
+  private def sharedEdges(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("lsh_edges", dir) {
+      lshVerifiedPairs(shingleDocs(s, dir))
+    }
 
   /** The LSH-verified near-dup PAIR relation (a_id < b_id, jaccard ≥ 0.5
     * over full shingle sets): band-bucket candidates, then exact-Jaccard
@@ -392,7 +413,7 @@ object Dedup {
     }),
 
     "d04_minhash_lsh_dedup" -> ((s, dir) =>
-      lshCanonicals(shingleDocs(s, dir)).orderBy("doc_id")),
+      canonicalsOf(sharedEdges(s, dir)).orderBy("doc_id")),
 
     // connected components over the verified near-dup graph: the real
     // dedup grouping (d04's min-neighbor is one hop; chains a~b~c need
@@ -404,7 +425,7 @@ object Dedup {
     // component diameter (near-dup clusters are shallow); d07 runs
     // large/small-star on the SAME edges for adversarial diameters.
     "d06_dedup_components" -> ((s, dir) => {
-      val pairs = cp(lshVerifiedPairs(shingleDocs(s, dir)))
+      val pairs = cp(sharedEdges(s, dir))
       minLabelComponents(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
     }),
@@ -416,7 +437,7 @@ object Dedup {
     // chains), where per-hop label propagation needs diameter rounds.
     // Same edge relation, same output, same oracle as d06.
     "d07_dedup_components_star" -> ((s, dir) => {
-      val pairs = cp(lshVerifiedPairs(shingleDocs(s, dir)))
+      val pairs = cp(sharedEdges(s, dir))
       starComponents(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
     }),
