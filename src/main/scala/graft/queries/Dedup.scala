@@ -72,11 +72,14 @@ object Dedup {
     * builds its own, so the pinned per-query plans are unchanged. This
     * mirrors production shape: at 100 TB the verified near-dup edge
     * list is a first-class silver artifact — written once, read by the
-    * canonical-map job and the clustering job alike. p01 deliberately
-    * does NOT share it: its edges are over the exact-dedup survivor
-    * corpus, a different relation.
+    * canonical-map job and the clustering job alike. p01 reads it too,
+    * RESTRICTED to its exact-dedup survivors — provably the same
+    * relation its survivor-corpus recompute built (identical text ⇒
+    * identical shingles ⇒ identical per-doc band keys, so survivor
+    * band collisions are exactly the full-corpus collisions with both
+    * endpoints surviving, and pair-level Jaccard is corpus-independent).
     */
-  private def sharedEdges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sharedEdges(s: SparkSession, dir: String): DataFrame =
     graft.SharedProjections.reuse("lsh_edges", dir) {
       lshVerifiedPairs(shingleDocs(s, dir))
     }

@@ -33,13 +33,20 @@ object Pipeline {
         .agg(min(col("doc_id")).as("doc_id"))
       val d1 = docs.join(keep.select("doc_id"), "doc_id")
       // 2. near-dup dedup: drop docs with a smaller LSH-verified near-dup
-      // (shingles come from the suite-shared silver projection — a
-      // doc's shingle set is dedup-invariant, so joining the full-
-      // corpus relation down to the survivors is the same relation the
-      // inline recompute built, r11)
-      val sh = Dedup.shingleDocs(s, dir).select(col("doc_id"), col("sh"))
-        .join(keep.select("doc_id"), "doc_id")
-      val d2 = d1.join(Dedup.lshCanonicals(sh).select("doc_id"), Seq("doc_id"), "left_anti")
+      // among the survivors. r13: the edge set is the suite-shared
+      // FULL-corpus relation restricted to survivor endpoints — provably
+      // identical to the survivor-corpus recompute (a doc's shingles,
+      // hence its band keys, are dedup-invariant, so survivor band
+      // collisions are exactly the full-corpus collisions with both
+      // endpoints surviving; pair Jaccard is corpus-independent), and
+      // since every edge has a_id < b_id, "has a smaller verified
+      // near-dup" = "appears as some edge's b_id"
+      val surv = keep.select("doc_id")
+      val dropIds = Dedup.sharedEdges(s, dir)
+        .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .select(col("b_id").as("doc_id")).distinct()
+      val d2 = d1.join(dropIds, Seq("doc_id"), "left_anti")
         // 3. language filter (metadata column; the content heuristic is t02)
         .filter(col("lang") === "en")
       // 4.+5. quality score, token count, split hash — one fused map stage
