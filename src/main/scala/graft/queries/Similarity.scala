@@ -440,6 +440,42 @@ object Similarity {
     */
   private[queries] def pairSalt(nlist: Int): Int = math.max(1, 128 / nlist)
 
+  /** Cluster-width-aware salt for FIXED-key-count block joins — the
+    * v08 lesson generalized to the hyperplane-bucket family (v06/c02:
+    * 2⁸ = 256 buckets forever, however large the corpus or cluster).
+    * A block join's shuffle parallelism IS its distinct key count, and
+    * a fixed count strands every reducer beyond it while each bucket
+    * sits under AQE's 256 MB skew-split bar. The salt derives from the
+    * session's own width knob (`spark.sql.shuffle.partitions` — what a
+    * cluster deployment sizes to its core count): salted keys cover
+    * ~4× the configured width, capped at 64. At the bench/gate config
+    * (32 partitions / 256 buckets) it derives 1 — the exact plan the
+    * driver hashes — and a 2000-partition deployment derives 32.
+    * Results are provably salt-invariant (see [[saltSides]]);
+    * BlockSaltSpec pins a forced salt row-identical to the unsalted
+    * join and the derivation rule itself.
+    */
+  private[queries] def bucketSalt(nKeys: Int, parts: Int): Int =
+    math.min(64, math.max(1, (4 * parts + nKeys - 1) / nKeys))
+
+  private[queries] def bucketSalt(nKeys: Int, s: SparkSession): Int =
+    bucketSalt(nKeys,
+      s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+
+  /** The salted sides of a blocked pair join — shared mechanics of
+    * [[pairSalt]] (v08) and [[bucketSalt]] (v06/c02) consumers: the b
+    * side keeps ONE row at pk = pmod(hash(bId), salt), the a side
+    * replicates over all `salt` values, so every same-block (a, b)
+    * pair still meets exactly once and the join's key count multiplies
+    * by `salt`. salt = 1 returns the sides untouched (the gated plan).
+    */
+  private[queries] def saltSides(a0: DataFrame, b0: DataFrame, bId: Column,
+      baseKeys: Seq[String], salt: Int): (DataFrame, DataFrame, Seq[String]) =
+    if (salt == 1) (a0, b0, baseKeys)
+    else (a0.withColumn("pk", explode(array((0 until salt).map(lit(_)): _*))),
+      b0.withColumn("pk", pmod(hash(bId), lit(salt))),
+      baseKeys :+ "pk")
+
   /** SemDeDup with the nlist DIAL exposed — v08 pins nlist=16 (so the
     * hand-written oracle stays exact); production grows nlist ~ √n so
     * the within-cluster pair volume Σ C(|cluster|,2) ≈ n²/(2·nlist)
@@ -454,11 +490,7 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val b0 = assign.select(col("c_id"), col("vec_id").as("b_id"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val (a, b, keys) =
-      if (salt == 1) (a0, b0, Seq("c_id"))
-      else (a0.withColumn("pk", explode(array((0 until salt).map(lit(_)): _*))),
-        b0.withColumn("pk", pmod(hash(col("b_id")), lit(salt))),
-        Seq("c_id", "pk"))
+    val (a, b, keys) = saltSides(a0, b0, col("b_id"), Seq("c_id"), salt)
     val dropped = a.join(b, keys).filter(col("a_id") < col("b_id"))
       .filter(cosPre(col("va"), col("vb"), col("na"), col("nb")) >= 0.3)
       .select(col("b_id").as("vec_id")).distinct()
@@ -642,13 +674,19 @@ object Similarity {
 
     // embedding near-dup without a natural blocking key: LSH buckets are
     // the blocks (same shuffle shape as v05); exact cosine verify inside
+    // r13: the fixed 256-key bucket join rides the width-aware
+    // bucketSalt (derives 1 at the gate config — the hashed plan —
+    // and spreads each bucket's pair block across reducers on wide
+    // clusters; results salt-invariant, BlockSaltSpec)
     "v06_neardup_lsh" -> ((s, dir) => {
       val e = emb(s, dir).withColumn("bucket", lshBucket(col("v")))
-      val a = e.select(col("bucket"), col("vec_id").as("a_id"),
+      val a0 = e.select(col("bucket"), col("vec_id").as("a_id"),
         col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("bucket"), col("vec_id").as("b_id"),
+      val b0 = e.select(col("bucket"), col("vec_id").as("b_id"),
         col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      val (a, b, keys) = saltSides(a0, b0, col("b_id"), Seq("bucket"),
+        bucketSalt(256, s))
+      a.join(b, keys).filter(col("a_id") < col("b_id"))
         .select(col("bucket"), col("a_id"), col("b_id"),
           cosPre(col("va"), col("vb"), col("na"), col("nb")).as("cosine"))
         .filter(col("cosine") >= 0.3)
@@ -672,7 +710,11 @@ object Similarity {
           col("v").as("tv"), col("nrm").as("tn"))
       val w = Window.partitionBy(col("train_id"))
         .orderBy(col("cosine").desc, col("eval_id"))
-      tr.join(ev, Seq("bucket"))
+      // width-aware salt, replicating the SMALL side: eval (2% of the
+      // corpus) explodes, train keeps one row at its hash slot
+      val (evS, trS, keys) = saltSides(ev, tr, col("train_id"),
+        Seq("bucket"), bucketSalt(256, s))
+      trS.join(evS, keys)
         .select(col("train_id"), col("eval_id"),
           cosPre(col("tv"), col("evv"), col("tn"), col("en")).as("cosine"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
