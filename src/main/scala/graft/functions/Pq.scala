@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/** Product quantization (Jégou/Douze/Schmid, "Product quantization for
+  * nearest neighbor search", TPAMI 2011 — public literature): split a
+  * unit-normalized vector into `m` subvectors and encode each by its
+  * L2-nearest codeword from a per-subspace codebook of `k` entries, so
+  * a 64-dim double vector (512 B) compresses to m = 8 codes (8 B
+  * unpacked, ~1 B each in parquet after dictionary+RLE) — the
+  * compression tier PAST int8 (v09's 64 B) for corpora whose code
+  * relation must live in memory at 100 TB. Scoring is ADC (asymmetric
+  * distance computation): with unit vectors, cos(q, x) = dot(q̂, x̂) ≈
+  * Σ_j dot(q̂_j, cb[j][code_j]) — and the per-query sub-dots are
+  * precomputed once into an m×k lookup table, so each candidate costs
+  * m table adds instead of dim multiply-adds (8 vs 64 here; 8 vs 1536
+  * at production dims — the ratio IS the point).
+  *
+  * Training and encoding are fully deterministic (sequential
+  * ascending-order folds, strictly-less wins keep the smallest code),
+  * so the downstream recall contract is reproducible cross-run — the
+  * same property that lets v10b gate the two-level router.
+  */
+object PqCodebook {
+
+  /** Deterministic per-subspace Lloyd: seeds = the first `k` sample
+    * subvectors, 4 iterations, L2 objective, assignment ties to the
+    * smaller code, an emptied cell keeps its previous codeword. Input
+    * vectors must be unit-normalized; returns the flat row-major
+    * codebook double[m · k · subdim].
+    */
+  def train(sampleUnit: Seq[Array[Double]], m: Int, k: Int,
+      iters: Int = 4): Array[Double] = {
+    require(sampleUnit.size >= k, s"pq train: need >= $k samples, got ${sampleUnit.size}")
+    val dim = sampleUnit.head.length
+    require(dim % m == 0, s"pq train: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val cb = new Array[Double](m * k * sub)
+    for (j <- 0 until m) {
+      // seed: first k subvectors of this subspace
+      var cents = Array.tabulate(k) { c =>
+        java.util.Arrays.copyOfRange(sampleUnit(c), j * sub, (j + 1) * sub)
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](sub))
+        val cnts = new Array[Int](k)
+        for (v <- sampleUnit) {
+          var bestC = 0
+          var best = Double.PositiveInfinity
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0
+            var i = 0
+            while (i < sub) {
+              val d = v(j * sub + i) - cents(c)(i)
+              d2 += d * d
+              i += 1
+            }
+            if (java.lang.Double.compare(d2, best) < 0) { best = d2; bestC = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { sums(bestC)(i) += v(j * sub + i); i += 1 }
+          cnts(bestC) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (cnts(c) == 0) cents(c)
+          else Array.tabulate(sub)(i => sums(c)(i) / cnts(c))
+        }
+      }
+      for (c <- 0 until k; i <- 0 until sub)
+        cb(j * k * sub + c * sub + i) = cents(c)(i)
+    }
+    cb
+  }
+
+  /** Per-query ADC lookup tables over unit query vectors: flat
+    * double[nQ · m · k], lut(q, j, c) = dot(q̂_j, cb[j][c]) as the same
+    * sequential left fold every other kernel uses.
+    */
+  def luts(cb: Array[Double], queriesUnit: Seq[Array[Double]],
+      m: Int, k: Int): Array[Double] = {
+    val dim = queriesUnit.head.length
+    val sub = dim / m
+    val out = new Array[Double](queriesUnit.size * m * k)
+    for ((q, qi) <- queriesUnit.zipWithIndex; j <- 0 until m; c <- 0 until k) {
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        acc += q(j * sub + i) * cb(j * k * sub + c * sub + i)
+        i += 1
+      }
+      out(qi * m * k + j * k + c) = acc
+    }
+    out
+  }
+}
+
+/** PQ encoding of `v / nrm` against an embedded codebook — array<long>
+  * of `m` codes in 0..k−1, each the L2-argmin codeword of its
+  * subvector (ties to the smaller code via the same total-order
+  * strictly-less the other kernels use). Codebook rides as a codegen
+  * reference object (the NearestCentroid pattern). Null elements and
+  * non-positive norms RAISE (the QuantizeUnitI8 doctrine: corrupt
+  * embeddings must fail loudly, not score plausibly).
+  */
+case class PqEncode(left: Expression, right: Expression,
+    cb: Array[Double], m: Int, k: Int) extends BinaryExpression {
+
+  require(m > 0 && k > 0 && cb.length % (m * k) == 0,
+    s"graft_pq_encode: codebook shape mismatch (${cb.length} values, m=$m, k=$k)")
+  private val sub = cb.length / (m * k)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (array<double>, double), got $l / $r")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any, nrm: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = nrm.asInstanceOf[Double]
+    if (x.numElements() != m * sub) throw new IllegalArgumentException(
+      s"graft_pq_encode: vector dim ${x.numElements()} != ${m * sub}")
+    if (!(n > 0.0)) throw new IllegalArgumentException(
+      s"graft_pq_encode: norm must be positive, got $n")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var bestC = 0L
+      var best = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          if (x.isNullAt(j * sub + i)) throw new IllegalArgumentException(
+            s"graft_pq_encode: null element at position ${j * sub + i}")
+          val d = x.getDouble(j * sub + i) / n - cb(j * k * sub + c * sub + i)
+          d2 += d * d
+          i += 1
+        }
+        if (java.lang.Double.compare(d2, best) < 0) { best = d2; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm) => {
+      val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($v.numElements() != ${m * sub}) throw new IllegalArgumentException(
+         |  "graft_pq_encode: vector dim " + $v.numElements() + " != ${m * sub}");
+         |if (!($nrm > 0.0)) throw new IllegalArgumentException(
+         |  "graft_pq_encode: norm must be positive, got " + $nrm);
+         |long[] $out = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $bestC = 0L;
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d2 = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      if ($v.isNullAt($j * $sub + $i)) throw new IllegalArgumentException(
+         |        "graft_pq_encode: null element at position " + ($j * $sub + $i));
+         |      double $d = $v.getDouble($j * $sub + $i) / $nrm
+         |        - $cbRef[$j * $k * $sub + $c * $sub + $i];
+         |      $d2 += $d * $d;
+         |    }
+         |    if (java.lang.Double.compare($d2, $best) < 0) { $best = $d2; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC score from an embedded per-query LUT: Σ_j lut(qIdx, j, code_j),
+  * ascending-j left fold — `m` adds per candidate, the asymmetric-
+  * distance hot loop. `qIdx` is the dense 0..nQ−1 index of the query
+  * (carried on the broadcast query side); out-of-range indices and
+  * wrong code lengths RAISE.
+  */
+case class PqAdcDot(left: Expression, right: Expression,
+    luts: Array[Double], m: Int, k: Int) extends BinaryExpression {
+
+  require(m > 0 && k > 0 && luts.length % (m * k) == 0,
+    s"graft_pq_adc: lut shape mismatch (${luts.length} values, m=$m, k=$k)")
+  private val nQ = luts.length / (m * k)
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (IntegerType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (int, array<bigint>), got $l / $r")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(qi: Any, codes: Any): Any = {
+    val q = qi.asInstanceOf[Int]
+    val cs = codes.asInstanceOf[ArrayData]
+    if (q < 0 || q >= nQ) throw new IllegalArgumentException(
+      s"graft_pq_adc: query index $q out of range [0, $nQ)")
+    if (cs.numElements() != m) throw new IllegalArgumentException(
+      s"graft_pq_adc: code length ${cs.numElements()} != m=$m")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = cs.getLong(j)
+      if (c < 0 || c >= k) throw new IllegalArgumentException(
+        s"graft_pq_adc: code $c out of range [0, $k)")
+      acc += luts(q * m * k + j * k + c.toInt)
+      j += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (qi, codes) => {
+      val lutRef = ctx.addReferenceObj("pqlut", luts, "double[]")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($qi < 0 || $qi >= $nQ) throw new IllegalArgumentException(
+         |  "graft_pq_adc: query index " + $qi + " out of range [0, $nQ)");
+         |if ($codes.numElements() != $m) throw new IllegalArgumentException(
+         |  "graft_pq_adc: code length " + $codes.numElements() + " != m=$m");
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $c = $codes.getLong($j);
+         |  if ($c < 0 || $c >= $k) throw new IllegalArgumentException(
+         |    "graft_pq_adc: code " + $c + " out of range [0, $k)");
+         |  $acc += $lutRef[$qi * $m * $k + $j * $k + (int) $c];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -126,4 +126,24 @@ object Vectors {
         org.apache.spark.sql.GraftSqlBridge.expression(scids),
         org.apache.spark.sql.GraftSqlBridge.expression(sflat),
         org.apache.spark.sql.GraftSqlBridge.expression(scns)))
+
+  /** PQ codes of `v / nrm` against an embedded codebook — see
+    * [[PqEncode]]; v11's compression step.
+    */
+  def pqEncode(v: Column, nrm: Column,
+      cb: Array[Double], m: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm), cb, m, k))
+
+  /** ADC score from an embedded per-query LUT — see [[PqAdcDot]];
+    * v11's candidate-scan scoring kernel.
+    */
+  def pqAdc(qIdx: Column, codes: Column,
+      luts: Array[Double], m: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqAdcDot(
+        org.apache.spark.sql.GraftSqlBridge.expression(qIdx),
+        org.apache.spark.sql.GraftSqlBridge.expression(codes), luts, m, k))
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PqCodebook
 import graft.functions.Vectors._
 import OracleDialect.{cosine => cosSql, fp => fpSql}
 
@@ -54,6 +55,16 @@ object Similarity {
     * regression still trips it.
     */
   private[queries] val V10bFloor = 0.35
+
+  /** v11's gated recall floor — absolute hit count over the 30
+    * (10 queries × top-3) ground-truth slots. Measured with the
+    * shipped dial (m=16, k=16, frontier 50) on the near-isotropic
+    * fixtures: 28/24/22 at sf0.001/0.01/0.1 (PqProbe, BENCHNOTES
+    * r13). 12 sits ~45% under the smallest reading — regeneration
+    * can't flap the flag — while a broken codebook or scorer
+    * (random frontier ≈ 1/30) still trips it.
+    */
+  private[queries] val V11Floor = 12L
 
   /** Base projection: double vector + its precomputed L2 norm. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
@@ -907,6 +918,84 @@ object Similarity {
         .createTempDirectory("graft-v10c").toString + "/idx"
       buildTwoLevelIndex(s, dir, path, nlist = 64)
       twoLevelAssignSharded(s, dir, path, w = 8).orderBy("vec_id")
+    }),
+
+    // Product-quantized ADC retrieval (r13) — the compression tier PAST
+    // int8: v09's codes are dim bytes/vector, PQ's are m = 16 (32× vs
+    // float64, 4× vs int8), and the ADC scan costs m table-adds per
+    // candidate instead of dim multiply-adds. The dial was MEASURED on
+    // the near-isotropic fixtures (PQ's hardest case — quantization
+    // error vs near-tied cosines): at frontier 50, (m=8,k=16) scores
+    // 24/21/14 of 30 across the SFs, (m=8,k=32) 30/24/14, and
+    // (m=16,k=16) 28/24/22 — finer subspaces beat bigger codebooks, so
+    // m=16/k=16 ships (PqProbe). Two-phase like v09: PQ-ADC top-50
+    // frontier → exact-cosine re-rank top-3. Training
+    // (per-subspace Lloyd over the first 256 vectors) and encoding are
+    // fully deterministic, but k-means codebooks are not reasonably
+    // SQL-expressible, so the gate is the within_bound CONTRACT
+    // pattern (x01/v10b): Spark computes recall vs in-query exact
+    // ground truth and a never-better check; the oracle pins the
+    // SQL-computable half (query count + the exact ground truth's
+    // floor-micros cosine sum — a recall OR ground-truth regression
+    // breaks the hash) and emits literal flags for the contract half.
+    // The two collects are contract-bounded codebook/query-set syncs
+    // (256 + 10 rows, corpus-size-independent).
+    "v11_pq_adc" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def unit(r: org.apache.spark.sql.Row): Array[Double] = {
+        val v = r.getSeq[Double](1); val n = r.getDouble(2)
+        v.map(_ / n).toArray
+      }
+      val sampleRows = e.filter(col("vec_id") < 256).orderBy("vec_id")
+        .select(col("vec_id"), col("v"), col("nrm")).collect()
+      val cb = PqCodebook.train(sampleRows.map(unit).toSeq, m = 16, k = 16)
+      val qRows = e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+        .orderBy("vec_id").select(col("vec_id"), col("v"), col("nrm")).collect()
+      val luts = PqCodebook.luts(cb, qRows.map(unit).toSeq, 16, 16)
+      import s.implicits._
+      val qIdx = broadcast(qRows.map(_.getLong(0)).zipWithIndex
+        .map { case (q, i) => (q, i) }.toSeq.toDF("q_id", "q_idx"))
+      val codes = e.select(col("vec_id"),
+        pqEncode(col("v"), col("nrm"), cb, 16, 16).as("pq"))
+      val candW = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc").desc, col("neighbor_id"))
+      val cands = codes.crossJoin(qIdx).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          pqAdc(col("q_idx"), col("pq"), luts, 16, 16).as("adc"))
+        .withColumn("crk", row_number().over(candW)).filter(col("crk") <= 50)
+        .select("q_id", "neighbor_id")
+      val qFloat = broadcast(e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+      val rankW = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      val pq3 = cands
+        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+          "neighbor_id")
+        .join(qFloat, "q_id")
+        .select(col("q_id"), col("neighbor_id"),
+          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+        .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= 3)
+      val gt = exactTopK(s, dir, 300, 310, 3)
+      val hits = gt.select("q_id", "neighbor_id")
+        .join(pq3.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      val gtBest = gt.filter(col("rank") === 1)
+        .select(col("q_id"), col("cosine").as("opt_cos"))
+      val pqBest = pq3.filter(col("rank") === 1)
+        .select(col("q_id"), col("cosine").as("pq_cos"))
+      gt.groupBy("q_id")
+        .agg(sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("gt_micros"))
+        .join(hits, Seq("q_id"), "left")
+        .join(gtBest, "q_id").join(pqBest, "q_id")
+        .agg(
+          count(lit(1)).as("nq"),
+          sum(col("gt_micros")).as("gt_sum"),
+          sum(coalesce(col("hits"), lit(0L))).as("nh"),
+          sum(when(col("pq_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
+        .select(col("nq").as("n_queries"), col("gt_sum").as("gt_sum_micros"),
+          when(col("nh") >= lit(V11Floor), lit(1L)).otherwise(lit(0L)).as("recall_ok"),
+          when(col("nb_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
     })
   )
 
@@ -1127,6 +1216,28 @@ object Similarity {
          |a AS (SELECT vec_id, c_id, cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM p)
          |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // within_bound contract oracle (x01/v10b pattern): the exact
+    // ground-truth half (query count, top-3 floor-micros cosine sum)
+    // is computed symbolically; the PQ contract half is literal flags.
+    "v11_pq_adc" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
 
     // Same single-level-argmax oracle as v10: at w = nSup the sharded
     // path must reproduce it exactly, shard layout notwithstanding.
