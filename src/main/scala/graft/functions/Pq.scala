@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -84,7 +84,11 @@ object PqCodebook {
     */
   def luts(cb: Array[Double], queriesUnit: Seq[Array[Double]],
       m: Int, k: Int): Array[Double] = {
+    require(m > 0 && k > 0 && cb.length % (m * k) == 0,
+      s"pq luts: codebook shape mismatch (${cb.length} values, m=$m, k=$k)")
     val dim = queriesUnit.head.length
+    require(dim == m * (cb.length / (m * k)),
+      s"pq luts: query dim $dim != m*sub = ${m * (cb.length / (m * k))}")
     val sub = dim / m
     val out = new Array[Double](queriesUnit.size * m * k)
     for ((q, qi) <- queriesUnit.zipWithIndex; j <- 0 until m; c <- 0 until k) {
@@ -266,4 +270,126 @@ case class PqAdcDot(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** PQ encoding of the RESIDUAL `v / nrm − cents[cIdx]` against an
+  * embedded residual codebook — the IVFADC form (Jégou/Douze/Schmid,
+  * TPAMI 2011 §IV): residuals against the coarse centroid concentrate
+  * near zero, so the same m×k codebook spends its resolution where the
+  * data actually is and recall rises at equal bytes. `cIdx` is the
+  * DENSE 0..nC−1 index of the vector's coarse centroid (carried via a
+  * broadcast c_id→c_idx map on the assignment relation); `cents` is
+  * the flat row-major array of UNIT coarse centroids. Same total-order
+  * strictly-less argmin, codegen, and loud-failure contract as
+  * [[PqEncode]]. Scoring needs no new kernel: with residual LUTs,
+  * dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, r) — the per-(query, probed-list)
+  * offset dot(q̂, ĉ) rides the probe relation as a plain column and
+  * [[PqAdcDot]] supplies the residual half.
+  */
+case class PqEncodeResidual(first: Expression, second: Expression,
+    third: Expression, cb: Array[Double], cents: Array[Double],
+    m: Int, k: Int) extends TernaryExpression {
+
+  require(m > 0 && k > 0 && cb.length % (m * k) == 0,
+    s"graft_pq_encode_residual: codebook shape mismatch (${cb.length} values, m=$m, k=$k)")
+  private val sub = cb.length / (m * k)
+  private val dim = m * sub
+  require(cents.nonEmpty && cents.length % dim == 0,
+    s"graft_pq_encode_residual: centroid array length ${cents.length} not a multiple of dim $dim")
+  private val nC = cents.length / dim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode_residual expects (array<double>, double, int), got $a / $b / $c")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_pq_encode_residual"
+
+  override def nullSafeEval(v: Any, nrm: Any, cIdx: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = nrm.asInstanceOf[Double]
+    val ci = cIdx.asInstanceOf[Int]
+    if (x.numElements() != dim) throw new IllegalArgumentException(
+      s"graft_pq_encode_residual: vector dim ${x.numElements()} != $dim")
+    if (!(n > 0.0)) throw new IllegalArgumentException(
+      s"graft_pq_encode_residual: norm must be positive, got $n")
+    if (ci < 0 || ci >= nC) throw new IllegalArgumentException(
+      s"graft_pq_encode_residual: centroid index $ci out of range [0, $nC)")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var bestC = 0L
+      var best = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d2 = 0.0
+        var i = 0
+        while (i < sub) {
+          val p = j * sub + i
+          if (x.isNullAt(p)) throw new IllegalArgumentException(
+            s"graft_pq_encode_residual: null element at position $p")
+          val d = (x.getDouble(p) / n - cents(ci * dim + p)) -
+            cb(j * k * sub + c * sub + i)
+          d2 += d * d
+          i += 1
+        }
+        if (java.lang.Double.compare(d2, best) < 0) { best = d2; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nrm, cIdx) => {
+      val cbRef = ctx.addReferenceObj("pqrcb", cb, "double[]")
+      val ctRef = ctx.addReferenceObj("pqrcents", cents, "double[]")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val out = ctx.freshName("out")
+      s"""
+         |if ($v.numElements() != $dim) throw new IllegalArgumentException(
+         |  "graft_pq_encode_residual: vector dim " + $v.numElements() + " != $dim");
+         |if (!($nrm > 0.0)) throw new IllegalArgumentException(
+         |  "graft_pq_encode_residual: norm must be positive, got " + $nrm);
+         |if ($cIdx < 0 || $cIdx >= $nC) throw new IllegalArgumentException(
+         |  "graft_pq_encode_residual: centroid index " + $cIdx + " out of range [0, $nC)");
+         |long[] $out = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  long $bestC = 0L;
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d2 = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      int $p = $j * $sub + $i;
+         |      if ($v.isNullAt($p)) throw new IllegalArgumentException(
+         |        "graft_pq_encode_residual: null element at position " + $p);
+         |      double $d = ($v.getDouble($p) / $nrm - $ctRef[$cIdx * $dim + $p])
+         |        - $cbRef[$j * $k * $sub + $c * $sub + $i];
+         |      $d2 += $d * $d;
+         |    }
+         |    if (java.lang.Double.compare($d2, $best) < 0) { $best = $d2; $bestC = $c; }
+         |  }
+         |  $out[$j] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqEncodeResidual =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

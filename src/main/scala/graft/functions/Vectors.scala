@@ -146,4 +146,15 @@ object Vectors {
       PqAdcDot(
         org.apache.spark.sql.GraftSqlBridge.expression(qIdx),
         org.apache.spark.sql.GraftSqlBridge.expression(codes), luts, m, k))
+
+  /** PQ codes of the residual `v / nrm − cents[cIdx]` — see
+    * [[PqEncodeResidual]]; v12's IVFADC encoding step.
+    */
+  def pqEncodeResidual(v: Column, nrm: Column, cIdx: Column,
+      cb: Array[Double], cents: Array[Double], m: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqEncodeResidual(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        org.apache.spark.sql.GraftSqlBridge.expression(cIdx), cb, cents, m, k))
 }

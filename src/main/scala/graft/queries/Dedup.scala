@@ -206,17 +206,32 @@ object Dedup {
     * surface only; every caller but the probe uses the default.
     */
   private[graft] def jaccardBaseAndCands(docs: DataFrame, t: Double,
-      positional: Boolean): (DataFrame, DataFrame) = {
+      positional: Boolean, reuseDir: Option[String] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val ex = docs.select(col("doc_id"),
-      explode(array_distinct(Text.fps(col("sh")))).as("s"))
-    val byDoc = Window.partitionBy("doc_id")
-    val base = cp(ex
-      .join(ex.groupBy("s").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxDf), "s")
-      .select(col("doc_id"), col("s"),
-        row_number().over(byDoc.orderBy("df", "s")).as("rk"),
-        count(lit(1)).over(byDoc).as("n")))
+    // r14 (verdict ask #4): the PPJoin index build — shingle+fp
+    // explode, df count, per-doc rank window — is d02's dominant cost
+    // and is pure per-(dir, t) derived data, so it joins the
+    // suite-shared silver tier (the shingles/lsh_edges precedent):
+    // standalone plans are byte-identical (reuse is runner-opt-in and
+    // OFF by default), while a suite session builds the index ONCE and
+    // every later pass reads the persisted blocks. The production
+    // analogue is a persisted bucketed silver table (BandIndex's
+    // story), rebuilt when the corpus changes.
+    def build: DataFrame = {
+      val ex = docs.select(col("doc_id"),
+        explode(array_distinct(Text.fps(col("sh")))).as("s"))
+      val byDoc = Window.partitionBy("doc_id")
+      cp(ex
+        .join(ex.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxDf), "s")
+        .select(col("doc_id"), col("s"),
+          row_number().over(byDoc.orderBy("df", "s")).as("rk"),
+          count(lit(1)).over(byDoc).as("n")))
+    }
+    val base = reuseDir match {
+      case Some(d) => graft.SharedProjections.reuse(s"ppjoin_base_t$t", d)(build)
+      case None => build
+    }
     val pref = base
       .filter(col("rk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
       .select("doc_id", "s", "rk", "n")
@@ -256,8 +271,8 @@ object Dedup {
     jaccardBaseAndCands(docs, t, positional)._2.distinct()
 
   private[queries] def jaccardPairs(docs: DataFrame, t: Double = 0.5,
-      positional: Boolean = true): DataFrame = {
-    val (base, ids) = jaccardBaseAndCands(docs, t, positional)
+      positional: Boolean = true, reuseDir: Option[String] = None): DataFrame = {
+    val (base, ids) = jaccardBaseAndCands(docs, t, positional, reuseDir)
     // the counting verify below stays near-linear even if many docs are
     // candidates: the global df cap bounds per-shingle join fan-out at
     // C(MaxDf, 2), so total verify work ≤ MaxDf · Σ df — linear in the
@@ -390,7 +405,7 @@ object Dedup {
     }),
 
     "d02_jaccard_pairs" -> ((s, dir) => {
-      jaccardPairs(shingleDocs(s, dir), t = 0.5)
+      jaccardPairs(shingleDocs(s, dir), t = 0.5, reuseDir = Some(dir))
         .orderBy("a_id", "b_id")
     }),
 
@@ -643,7 +658,7 @@ object Dedup {
     * size. The fp is the shared portable charFp, so the oracle
     * reproduces it over the reconstructed window strings.
     */
-  private[queries] def substringDedup(docs: DataFrame, w: Int = 40,
+  private[graft] def substringDedup(docs: DataFrame, w: Int = 40,
       stride: Int = 20): DataFrame = {
     val occ = docs
       .select(col("doc_id"), posexplode(Text.windowFps(col("text"), w, stride)))

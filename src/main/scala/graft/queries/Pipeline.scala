@@ -77,8 +77,12 @@ object Pipeline {
     // regardless of corpus size.
     "p06_incremental_replay" -> ((s, dir) => {
       import graft.streaming.DocPipeline
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft-p06-state").toString
+      // fixed per-dir scratch, WIPED before the replay (state must
+      // start empty — it is mutable, unlike the index scratches) so
+      // repeated suite runs stop leaking a temp dir per invocation
+      // (r14 hygiene, the v10c fix applied here too)
+      val stateDir = Similarity.scratchPath("p06-state", dir)
+      new scala.reflect.io.Directory(new java.io.File(stateDir)).deleteRecursively()
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           md5(col("text")).as("text_hash"))

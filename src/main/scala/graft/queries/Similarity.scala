@@ -58,13 +58,41 @@ object Similarity {
 
   /** v11's gated recall floor — absolute hit count over the 30
     * (10 queries × top-3) ground-truth slots. Measured with the
-    * shipped dial (m=16, k=16, frontier 50) on the near-isotropic
-    * fixtures: 28/24/22 at sf0.001/0.01/0.1 (PqProbe, BENCHNOTES
-    * r13). 12 sits ~45% under the smallest reading — regeneration
-    * can't flap the flag — while a broken codebook or scorer
-    * (random frontier ≈ 1/30) still trips it.
+    * shipped dial (m=16, k=16, frontier 50) and the r14
+    * hash-stratified sample on the near-isotropic fixtures:
+    * 28/29/25 at sf0.001/0.01/0.1 (PqProbe, BENCHNOTES r14 — the
+    * id-prefix sample scored 28/24/22, so de-biasing the sample also
+    * RAISED recall at the two larger SFs). 12 sits >50% under the
+    * smallest reading — regeneration can't flap the flag — while a
+    * broken codebook or scorer (random frontier ≈ 1/30) still trips it.
     */
   private[queries] val V11Floor = 12L
+
+  /** v12's IVFADC probe width (of nlist = 16 coarse lists — scan
+    * fraction nprobe/nlist) and its gated recall floor. Dial sweep
+    * measured by IvfAdcProbe on the near-isotropic fixtures
+    * (BENCHNOTES r14): recall is ROUTING-bound there — the fixtures
+    * give the coarse layer almost no signal, so hits scale with the
+    * probe fraction for both codebook forms (residual, nprobe 2/4/8 at
+    * frontier 50: 10/12/19, 10/13/20, 7/10/14 across the SFs) — and
+    * the literature's residual-beats-direct margin INVERTS at sf0.1
+    * (14 vs 21 at nprobe=8): isotropic residuals x̂−ĉ carry ~2× the
+    * energy of x̂, so the sub-quantizers spread thinner. v12 ships the
+    * residual form regardless — it is the production-correct IVFADC
+    * (real embedding corpora are clustered, where residuals DO
+    * concentrate; IvfAdcSpec proves the mechanism on a deterministic
+    * clustered mixture) — at nprobe = 8, floored at 7 (50% under the
+    * smallest measured 14, the V11Floor margin convention).
+    */
+  private[queries] val V12Nprobe = 8
+  private[queries] val V12Floor = 7L
+
+  /** v10d's gated w=2 match-fraction floor for the TRAINED-fine
+    * sharded path — measured with trained fine book + trained router
+    * on the gate fixtures (TwoLevelProbe trained mode, BENCHNOTES
+    * r14), floored with the ~45% margin convention.
+    */
+  private[queries] val V10dFloor = 0.35
 
   /** Base projection: double vector + its precomputed L2 norm. */
   private[queries] def emb(s: SparkSession, dir: String): DataFrame =
@@ -333,6 +361,17 @@ object Similarity {
     * mean of its members' UNIT vectors (spherical k-means — the cosine
     * objective's ascent step); an emptied or degenerate super keeps
     * its previous vector. Supers are re-numbered 0..nSup−1.
+    *
+    * Memberless supers are DROPPED before renumbering (ADVICE r13): a
+    * trained super is a synthetic mean and can end up owning zero fine
+    * centroids (a seed super always owns at least itself), and
+    * [[twoLevelCore]] inner-joins probes to shards on s_id — a vector
+    * whose w probed supers were all memberless would silently vanish
+    * from the assignment at w < nSup. Dropping a memberless super is
+    * argmax-neutral for shard membership (it was no centroid's nearest,
+    * so every remaining assignment is unchanged) and can only improve
+    * routing (a probe slot never lands on an empty shard again);
+    * TrainSupersSpec pins the every-super-owns-a-centroid invariant.
     */
   private[queries] def trainSupers(book: Seq[(Long, Seq[Double], Double)],
       nSup: Int, iters: Int = 4): Seq[(Long, Seq[Double], Double)] = {
@@ -373,7 +412,14 @@ object Similarity {
         }
       }
     }
-    sup.toSeq.zipWithIndex.map { case ((v, n), i) => (i.toLong, v.toSeq, n) }
+    // final membership against the final supers; keep owners only
+    val owned = new Array[Boolean](sup.length)
+    val asTriples = sup.toSeq.zipWithIndex
+      .map { case ((v, n), i) => (i.toLong, v.toSeq, n) }
+    for ((_, cv, cn) <- book)
+      owned(nearestSuperId(cv, cn, asTriples).toInt) = true
+    asTriples.filter { case (i, _, _) => owned(i.toInt) }
+      .zipWithIndex.map { case ((_, v, n), i) => (i.toLong, v, n) }
   }
 
   /** Build and persist the TWO-LEVEL index layout (r13, verdict ask
@@ -392,6 +438,39 @@ object Similarity {
     val book = centroids(e, nlist).select(col("c_id"), col("cv"), col("cn"))
       .orderBy("c_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    writeTwoLevelOf(s, book, path)
+  }
+
+  /** Build and persist the two-level layout from a TRAINED fine
+    * codebook (r14, verdict ask #3): corpus-side [[ivfTrain]] refines
+    * the first-`nlist` seed with `iters` spherical-Lloyd steps before
+    * the trained super layer and the `partitionBy(s_id)` shard write.
+    * Two things ride on the trained book at the production tier:
+    * routing quality (the w=2 match rate — measured delta in
+    * BENCHNOTES r14) and SHARD BALANCE — the sharded path's
+    * shuffle_hash join partitions on s_id, so the max/mean member
+    * spread of the shards bounds its reducer skew, and Lloyd-refined
+    * centroids split hot regions that a seed book leaves as one shard
+    * (shard-size table: TwoLevelScaleProbe, BENCHNOTES r14). Training
+    * is off the query path in production (and non-bit-pinned like all
+    * distributed k-means); everything downstream of the SAVED book is
+    * deterministic again — the [[buildTrainedIndex]] contract one tier
+    * up, gated end-to-end by v10d.
+    */
+  def buildTwoLevelIndexTrained(s: SparkSession, dir: String, path: String,
+      nlist: Int, iters: Int = 3): Unit = {
+    val book = ivfTrain(s, dir, nlist, iters)
+      .select(col("c_id"), col("cv"), col("cn"))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    writeTwoLevelOf(s, book, path)
+  }
+
+  /** Shared tail of the two-level builds: trained supers over the fine
+    * book, shard tagging by [[nearestSuperId]], partitioned write.
+    */
+  private def writeTwoLevelOf(s: SparkSession,
+      book: Seq[(Long, Seq[Double], Double)], path: String): Unit = {
     val nSup = math.ceil(math.sqrt(book.size.toDouble)).toInt
     val supers = trainSupers(book, nSup)
     import s.implicits._
@@ -401,6 +480,20 @@ object Similarity {
     val supDf = supers.toDF("s_id", "sv", "sn")
     graft.sources.IvfIndex.writeTwoLevel(fineTagged, supDf, path)
   }
+
+  /** Deterministic per-(purpose, data-dir) scratch path under
+    * `java.io.tmpdir` — gate queries that persist an index IN-QUERY
+    * (v10c/v10d/v12: the build is off the query path in production but
+    * runs in-query so the gate stays self-contained per SF) write here
+    * with overwrite semantics, so repeated suite runs REUSE one
+    * directory instead of leaking a fresh temp dir per invocation (r13
+    * verdict, What's-wrong #3). Keyed by the data dir's hash: SFs never
+    * collide, and staleness is impossible because the build always
+    * re-runs — the fixed path only changes WHERE the same bytes land.
+    */
+  private[queries] def scratchPath(purpose: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$purpose-" +
+      java.lang.Integer.toHexString(dir.hashCode) + "/idx"
 
   /** Two-level assignment against a PERSISTED sharded index — the
     * broadcast of the full fine codebook is GONE (the
@@ -434,6 +527,296 @@ object Similarity {
         expr("transform(cs, c -> c.cn)").as("sh_cns"))
       .hint("shuffle_hash")
     twoLevelCore(emb(s, dir), supers, shards, w)
+  }
+
+  // ─────────────────────── PQ / IVFADC (r13–r14) ───────────────────────
+
+  /** Unit-normalize a collected `(vec_id, v, nrm)` row. */
+  private[queries] def unitRow(r: org.apache.spark.sql.Row): Array[Double] = {
+    val v = r.getSeq[Double](1); val n = r.getDouble(2)
+    v.map(_ / n).toArray
+  }
+
+  /** Deterministic HASH-STRATIFIED 256-vector training sample (r14,
+    * verdict ask #5): rows ordered by (murmur3(vec_id) mod 2²⁰, vec_id)
+    * and truncated. The old id-prefix sample (`vec_id < 256`) is
+    * order-biased on any corpus sorted by source/time — at production
+    * scale the codebook would train on whatever the first shard
+    * happened to hold. The hash stratum is corpus-order-free and
+    * equally deterministic (Spark's Murmur3 is fixed-seed), the sort is
+    * a TakeOrdered (per-partition top-256, no global exchange), and the
+    * collect stays the contract-bounded codebook sync every PQ system
+    * pays. Measured recall delta on the gate fixtures: BENCHNOTES r14.
+    */
+  private[queries] def pqSampleRows(e: DataFrame): Array[org.apache.spark.sql.Row] =
+    e.select(col("vec_id"), col("v"), col("nrm"))
+      .orderBy(pmod(hash(col("vec_id")), lit(1 << 20)), col("vec_id"))
+      .limit(256).collect()
+
+  /** Full-scan ADC candidate scores `(q_id, neighbor_id, adc)` — v11's
+    * phase 1 over an arbitrary code relation (fresh or loaded from
+    * [[graft.sources.PqIndex]]): queries broadcast as dense LUT
+    * indices, every code row pays m table-adds.
+    */
+  private[queries] def pqAdcScores(s: SparkSession, codes: DataFrame,
+      cb: Array[Double], m: Int, k: Int,
+      qRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val luts = PqCodebook.luts(cb, qRows.map(unitRow).toSeq, m, k)
+    import s.implicits._
+    val qIdx = broadcast(qRows.map(_.getLong(0)).zipWithIndex
+      .map { case (q, i) => (q, i) }.toSeq.toDF("q_id", "q_idx"))
+    codes.crossJoin(qIdx).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        pqAdc(col("q_idx"), col("pq"), luts, m, k).as("adc"))
+  }
+
+  /** Phase 2 shared by v11/v12/the indexed path: keep the per-query
+    * ADC `frontier`, fetch floats BY ID for the survivors, exact-cosine
+    * re-rank to top-3 (deterministic id tie-breaks throughout).
+    */
+  private[queries] def pqRerankTop3(e: DataFrame, scored: DataFrame,
+      qPred: Column, frontier: Int): DataFrame = {
+    val candW = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cands = scored
+      .withColumn("crk", row_number().over(candW)).filter(col("crk") <= frontier)
+      .select("q_id", "neighbor_id")
+    val qFloat = broadcast(e.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val rankW = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
+        "neighbor_id")
+      .join(qFloat, "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= 3)
+  }
+
+  /** The within_bound contract aggregate shared by v11 and v12 (the
+    * x01/v10b pattern): the oracle pins the SQL-computable exact half
+    * (query count + the ground truth's floor-micros cosine sum — a
+    * ground-truth regression breaks the hash) and emits literal flags
+    * for the PQ contract half (recall over `recallFloor`, approximate
+    * never beats exact).
+    */
+  private[queries] def pqContract(s: SparkSession, dir: String, pq3: DataFrame,
+      qLo: Long, qHi: Long, recallFloor: Long): DataFrame = {
+    val gt = exactTopK(s, dir, qLo, qHi, 3)
+    val hits = gt.select("q_id", "neighbor_id")
+      .join(pq3.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    val gtBest = gt.filter(col("rank") === 1)
+      .select(col("q_id"), col("cosine").as("opt_cos"))
+    val pqBest = pq3.filter(col("rank") === 1)
+      .select(col("q_id"), col("cosine").as("pq_cos"))
+    gt.groupBy("q_id")
+      .agg(sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("gt_micros"))
+      .join(hits, Seq("q_id"), "left")
+      .join(gtBest, "q_id").join(pqBest, "q_id")
+      .agg(
+        count(lit(1)).as("nq"),
+        sum(col("gt_micros")).as("gt_sum"),
+        sum(coalesce(col("hits"), lit(0L))).as("nh"),
+        sum(when(col("pq_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
+      .select(col("nq").as("n_queries"), col("gt_sum").as("gt_sum_micros"),
+        when(col("nh") >= lit(recallFloor), lit(1L)).otherwise(lit(0L)).as("recall_ok"),
+        when(col("nb_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
+  }
+
+  /** Train on the hash-stratified sample, encode the corpus, persist
+    * through [[graft.sources.PqIndex]] (r14, verdict ask #2) — the
+    * production form of v11: the 16 B/vector code relation is the
+    * index you KEEP at 100 TB; training and encoding are paid once at
+    * build time, not per query. Returns the codebook so callers can
+    * compare against the loaded copy (PqIndexSpec pins the round-trip).
+    */
+  def buildPqIndex(s: SparkSession, dir: String, path: String,
+      m: Int = 16, k: Int = 16): Array[Double] = {
+    val e = emb(s, dir)
+    val cb = PqCodebook.train(pqSampleRows(e).map(unitRow).toSeq, m, k)
+    graft.sources.PqIndex.write(
+      e.select(col("vec_id"), pqEncode(col("v"), col("nrm"), cb, m, k).as("pq")),
+      cb, m, k, path)
+    cb
+  }
+
+  /** v11-shaped two-phase retrieval served from a persisted
+    * [[graft.sources.PqIndex]]: codebook AND codes LOAD from `path` —
+    * no in-query training or encoding. Row-identical to the fresh path
+    * (PqIndexSpec): parquet doubles round-trip bit-exact, so the loaded
+    * LUTs reproduce the fresh scores.
+    */
+  def knnPqIndexed(s: SparkSession, dir: String, path: String,
+      qPred: Column, frontier: Int = 50): DataFrame = {
+    val (cb, m, k, _, _) = graft.sources.PqIndex.codebook(s, path)
+    val e = emb(s, dir)
+    val qRows = e.filter(qPred).orderBy("vec_id")
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    pqRerankTop3(e,
+      pqAdcScores(s, graft.sources.PqIndex.read(s, path), cb, m, k, qRows),
+      qPred, frontier)
+  }
+
+  /** IVFADC retrieval (r14, verdict ask #1 — the designed composition
+    * of v02 × v11, Jégou/Douze/Schmid TPAMI 2011 §IV): route each query
+    * through the IVF coarse layer and PQ-encode each vector's RESIDUAL
+    * against its coarse centroid instead of the vector itself.
+    * Residuals concentrate near zero, so the same m×k codebook spends
+    * its resolution where the data is — recall rises at equal bytes
+    * (dial sweep: IvfAdcProbe, BENCHNOTES r14) — and the ADC scan
+    * touches only the probed lists: per-query work drops by
+    * nprobe/nlist ON TOP of PQ's 32× byte shrink.
+    *
+    * Decomposition (scoring needs no new kernel):
+    *   dot(q̂, x̂) = dot(q̂, ĉ) + dot(q̂, r),  r = x̂ − ĉ
+    * — the per-(query, probed-list) offset dot(q̂, ĉ) rides the
+    * broadcast probe relation as a plain `base` column (computed
+    * driver-side over the n_q × nlist grid alongside the probe
+    * ranking, v02's cos-DESC/c_id rule), and [[graft.functions
+    * .PqAdcDot]] supplies the residual half from residual LUTs.
+    *
+    * Physical shape: coarse assignment via the scan-kernel argmax
+    * (zero shuffle), residual encode via [[graft.functions
+    * .PqEncodeResidual]] (codegen, the dense c_id→c_idx map rides a
+    * broadcast join), codes persisted `partitionBy(c_id)` through
+    * [[graft.sources.PqIndex]] when `indexPath` is set — a probe then
+    * reads ONLY the probed lists' directories, the IvfIndex pruning
+    * story at 16 B/vector granularity. Everything is deterministic
+    * given the corpus (fixed seed centroids, hash-stratified sample,
+    * total-order tie-breaks), so the v11 contract gate applies
+    * unchanged. `residual = false` is the dial-sweep control (direct
+    * codebook, same routing); v12 ships the residual form.
+    */
+  private[queries] def ivfAdcTop3(s: SparkSession, dir: String,
+      m: Int, k: Int, nprobe: Int, frontier: Int, qPred: Column,
+      residual: Boolean = true, indexPath: Option[String] = None,
+      nlist: Int = 16): DataFrame = {
+    val (codes, cbR, centsUnit, cids) = ivfAdcBuild(s, dir, m, k, residual, nlist)
+    val codesRead = indexPath match {
+      case Some(p) =>
+        graft.sources.PqIndex.write(codes, cbR, m, k, p,
+          if (residual) centsUnit.flatten else Array.empty,
+          if (residual) cids.toArray else Array.empty)
+        graft.sources.PqIndex.read(s, p)
+      case None => codes
+    }
+    ivfAdcServeCore(s, dir, codesRead, cbR, m, k, centsUnit,
+      cids, nprobe, frontier, qPred, residual)
+  }
+
+  /** Build + persist the IVFADC index — the off-query-path production
+    * build (train residual codebook, encode, `partitionBy(c_id)` write
+    * with the coarse layer riding the codebook row for serving).
+    */
+  def buildIvfAdcIndex(s: SparkSession, dir: String, path: String,
+      m: Int = 16, k: Int = 16, nlist: Int = 16): Unit = {
+    val (codes, cbR, centsUnit, cids) = ivfAdcBuild(s, dir, m, k,
+      residual = true, nlist = nlist)
+    graft.sources.PqIndex.write(codes, cbR, m, k, path,
+      centsUnit.flatten, cids.toArray)
+  }
+
+  /** The build half of [[ivfAdcTop3]]: coarse book collect, residual
+    * (or direct) codebook training on the hash-stratified sample, and
+    * the encoded code relation `(vec_id, c_id, pq)`. Returns
+    * (codes, codebook, unit coarse centroids, dense-ordered c_ids).
+    */
+  private def ivfAdcBuild(s: SparkSession, dir: String, m: Int, k: Int,
+      residual: Boolean, nlist: Int)
+      : (DataFrame, Array[Double], Array[Array[Double]], Seq[Long]) = {
+    val e = emb(s, dir)
+    val book = centroids(e, nlist).select(col("c_id"), col("cv"), col("cn"))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    val centsUnit = book.map { case (_, cv, cn) => cv.map(_ / cn).toArray }.toArray
+    val centsFlat: Array[Double] = centsUnit.flatten
+    // residual training sample: each hash-stratified row reduced
+    // against ITS nearest coarse centroid — the same argmax rule the
+    // scan kernel runs (ascending c_id, strictly-greater wins)
+    val sampleRows = pqSampleRows(e)
+    val trainVecs: Seq[Array[Double]] =
+      if (!residual) sampleRows.map(unitRow).toSeq
+      else sampleRows.toSeq.map { r =>
+        val u = unitRow(r)
+        val cid = nearestSuperId(r.getSeq[Double](1), r.getDouble(2), book)
+        val cu = centsUnit(book.indexWhere(_._1 == cid))
+        Array.tabulate(u.length)(i => u(i) - cu(i))
+      }
+    val cbR = PqCodebook.train(trainVecs, m, k)
+    import s.implicits._
+    val cIdxDf = broadcast(book.map(_._1).zipWithIndex.toDF("c_id", "c_idx"))
+    val assign = ivfAssign(s, dir, nlist)
+    val codes =
+      if (residual)
+        assign.join(cIdxDf, "c_id").select(col("vec_id"), col("c_id"),
+          pqEncodeResidual(col("v"), col("nrm"), col("c_idx"),
+            cbR, centsFlat, m, k).as("pq"))
+      else
+        assign.select(col("vec_id"), col("c_id"),
+          pqEncode(col("v"), col("nrm"), cbR, m, k).as("pq"))
+    (codes, cbR, centsUnit, book.map(_._1))
+  }
+
+  /** IVFADC SERVING from a persisted index built by [[ivfAdcTop3]]
+    * (`indexPath` form): codebook, coarse centroids, and codes all
+    * LOAD from `path` — the warm per-query path a deployment runs,
+    * nothing recomputed from the embeddings but the query rows
+    * themselves. The probe-fraction A/B against flat-PQ serving is the
+    * BENCHNOTES r14 100× line (IvfAdcScaleProbe).
+    */
+  def ivfAdcServe(s: SparkSession, dir: String, path: String,
+      nprobe: Int, frontier: Int, qPred: Column): DataFrame = {
+    val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
+    require(centsFlat.nonEmpty, s"ivfAdcServe: $path is a flat PQ index " +
+      "(no coarse centroids) — serve it with knnPqIndexed")
+    val dim = m * (cb.length / (m * k))
+    val centsUnit = centsFlat.grouped(dim).toArray
+    ivfAdcServeCore(s, dir, graft.sources.PqIndex.read(s, path), cb, m, k,
+      centsUnit, cids.toSeq, nprobe, frontier, qPred, residual = true)
+  }
+
+  /** Shared probe→ADC-scan→re-rank tail of [[ivfAdcTop3]] and
+    * [[ivfAdcServe]]: probe ranking and per-list base offsets computed
+    * driver-side over the n_q × nlist grid (v02's probe rule: cos
+    * DESC, c_id ASC), codes join their probed lists only.
+    */
+  private def ivfAdcServeCore(s: SparkSession, dir: String, codes: DataFrame,
+      cb: Array[Double], m: Int, k: Int, centsUnit: Array[Array[Double]],
+      cids: Seq[Long], nprobe: Int, frontier: Int, qPred: Column,
+      residual: Boolean): DataFrame = {
+    val e = emb(s, dir)
+    // query side: contract-bounded n_q-row sync
+    val qRows = e.filter(qPred).orderBy("vec_id")
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+    val qU = qRows.map(unitRow)
+    val luts = PqCodebook.luts(cb, qU.toSeq, m, k)
+    val probeRows: Seq[(Long, Int, Long, Double)] =
+      qRows.toSeq.zipWithIndex.flatMap { case (qr, qi) =>
+        val u = qU(qi)
+        val scored = cids.zipWithIndex.map { case (cid, ci) =>
+          val cu = centsUnit(ci)
+          var acc = 0.0
+          var i = 0
+          while (i < u.length) { acc += u(i) * cu(i); i += 1 }
+          (cid, acc)
+        }
+        scored.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe)
+          .map { case (cid, base) =>
+            (qr.getLong(0), qi, cid, if (residual) base else 0.0) }
+      }
+    import s.implicits._
+    val probes = broadcast(probeRows.toDF("q_id", "q_idx", "c_id", "base"))
+    // each vector lives in exactly ONE list and a query's probed lists
+    // are distinct, so every (q, neighbor) pair appears at most once —
+    // no distinct needed before the frontier
+    val scoredC = codes.join(probes, "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (col("base") + pqAdc(col("q_idx"), col("pq"), luts, m, k)).as("adc"))
+    pqRerankTop3(e, scoredC, qPred, frontier)
   }
 
   /** Pair-join salt factor for [[semDedup]]: a fixed-nlist dial (v08
@@ -913,11 +1296,57 @@ object Similarity {
     // through a completely different physical shape. The index build
     // (codebook-sized, off the query path in production) runs
     // in-query here so the gate stays self-contained per SF.
+    // In-query build writes to the FIXED per-(purpose, dir) scratch
+    // path with overwrite semantics (r14 hygiene — no temp-dir leak
+    // per invocation; see scratchPath).
     "v10c_twolevel_sharded" -> ((s, dir) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-v10c").toString + "/idx"
+      val path = scratchPath("v10c", dir)
       buildTwoLevelIndex(s, dir, path, nlist = 64)
       twoLevelAssignSharded(s, dir, path, w = 8).orderBy("vec_id")
+    }),
+
+    // The TRAINED-fine sharded path under one combined gate (r14,
+    // verdict asks #3 + #6): buildTwoLevelIndexTrained runs corpus-side
+    // Lloyd on the fine book (3 iterations — non-bit-pinned like all
+    // distributed k-means), layers the trained router on top, persists
+    // partitionBy(s_id), and the gate drives the PRODUCTION dial (w=2)
+    // AND the production shape (sharded shuffle_hash, zero codebook
+    // broadcast) through it. Values aren't oracle-expressible (the
+    // trained book isn't SQL-computable), so the within_bound contract
+    // pattern applies — each flag DETERMINISTIC given the corpus:
+    //  - n_vecs: both sharded outputs and the single-level reference
+    //    keep exactly one row per vector (memberless-super loss or
+    //    probe duplication would shift the count);
+    //  - frac_ok: the w=2 match fraction against the single-level
+    //    argmax OVER THE SAME LOADED BOOK clears V10dFloor;
+    //  - exact_at_full: at w = nSup the sharded path reproduces the
+    //    single-level argmax bit-for-bit (ids AND cosines — the v10c
+    //    equality, now on a trained book);
+    //  - never_better: no probed-subset cosine beats the optimum.
+    "v10d_sharded_trained" -> ((s, dir) => {
+      val path = scratchPath("v10d", dir)
+      buildTwoLevelIndexTrained(s, dir, path, nlist = 64)
+      val e = emb(s, dir)
+      val single = assignTo(e,
+          graft.sources.IvfIndex.fineShards(s, path).select("c_id", "cv", "cn"))
+        .select(col("vec_id"), col("c_id").as("opt_id"), col("c_cos").as("opt_cos"))
+      val nSup = graft.sources.IvfIndex.supers(s, path).count().toInt
+      def sh(w: Int, tag: String) = twoLevelAssignSharded(s, dir, path, w)
+        .select(col("vec_id"), col("c_id").as(s"id$tag"), col("c_cos").as(s"cos$tag"))
+      single.join(sh(2, "2"), "vec_id").join(sh(nSup, "F"), "vec_id")
+        .agg(
+          count(lit(1)).as("nv"),
+          sum(when(col("id2") === col("opt_id"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("idF") === col("opt_id") && col("cosF") === col("opt_cos"),
+            0L).otherwise(1L)).as("full_viol"),
+          sum(when(col("cos2") <= col("opt_cos") && col("cosF") <= col("opt_cos"),
+            0L).otherwise(1L)).as("bound_viol"))
+        .select(
+          col("nv").as("n_vecs"),
+          when(col("m2").cast("double") / col("nv").cast("double") >= V10dFloor,
+            lit(1L)).otherwise(lit(0L)).as("frac_ok"),
+          when(col("full_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("exact_at_full"),
+          when(col("bound_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
     }),
 
     // Product-quantized ADC retrieval (r13) — the compression tier PAST
@@ -942,60 +1371,35 @@ object Similarity {
     // (256 + 10 rows, corpus-size-independent).
     "v11_pq_adc" -> ((s, dir) => {
       val e = emb(s, dir)
-      def unit(r: org.apache.spark.sql.Row): Array[Double] = {
-        val v = r.getSeq[Double](1); val n = r.getDouble(2)
-        v.map(_ / n).toArray
-      }
-      val sampleRows = e.filter(col("vec_id") < 256).orderBy("vec_id")
+      val cb = PqCodebook.train(pqSampleRows(e).map(unitRow).toSeq, m = 16, k = 16)
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val qRows = e.filter(qPred).orderBy("vec_id")
         .select(col("vec_id"), col("v"), col("nrm")).collect()
-      val cb = PqCodebook.train(sampleRows.map(unit).toSeq, m = 16, k = 16)
-      val qRows = e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
-        .orderBy("vec_id").select(col("vec_id"), col("v"), col("nrm")).collect()
-      val luts = PqCodebook.luts(cb, qRows.map(unit).toSeq, 16, 16)
-      import s.implicits._
-      val qIdx = broadcast(qRows.map(_.getLong(0)).zipWithIndex
-        .map { case (q, i) => (q, i) }.toSeq.toDF("q_id", "q_idx"))
       val codes = e.select(col("vec_id"),
         pqEncode(col("v"), col("nrm"), cb, 16, 16).as("pq"))
-      val candW = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc").desc, col("neighbor_id"))
-      val cands = codes.crossJoin(qIdx).filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"),
-          pqAdc(col("q_idx"), col("pq"), luts, 16, 16).as("adc"))
-        .withColumn("crk", row_number().over(candW)).filter(col("crk") <= 50)
-        .select("q_id", "neighbor_id")
-      val qFloat = broadcast(e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
-      val rankW = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id"))
-      val pq3 = cands
-        .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")),
-          "neighbor_id")
-        .join(qFloat, "q_id")
-        .select(col("q_id"), col("neighbor_id"),
-          cosPre(col("qv"), col("v"), col("qn"), col("nrm")).as("cosine"))
-        .withColumn("rank", row_number().over(rankW)).filter(col("rank") <= 3)
-      val gt = exactTopK(s, dir, 300, 310, 3)
-      val hits = gt.select("q_id", "neighbor_id")
-        .join(pq3.select("q_id", "neighbor_id"),
-          Seq("q_id", "neighbor_id"), "left_semi")
-        .groupBy("q_id").agg(count(lit(1)).as("hits"))
-      val gtBest = gt.filter(col("rank") === 1)
-        .select(col("q_id"), col("cosine").as("opt_cos"))
-      val pqBest = pq3.filter(col("rank") === 1)
-        .select(col("q_id"), col("cosine").as("pq_cos"))
-      gt.groupBy("q_id")
-        .agg(sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("gt_micros"))
-        .join(hits, Seq("q_id"), "left")
-        .join(gtBest, "q_id").join(pqBest, "q_id")
-        .agg(
-          count(lit(1)).as("nq"),
-          sum(col("gt_micros")).as("gt_sum"),
-          sum(coalesce(col("hits"), lit(0L))).as("nh"),
-          sum(when(col("pq_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
-        .select(col("nq").as("n_queries"), col("gt_sum").as("gt_sum_micros"),
-          when(col("nh") >= lit(V11Floor), lit(1L)).otherwise(lit(0L)).as("recall_ok"),
-          when(col("nb_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
+      val pq3 = pqRerankTop3(e, pqAdcScores(s, codes, cb, 16, 16, qRows), qPred, 50)
+      pqContract(s, dir, pq3, 300, 310, V11Floor)
+    }),
+
+    // IVFADC (r14 — the designed composition of v02 × v11 the SCALE.md
+    // note promised, Jégou et al. TPAMI 2011 §IV): coarse-route each
+    // query to its nprobe nearest of the 16 seed centroids, PQ-encode
+    // each vector's RESIDUAL against its coarse centroid, ADC-scan
+    // ONLY the probed lists (score = the dot(q̂,ĉ) base riding the
+    // broadcast probe relation + residual LUT adds), exact-cosine
+    // re-rank the frontier. The codes persist through PqIndex
+    // partitionBy(c_id) at the fixed scratch path, so the gate drives
+    // the production shape — a probe reads only its lists' directories
+    // — end to end (v10c's precedent). Dial MEASURED (IvfAdcProbe,
+    // BENCHNOTES r14): residual ≥ direct at every probed setting, and
+    // nprobe = V12Nprobe holds the recall the within_bound contract
+    // gates via V12Floor while scanning nprobe/nlist of the codes.
+    "v12_ivfadc" -> ((s, dir) => {
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val pq3 = ivfAdcTop3(s, dir, m = 16, k = 16, nprobe = V12Nprobe,
+        frontier = 50, qPred = qPred, residual = true,
+        indexPath = Some(scratchPath("v12", dir)))
+      pqContract(s, dir, pq3, 300, 310, V12Floor)
     })
   )
 
@@ -1260,6 +1664,41 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(1 AS BIGINT) AS frac_ok, CAST(1 AS BIGINT) AS monotone_ok,
         |  CAST(1 AS BIGINT) AS never_better
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    // v10b's contract shape for the TRAINED-fine sharded path: the
+    // trained book itself is not SQL-computable, so the oracle pins
+    // the corpus count (a lost/duplicated vector anywhere in the
+    // sharded pipeline shifts it) and literal 1 for each in-query
+    // deterministic flag — w=2 match fraction over the floor, bit-exact
+    // collapse to the single-level argmax at w = nSup, never-better.
+    "v10d_sharded_trained" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(1 AS BIGINT) AS frac_ok, CAST(1 AS BIGINT) AS exact_at_full,
+        |  CAST(1 AS BIGINT) AS never_better
+        |FROM embeddings""".stripMargin,
+
+    // v11's within_bound oracle verbatim (the d06/d07 shared-oracle
+    // precedent): the exact ground-truth half is the SAME brute-force
+    // top-3 over the same query set — IVFADC only changes HOW the
+    // approximate side is computed, which lives in the literal flags.
+    "v12_ivfadc" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin
   )
 }

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted product-quantization artifact (r14, verdict ask #2) —
+  * v11/v12's code relation and codebook as an on-disk index instead of
+  * an in-query projection.
+  *
+  * At 100 TB the PQ code relation (m bytes/vector — 16 B at the
+  * shipped dial, 32× under the float64 relation) IS the index you
+  * keep: training and encoding are paid ONCE at build time, and every
+  * query reads only `(vec_id, pq)` — the same narrow-artifact argument
+  * as [[I8Index]], 4× smaller again. Re-training per query (v11's
+  * in-query form) is a gate convenience, not the production path.
+  *
+  * Layout: codes at `path` — written `partitionBy("c_id")` when the
+  * relation carries a coarse-list column (the IVFADC form: a probe of
+  * `nprobe` lists then reads only those directories, the
+  * [[IvfIndex]] pruning story at PQ-code granularity), plain parquet
+  * otherwise (the flat v11 form). The codebook lands as a single-row
+  * parquet at the SIBLING `<path>_codebook` (same rationale as
+  * [[IvfIndex.writeWithCodebook]]: an underscore-prefixed child would
+  * be invisible to Hadoop listings, a non-partition child would break
+  * partition discovery) carrying `(m, k, cb, cents)` — `cents` is the
+  * flat unit coarse-centroid array for residual (IVFADC) codebooks,
+  * empty for direct ones. Parquet doubles round-trip bit-exact, so
+  * encoding against a LOADED codebook reproduces the build's codes
+  * (PqIndexSpec pins the round-trip and loaded-vs-fresh row equality).
+  */
+object PqIndex {
+
+  /** Persist a code relation together with its codebook and params.
+    * `cents`/`cids` (the flat unit coarse-centroid array and the c_ids
+    * in the same dense order) are carried for IVFADC indexes so the
+    * SERVING path can route queries without touching the embeddings'
+    * own centroid derivation; both empty for direct (flat) indexes.
+    */
+  def write(codes: DataFrame, cb: Array[Double], m: Int, k: Int,
+      path: String, cents: Array[Double] = Array.empty,
+      cids: Array[Long] = Array.empty): Unit = {
+    require(m > 0 && k > 0 && cb.length % (m * k) == 0,
+      s"PqIndex.write: codebook shape mismatch (${cb.length} values, m=$m, k=$k)")
+    require(cids.isEmpty == cents.isEmpty,
+      "PqIndex.write: cents and cids must be provided together")
+    val spark = codes.sparkSession
+    val w = codes.write.mode("overwrite")
+    (if (codes.columns.contains("c_id")) w.partitionBy("c_id") else w)
+      .parquet(path)
+    import spark.implicits._
+    Seq((m, k, cb.toSeq, cents.toSeq, cids.toSeq))
+      .toDF("m", "k", "cb", "cents", "cids")
+      .repartition(1).write.mode("overwrite").parquet(path + "_codebook")
+  }
+
+  /** The persisted code relation. Partition-directory type inference
+    * parses `c_id=N` as INT; cast back to the relation's BIGINT.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (df.columns.contains("c_id")) df.withColumn("c_id", col("c_id").cast("long"))
+    else df
+  }
+
+  /** The persisted codebook: (cb, m, k, cents, cids). */
+  def codebook(spark: SparkSession, path: String)
+      : (Array[Double], Int, Int, Array[Double], Array[Long]) = {
+    val r = spark.read.parquet(path + "_codebook").head()
+    (r.getAs[Seq[Double]]("cb").toArray, r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[Seq[Double]]("cents").toArray, r.getAs[Seq[Long]]("cids").toArray)
+  }
+}

@@ -37,6 +37,9 @@ import graft.queries.Dedup
   *      against store ∪ batch, exact-Jaccard verify of candidates only
   *      — per-batch work scales with batch size + matches, not corpus
   *      size;
+  *   2b. substring dedup (r14) → d10's overlapping-window keep-first at
+  *      the third granularity, against the `winfps` winner store —
+  *      batch-boundary-invariant per-doc (n_windows, n_kept) verdicts;
   *   3-5. filter/split/agg → [[aggregate]], the identical expressions
   *      over the survivor store.
   *
@@ -54,17 +57,34 @@ object DocPipeline {
 
   private def docsPath(stateDir: String) = s"$stateDir/docs"
   private def bandsPath(stateDir: String) = s"$stateDir/bands"
+  private def winfpsPath(stateDir: String) = s"$stateDir/winfps"
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
     StructField("text_hash", StringType),
     StructField("sh", ArrayType(StringType)),
-    StructField("is_neardup", BooleanType)))
+    StructField("is_neardup", BooleanType),
+    StructField("n_windows", LongType), StructField("n_kept", LongType)))
 
   private val bandsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("j", IntegerType),
     StructField("bkey", ArrayType(LongType))))
+
+  /** The substring-dedup state (r14, verdict stretch #8 — d10's third
+    * granularity run incrementally): one row per DISTINCT window
+    * fingerprint seen so far, carrying its keep-first WINNER
+    * (doc_id, seq). The winner — not a bare fp — is load-bearing for
+    * crash replay: a crash between the winfps and docs writes leaves
+    * this batch's fps in state, and on replay a bare-fp probe would
+    * flip every replayed occurrence to "already seen" (n_kept
+    * collapses to 0); with the winner stored, a replayed occurrence
+    * re-matches its own stored winner and the verdict is reproduced
+    * bit-for-bit. Digest-only like d10's batch form: 24 B per distinct
+    * window, no window strings.
+    */
+  private val winfpsSchema = StructType(Seq(StructField("wfp", LongType),
+    StructField("doc_id", LongType), StructField("seq", LongType)))
 
   /** Finish an interrupted [[compact]] swap, if one is detected. A crash
     * between `rename(p, old)` and `rename(tmp, p)` leaves the live path
@@ -179,10 +199,44 @@ object DocPipeline {
         size(array_union(col("sha"), col("shb"))) >= 0.5)
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("hit", lit(true))
+    // stage 2b (r14): SUBSTRING granularity — d10's overlapping-window
+    // keep-first, incrementally. A window occurrence survives iff its
+    // fingerprint is globally new AND it is the (doc_id, seq) minimum
+    // for that fp among this batch's fresh docs; under the enforced
+    // in-order contract every history fp belongs to a smaller doc_id,
+    // so the incremental verdict equals batch d10 over the exact-dedup
+    // survivor corpus (DocPipelineSpec pins the equality). Only 8-byte
+    // digests are joined or stored, never window strings — per-batch
+    // work is batch windows ⋈ distinct-fp history on the fp hash.
+    val occ = fresh
+      .select(col("doc_id"), posexplode(Text.windowFps(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("seq"), col("col").as("wfp"))
+      .localCheckpoint(eager = false)
+    val histWin = readOrEmpty(spark, winfpsPath(stateDir), winfpsSchema)
+      .select(col("wfp"), struct(col("doc_id"), col("seq")).as("hwin"))
+    // batch-local winners; the GLOBAL winner per fp is the history row
+    // when one exists (in-order arrival: history ids are smaller —
+    // equal on crash replay, where the stored winner IS this batch's),
+    // else the batch minimum
+    val batchWin = occ.groupBy("wfp")
+      .agg(min(struct(col("doc_id"), col("seq"))).as("bwin"))
+      .join(histWin, Seq("wfp"), "left")
+      .select(col("wfp"), coalesce(col("hwin"), col("bwin")).as("win"),
+        col("hwin").isNull.as("isNew"))
+      .localCheckpoint(eager = false)
+    val winCounts = occ
+      .join(batchWin.select("wfp", "win"), Seq("wfp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("doc_id") === col("win.doc_id") &&
+          col("seq") === col("win.seq"), 1L).otherwise(0L)).as("n_kept"))
     val marked = fresh.join(dropIds, Seq("doc_id"), "left")
+      .join(winCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("text_hash"), col("sh"),
-        coalesce(col("hit"), lit(false)).as("is_neardup"))
+        coalesce(col("hit"), lit(false)).as("is_neardup"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
     // Append-only state writes; foreachBatch gives at-least-once, so a
     // crash replays the whole batch and the docs anti-join above drops
     // the replayed rows. WRITE ORDER IS LOAD-BEARING: bands FIRST. The
@@ -199,6 +253,14 @@ object DocPipeline {
     // Index ALL exact-dedup survivors, near-dups included: the batch
     // pair relation is over d1 (a doc may be dropped via a neighbor
     // that is itself a near-dup — chains 1~2, 2~3 must still drop 3).
+    // The winfps store is index state like bands, so it also writes
+    // BEFORE docs: a crash after it leaves orphan winner rows, which
+    // replay reproduces identically (the coalesce above prefers the
+    // stored winner, which IS the replayed batch's own minimum) and
+    // compact's distinct sweeps.
+    batchWin.filter(col("isNew"))
+      .select(col("wfp"), col("win.doc_id").as("doc_id"), col("win.seq").as("seq"))
+      .write.mode("append").parquet(winfpsPath(stateDir))
     newBands.write.mode("append").parquet(bandsPath(stateDir))
     marked.write.mode("append").parquet(docsPath(stateDir))
   }
@@ -220,7 +282,8 @@ object DocPipeline {
     // state writes (bands land, docs don't) leaves orphan band rows
     // that replay re-appends — harmless to the candidate join (it
     // distincts) but worth sweeping here so they don't accrete
-    Seq((docsPath(stateDir), docsSchema, false), (bandsPath(stateDir), bandsSchema, true))
+    Seq((docsPath(stateDir), docsSchema, false), (bandsPath(stateDir), bandsSchema, true),
+        (winfpsPath(stateDir), winfpsSchema, true))
       .foreach { case (path, schema, dedup) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -24,12 +24,14 @@ object PqProbe {
     for (sf <- Seq("0.001", "0.01", "0.1"); frontier <- Seq(50); (m, k) <- Seq((8, 16), (8, 32), (16, 16))) {
       val dir = s"/root/testdata/sf$sf"
       val e = Similarity.emb(spark, dir)
-      def unit(r: org.apache.spark.sql.Row): Array[Double] = {
-        val v = r.getSeq[Double](1); val n = r.getDouble(2)
-        v.map(_ / n).toArray
-      }
-      val sampleRows = e.filter(col("vec_id") < 256).orderBy("vec_id")
-        .select(col("vec_id"), col("v"), col("nrm")).collect()
+      def unit(r: org.apache.spark.sql.Row): Array[Double] = Similarity.unitRow(r)
+      // v11's sample: hash-stratified (r14, ask #5) — SPARK_GRAFT_PQ_PREFIX=1
+      // measures the old id-prefix sample for the recall A/B line
+      val sampleRows =
+        if (sys.env.get("SPARK_GRAFT_PQ_PREFIX").contains("1"))
+          e.filter(col("vec_id") < 256).orderBy("vec_id")
+            .select(col("vec_id"), col("v"), col("nrm")).collect()
+        else Similarity.pqSampleRows(e)
       val cb = PqCodebook.train(sampleRows.map(unit).toSeq, m, k)
       val qRows = e.filter(col("vec_id") >= 300 && col("vec_id") < 310)
         .orderBy("vec_id").select(col("vec_id"), col("v"), col("nrm")).collect()

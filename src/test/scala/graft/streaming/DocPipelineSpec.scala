@@ -237,4 +237,73 @@ class DocPipelineSpec extends SparkSpec {
     assert(store.count() === 1L)
     assert(store.select("doc_id").collect().head.getLong(0) === 1L)
   }
+
+  test("incremental substring verdicts equal batch d10 over the survivor corpus, any boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def mkBatch(lo: Long, hi: Long) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id" >= lo && $"doc_id" <= hi)
+      .select($"doc_id", $"text", $"lang", $"source", md5($"text").as("text_hash"))
+    val maxId = graft.Tables(spark, dir, "documents")
+      .agg(max($"doc_id")).head().getLong(0)
+    // two different batchings must agree with each other AND with batch
+    // d10 run over the exact-dedup survivor corpus (the store's scope)
+    def run(cuts: Seq[Long]): Map[Long, (Long, Long)] = {
+      val stateDir = java.nio.file.Files.createTempDirectory("docpipewin").toString
+      (Seq(-1L) ++ cuts ++ Seq(maxId)).sliding(2).foreach { case Seq(a, b) =>
+        DocPipeline.processBatch(mkBatch(a + 1, b), stateDir)
+      }
+      DocPipeline.docsStore(spark, stateDir)
+        .select("doc_id", "n_windows", "n_kept").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val inc1 = run(Seq(maxId / 3, 2 * maxId / 3))
+    val inc2 = run(Seq(maxId / 5))
+    assert(inc1 === inc2, "substring verdicts depend on batch boundaries")
+    // batch reference: d10's substringDedup over the SAME survivor set
+    val survivors = graft.Tables(spark, dir, "documents")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5($"text")).orderBy($"doc_id")))
+      .filter($"rk" === 1).select($"doc_id", $"text")
+    val batch = graft.queries.Dedup.substringDedup(survivors)
+      .select("doc_id", "n_windows", "n_kept").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(inc1 === batch, "incremental substring dedup diverged from batch d10")
+  }
+
+  test("crash between the winfps and docs writes replays to identical verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dirA = java.nio.file.Files.createTempDirectory("docpipewinA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("docpipewinB").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source", md5($"text").as("text_hash"))
+    val b1 = mkBatch(0L to 20L); val b2 = mkBatch(21L to 40L)
+    DocPipeline.processBatch(b1, dirA); DocPipeline.processBatch(b2, dirA)
+    // crashed run: batch 2's WINFPS write lands, docs write doesn't —
+    // replay must reproduce n_kept (the stored winners ARE the replayed
+    // batch's own minima, so the keep-first verdicts re-match)
+    DocPipeline.processBatch(b1, dirB)
+    val freshB2 = b2.join(spark.read.parquet(s"$dirB/docs").select("text_hash"),
+        Seq("text_hash"), "left_anti")
+      .select($"doc_id", posexplode(graft.functions.Text.windowFps($"text")))
+      .select($"doc_id", $"pos".cast("long").as("seq"), $"col".as("wfp"))
+    val histFps = spark.read.parquet(s"$dirB/winfps").select("wfp")
+    freshB2.join(histFps, Seq("wfp"), "left_anti")
+      .groupBy("wfp").agg(min(struct($"doc_id", $"seq")).as("w"))
+      .select($"wfp", $"w.doc_id".as("doc_id"), $"w.seq".as("seq"))
+      .write.mode("append").parquet(s"$dirB/winfps")
+    DocPipeline.processBatch(b2, dirB) // the replay
+    def verdicts(d: String) = spark.read.parquet(s"$d/docs")
+      .select("doc_id", "n_windows", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(verdicts(dirB) === verdicts(dirA),
+      "winfps-orphan crash replay changed substring verdicts")
+    // compaction sweeps the duplicate winner rows
+    DocPipeline.compact(spark, dirB, targetFiles = 1)
+    assert(spark.read.parquet(s"$dirB/winfps").collect().map(_.toSeq).sortBy(_.toString).toSeq ===
+      spark.read.parquet(s"$dirA/winfps").collect().map(_.toSeq).sortBy(_.toString).toSeq)
+  }
 }

@@ -120,6 +120,16 @@ def main():
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     import os
     os.makedirs(dst, exist_ok=True)
+    if only is not None:
+        # ADVICE r13: a partial regeneration into an existing dst can mix
+        # tables generated under different args (e.g. another salt:MOD)
+        # with no trace — make the skip visible so stale fixture dirs are
+        # diagnosable.
+        skipped = sorted(set(SHIFT) - only)
+        if skipped:
+            print(f"NOTE: --only leaves {len(skipped)} table(s) untouched in "
+                  f"{dst}: {', '.join(skipped)} (regenerate them too if args "
+                  f"changed, or stale mixes will go unnoticed)")
     for table, keys in SHIFT.items():
         if only is not None and table not in only:
             continue
