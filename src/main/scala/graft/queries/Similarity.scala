@@ -73,19 +73,23 @@ object Similarity {
     * measured by IvfAdcProbe on the near-isotropic fixtures
     * (BENCHNOTES r14): recall is ROUTING-bound there — the fixtures
     * give the coarse layer almost no signal, so hits scale with the
-    * probe fraction for both codebook forms (residual, nprobe 2/4/8 at
-    * frontier 50: 10/12/19, 10/13/20, 7/10/14 across the SFs) — and
-    * the literature's residual-beats-direct margin INVERTS at sf0.1
-    * (14 vs 21 at nprobe=8): isotropic residuals x̂−ĉ carry ~2× the
-    * energy of x̂, so the sub-quantizers spread thinner. v12 ships the
-    * residual form regardless — it is the production-correct IVFADC
-    * (real embedding corpora are clustered, where residuals DO
+    * probe fraction for both codebook forms (residual at frontier
+    * 100, nprobe 2/4/8: 10/12/19, 10/13/22, 7/13/18 across the SFs) —
+    * and the literature's residual-beats-direct margin INVERTS at
+    * sf0.1 (18 vs 22 at nprobe=8): isotropic residuals x̂−ĉ carry ~2×
+    * the energy of x̂, so the sub-quantizers spread thinner. v12 ships
+    * the residual form regardless — it is the production-correct
+    * IVFADC (real embedding corpora are clustered, where residuals DO
     * concentrate; IvfAdcSpec proves the mechanism on a deterministic
-    * clustered mixture) — at nprobe = 8, floored at 7 (50% under the
-    * smallest measured 14, the V11Floor margin convention).
+    * clustered mixture) — at nprobe = 8 and frontier = 100 (the wider
+    * frontier lets the exact re-rank absorb residual quantization
+    * noise: +4 hits at sf0.1 over frontier 50, for 50 more re-rank
+    * rows per query), floored at 9 (50% under the smallest measured
+    * 18, the V11Floor margin convention).
     */
   private[queries] val V12Nprobe = 8
-  private[queries] val V12Floor = 7L
+  private[queries] val V12Frontier = 100
+  private[queries] val V12Floor = 9L
 
   /** v10d's gated w=2 match-fraction floor for the TRAINED-fine
     * sharded path — measured with trained fine book + trained router
@@ -809,10 +813,18 @@ object Similarity {
       }
     import s.implicits._
     val probes = broadcast(probeRows.toDF("q_id", "q_idx", "c_id", "base"))
+    // STATIC partition pruning: the probed-list union is known
+    // driver-side, and the broadcast join alone would not put it into
+    // the scan's PartitionFilters — an explicit isin (the
+    // IvfIndex.probe pattern) makes a partitioned code relation read
+    // ONLY the probed c_id= directories (semantically a no-op: the
+    // join restricts to the same rows)
+    val probedCids = probeRows.map(_._3).distinct
     // each vector lives in exactly ONE list and a query's probed lists
     // are distinct, so every (q, neighbor) pair appears at most once —
     // no distinct needed before the frontier
-    val scoredC = codes.join(probes, "c_id")
+    val scoredC = codes.filter(col("c_id").isin(probedCids: _*))
+      .join(probes, "c_id")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         (col("base") + pqAdc(col("q_idx"), col("pq"), luts, m, k)).as("adc"))
@@ -1397,7 +1409,7 @@ object Similarity {
     "v12_ivfadc" -> ((s, dir) => {
       val qPred = col("vec_id") >= 300 && col("vec_id") < 310
       val pq3 = ivfAdcTop3(s, dir, m = 16, k = 16, nprobe = V12Nprobe,
-        frontier = 50, qPred = qPred, residual = true,
+        frontier = V12Frontier, qPred = qPred, residual = true,
         indexPath = Some(scratchPath("v12", dir)))
       pqContract(s, dir, pq3, 300, 310, V12Floor)
     })

@@ -44,9 +44,15 @@ object PqIndex {
     require(cids.isEmpty == cents.isEmpty,
       "PqIndex.write: cents and cids must be provided together")
     val spark = codes.sparkSession
-    val w = codes.write.mode("overwrite")
-    (if (codes.columns.contains("c_id")) w.partitionBy("c_id") else w)
-      .parquet(path)
+    // partitioned writes fan every task into every directory (measured
+    // 5120 files for a 256-list 200k-row build — 20 tiny files per
+    // list); repartitioning on the partition column first costs one
+    // build-time shuffle and leaves ONE well-formed file per list, so
+    // a probe opens nprobe files instead of nprobe × tasks
+    if (codes.columns.contains("c_id"))
+      codes.repartition(col("c_id")).write.mode("overwrite")
+        .partitionBy("c_id").parquet(path)
+    else codes.write.mode("overwrite").parquet(path)
     import spark.implicits._
     Seq((m, k, cb.toSeq, cents.toSeq, cids.toSeq))
       .toDF("m", "k", "cb", "cents", "cids")

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
 object IvfAdcScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("target/scaled/sf10salt")
+    // nlist dial: at the gate's 16 a 10-query batch probes the UNION of
+    // ~all lists and fixed scan overhead hides the fraction win; the
+    // production regime (nlist ≈ √n) is where a probe touches a sliver
+    val nlist = args.lift(1).flatMap(_.toIntOption).getOrElse(16)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -31,23 +35,50 @@ object IvfAdcScaleProbe {
     val flatPath = s"$base/flat"
     val adcPath = s"$base/adc"
     val (_, tFlatBuild) = time(Similarity.buildPqIndex(spark, dir, flatPath))
-    val (_, tAdcBuild) = time(Similarity.buildIvfAdcIndex(spark, dir, adcPath))
-    println(f"[ivfadcscale] dir=$dir build_flat=$tFlatBuild%.1fs build_ivfadc=$tAdcBuild%.1fs")
+    val (_, tAdcBuild) = time(
+      Similarity.buildIvfAdcIndex(spark, dir, adcPath, nlist = nlist))
+    println(f"[ivfadcscale] dir=$dir nlist=$nlist build_flat=$tFlatBuild%.1fs " +
+      f"build_ivfadc=$tAdcBuild%.1fs")
     val gt = Similarity.exactTopKWhere(spark, dir, qPred, 3)
       .select("q_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // what the probed scan READS vs the flat scan — the structural
+    // probe-fraction win (wall at this replica is fixed-overhead-bound:
+    // the whole code relation is a few MB)
+    val codes = graft.sources.PqIndex.read(spark, adcPath)
+    val nAll = codes.count()
+    val probed1 = codes.filter(col("c_id").isin(
+      (0 until Similarity.V12Nprobe).map(_.toLong): _*))
+    val files1 = probed1.select(input_file_name()).distinct().count()
+    val rows1 = probed1.count()
+    val filesAll = codes.select(input_file_name()).distinct().count()
+    println(f"[ivfadcscale] scan accounting: one ${Similarity.V12Nprobe}-probe query " +
+      f"reads $rows1%d of $nAll%d code rows (${100.0 * rows1 / nAll}%.1f%%), " +
+      f"$files1%d of $filesAll%d files")
     for (pass <- 1 to 3) {
       val (flatRows, tFlat) = time(
         Similarity.knnPqIndexed(spark, dir, flatPath, qPred, frontier = 50)
           .select("q_id", "neighbor_id").collect())
       val (adcRows, tAdc) = time(
         Similarity.ivfAdcServe(spark, dir, adcPath,
-            nprobe = Similarity.V12Nprobe, frontier = 50, qPred)
+            nprobe = Similarity.V12Nprobe, frontier = Similarity.V12Frontier, qPred)
           .select("q_id", "neighbor_id").collect())
       val hFlat = gt.intersect(flatRows.map(r => (r.getLong(0), r.getLong(1))).toSet).size
       val hAdc = gt.intersect(adcRows.map(r => (r.getLong(0), r.getLong(1))).toSet).size
       println(f"[ivfadcscale] pass=$pass serve_flat=$tFlat%.2fs serve_ivfadc=$tAdc%.2fs " +
         f"hits_flat=$hFlat%d/30 hits_ivfadc=$hAdc%d/30")
+      // single-query serving — the latency regime where the probed
+      // union is nprobe/nlist of the table rather than most of it
+      val one = col("vec_id") === 300
+      val (_, tFlat1) = time(
+        Similarity.knnPqIndexed(spark, dir, flatPath, one, frontier = 50)
+          .select("q_id", "neighbor_id").collect())
+      val (_, tAdc1) = time(
+        Similarity.ivfAdcServe(spark, dir, adcPath,
+            nprobe = Similarity.V12Nprobe, frontier = Similarity.V12Frontier, one)
+          .select("q_id", "neighbor_id").collect())
+      println(f"[ivfadcscale] pass=$pass single-query serve_flat=$tFlat1%.2fs " +
+        f"serve_ivfadc=$tAdc1%.2fs")
     }
     spark.stop()
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
