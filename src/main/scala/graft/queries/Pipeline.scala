@@ -97,6 +97,33 @@ object Pipeline {
         .select(col("doc_id"), col("lang"), col("source"),
           when(col("is_neardup"), lit(1L)).otherwise(lit(0L)).as("is_neardup"))
         .orderBy("doc_id")
+    }),
+
+    // The incremental pipeline's SUBSTRING granularity (r14 — d10 run
+    // through the streaming store): the same 3-batch replay as p06,
+    // gating the per-doc (n_windows, n_kept) verdicts the winfps
+    // winner store accumulates. The oracle recomputes d10's
+    // overlapping-window keep-first ORDER-FREE over the exact-dedup
+    // survivor corpus (the store's scope) — equality proves the
+    // incremental winner bookkeeping is batch-boundary-invariant under
+    // the driver's hash, not just in DocPipelineSpec.
+    "p08_incremental_substring" -> ((s, dir) => {
+      import graft.streaming.DocPipeline
+      val stateDir = Similarity.scratchPath("p08-state", dir)
+      new scala.reflect.io.Directory(new java.io.File(stateDir)).deleteRecursively()
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          md5(col("text")).as("text_hash"))
+      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
+      Seq(
+        docs.filter(col("doc_id") <= cut1),
+        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.filter(col("doc_id") > cut2)
+      ).foreach(b => DocPipeline.processBatch(b, stateDir))
+      DocPipeline.docsStore(s, stateDir)
+        .select(col("doc_id"), col("n_windows"), col("n_kept"))
+        .orderBy("doc_id")
     })
   )
 
@@ -144,6 +171,35 @@ object Pipeline {
          |SELECT d1.doc_id, d1.lang, d1.source,
          |  CAST(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_neardup
          |FROM d1 LEFT JOIN dups ON d1.doc_id = dups.doc_id
+         |ORDER BY d1.doc_id""".stripMargin,
+
+    // d10's window CTEs (Dedup.oracleSql twin) applied to the
+    // exact-dedup survivor corpus d1 — the order-free batch form of
+    // the incremental winfps winner store
+    "p08_incremental_substring" ->
+      s"""WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+         |d1 AS (SELECT d.* FROM documents d JOIN keep ON d.doc_id = keep.doc_id),
+         |t AS (SELECT doc_id, $TOKS AS tk FROM d1),
+         |m AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+         |ps AS (SELECT doc_id, tk,
+         |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+         |         WHEN n <= 40 THEN [CAST(0 AS BIGINT)]
+         |         ELSE list_concat([CAST(p AS BIGINT) for p in range(0, n - 39, 20)],
+         |           CASE WHEN (n - 40) % 20 = 0 THEN CAST([] AS BIGINT[])
+         |                ELSE [CAST(n - 40 AS BIGINT)] END)
+         |    END AS plist FROM m),
+         |o AS (SELECT doc_id, p AS pos,
+         |    array_to_string(tk[CAST(p + 1 AS BIGINT):CAST(p + 40 AS BIGINT)], ' ') AS wstr
+         |  FROM ps, unnest(plist) AS u(p)),
+         |f AS (SELECT doc_id, pos, ${fp("wstr")} AS wfp FROM o),
+         |r AS (SELECT doc_id, wfp,
+         |    row_number() OVER (PARTITION BY wfp ORDER BY doc_id, pos) AS rn FROM f),
+         |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |  FROM r GROUP BY 1)
+         |SELECT d1.doc_id, CAST(coalesce(g.n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM d1 LEFT JOIN g ON d1.doc_id = g.doc_id
          |ORDER BY d1.doc_id""".stripMargin
   )
 }

@@ -270,4 +270,23 @@ class PlanSpec extends SparkSpec {
     // exact side stays a semi-join on the shingle
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("v12: the probed-list union reaches the code scan as static PartitionFilters") {
+    val p = plan("v12_ivfadc")
+    // the partitioned PqIndex scan must carry the probed c_id INSET —
+    // directory-level pruning, not a post-scan filter (at production
+    // nlist this is the nprobe/nlist read-fraction win)
+    assert(p.contains("PartitionFilters: [c_id") && p.contains("INSET"),
+      "probed union not pushed into the partitioned code scan")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v10d: trained sharded gate keeps the shuffle-hash probe join") {
+    val p = plan("v10d_sharded_trained")
+    // the shard-codebook join must stay ShuffledHashJoin (the shape
+    // that survives a non-broadcastable codebook), v10c's contract on
+    // the trained book
+    assert(p.contains("ShuffledHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
