@@ -697,8 +697,9 @@ object Similarity {
   private[queries] def ivfAdcTop3(s: SparkSession, dir: String,
       m: Int, k: Int, nprobe: Int, frontier: Int, qPred: Column,
       residual: Boolean = true, indexPath: Option[String] = None,
-      nlist: Int = 16): DataFrame = {
-    val (codes, cbR, centsUnit, cids) = ivfAdcBuild(s, dir, m, k, residual, nlist)
+      nlist: Int = 16, coarse: Option[DataFrame] = None): DataFrame = {
+    val (codes, cbR, centsUnit, cids) =
+      ivfAdcBuild(s, dir, m, k, residual, nlist, coarse)
     val codesRead = indexPath match {
       case Some(p) =>
         graft.sources.PqIndex.write(codes, cbR, m, k, p,
@@ -714,11 +715,17 @@ object Similarity {
   /** Build + persist the IVFADC index — the off-query-path production
     * build (train residual codebook, encode, `partitionBy(c_id)` write
     * with the coarse layer riding the codebook row for serving).
+    * Pass `coarse = Some(ivfTrain(...))` for a Lloyd-trained coarse
+    * layer — on routing-bound data that is THE recall dial (measured
+    * +5/+2/+6 hits of 30 at nprobe=8 over the seed book, IvfAdcProbe
+    * r14); the gate keeps the seed book because distributed training
+    * is not bit-pinned, the same split as buildTrainedIndex vs v02.
     */
   def buildIvfAdcIndex(s: SparkSession, dir: String, path: String,
-      m: Int = 16, k: Int = 16, nlist: Int = 16): Unit = {
+      m: Int = 16, k: Int = 16, nlist: Int = 16,
+      coarse: Option[DataFrame] = None): Unit = {
     val (codes, cbR, centsUnit, cids) = ivfAdcBuild(s, dir, m, k,
-      residual = true, nlist = nlist)
+      residual = true, nlist = nlist, coarse = coarse)
     graft.sources.PqIndex.write(codes, cbR, m, k, path,
       centsUnit.flatten, cids.toArray)
   }
@@ -727,12 +734,17 @@ object Similarity {
     * (or direct) codebook training on the hash-stratified sample, and
     * the encoded code relation `(vec_id, c_id, pq)`. Returns
     * (codes, codebook, unit coarse centroids, dense-ordered c_ids).
+    * `coarse` swaps the deterministic seed book for an arbitrary
+    * centroid relation — e.g. [[ivfTrain]] output, the routing-quality
+    * dial IvfAdcProbe measures (v12's gate stays on the seed book:
+    * distributed Lloyd is not bit-pinned).
     */
   private def ivfAdcBuild(s: SparkSession, dir: String, m: Int, k: Int,
-      residual: Boolean, nlist: Int)
+      residual: Boolean, nlist: Int, coarse: Option[DataFrame] = None)
       : (DataFrame, Array[Double], Array[Array[Double]], Seq[Long]) = {
     val e = emb(s, dir)
-    val book = centroids(e, nlist).select(col("c_id"), col("cv"), col("cn"))
+    val book = coarse.getOrElse(centroids(e, nlist))
+      .select(col("c_id"), col("cv"), col("cn"))
       .orderBy("c_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
     val centsUnit = book.map { case (_, cv, cn) => cv.map(_ / cn).toArray }.toArray
@@ -752,7 +764,12 @@ object Similarity {
     val cbR = PqCodebook.train(trainVecs, m, k)
     import s.implicits._
     val cIdxDf = broadcast(book.map(_._1).zipWithIndex.toDF("c_id", "c_idx"))
-    val assign = ivfAssign(s, dir, nlist)
+    // assignment against the SAME book the probes rank (seed or
+    // caller-provided) — mismatched books would route queries to lists
+    // the codes were never assigned under
+    val assign = coarse
+      .map(c => ivfAssignWith(s, dir, c))
+      .getOrElse(ivfAssign(s, dir, nlist))
     val codes =
       if (residual)
         assign.join(cIdxDf, "c_id").select(col("vec_id"), col("c_id"),

@@ -25,16 +25,21 @@ object IvfAdcProbe {
       val gt = Similarity.exactTopKWhere(spark, dir, qPred, 3)
         .select("q_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (residual <- Seq(true, false); nprobe <- Seq(2, 4, 8);
+      // trained coarse book: the routing-quality dial — the fixtures
+      // are routing-bound, so this is where recall headroom lives
+      val trained = Similarity.ivfTrain(spark, dir, nlist = 16, iters = 3)
+      for (trainedCoarse <- Seq(false, true);
+           residual <- Seq(true, false); nprobe <- Seq(2, 4, 8);
            frontier <- Seq(50, 100)) {
         val top3 = Similarity.ivfAdcTop3(spark, dir, m = 16, k = 16,
             nprobe = nprobe, frontier = frontier, qPred = qPred,
-            residual = residual)
+            residual = residual,
+            coarse = if (trainedCoarse) Some(trained) else None)
           .select("q_id", "neighbor_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val hits = gt.intersect(top3).size
-        println(s"[ivfadcprobe] sf=$sf residual=$residual nprobe=$nprobe " +
-          s"frontier=$frontier hits=$hits/30")
+        println(s"[ivfadcprobe] sf=$sf coarse=${if (trainedCoarse) "trained" else "seed"} " +
+          s"residual=$residual nprobe=$nprobe frontier=$frontier hits=$hits/30")
       }
     }
     spark.stop()
