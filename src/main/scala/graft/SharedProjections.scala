@@ -36,4 +36,17 @@ object SharedProjections {
     if (!on) build
     else cache.getOrElseUpdate((kind, dir),
       build.persist(StorageLevel.MEMORY_AND_DISK))
+
+  private val artifacts =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Any]
+
+  /** Arbitrary once-per-(kind, dir) derived ARTIFACT — e.g. the state
+    * directory a completed DocPipeline replay leaves behind, which
+    * both p06 and p08 read (r14: two gated queries, one replay per
+    * suite session instead of two). Same opt-in semantics as [[reuse]]:
+    * standalone queries rebuild from scratch, suite runners share.
+    */
+  def reuseArtifact[T](kind: String, dir: String)(build: => T): T =
+    if (!on) build
+    else artifacts.getOrElseUpdate((kind, dir), build).asInstanceOf[T]
 }

@@ -76,24 +76,7 @@ object Pipeline {
     // FIXED (3), not data-dependent: the driver-side loop stays O(1)
     // regardless of corpus size.
     "p06_incremental_replay" -> ((s, dir) => {
-      import graft.streaming.DocPipeline
-      // fixed per-dir scratch, WIPED before the replay (state must
-      // start empty — it is mutable, unlike the index scratches) so
-      // repeated suite runs stop leaking a temp dir per invocation
-      // (r14 hygiene, the v10c fix applied here too)
-      val stateDir = Similarity.scratchPath("p06-state", dir)
-      new scala.reflect.io.Directory(new java.io.File(stateDir)).deleteRecursively()
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          md5(col("text")).as("text_hash"))
-      val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
-      val (cut1, cut2) = (maxId / 3, 2 * maxId / 3)
-      Seq(
-        docs.filter(col("doc_id") <= cut1),
-        docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
-        docs.filter(col("doc_id") > cut2)
-      ).foreach(b => DocPipeline.processBatch(b, stateDir))
-      DocPipeline.docsStore(s, stateDir)
+      graft.streaming.DocPipeline.docsStore(s, replayedState(s, dir, "p06-state"))
         .select(col("doc_id"), col("lang"), col("source"),
           when(col("is_neardup"), lit(1L)).otherwise(lit(0L)).as("is_neardup"))
         .orderBy("doc_id")
@@ -108,8 +91,27 @@ object Pipeline {
     // incremental winner bookkeeping is batch-boundary-invariant under
     // the driver's hash, not just in DocPipelineSpec.
     "p08_incremental_substring" -> ((s, dir) => {
-      import graft.streaming.DocPipeline
-      val stateDir = Similarity.scratchPath("p08-state", dir)
+      graft.streaming.DocPipeline.docsStore(s, replayedState(s, dir, "p08-state"))
+        .select(col("doc_id"), col("n_windows"), col("n_kept"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** The fixed 3-batch in-order replay p06 and p08 both gate against —
+    * run it, return the state directory. The replay is deterministic
+    * (range batches by doc_id, the enforced in-order contract), so the
+    * completed state is a derived artifact like the shared shingle
+    * projection: a suite session runs it ONCE
+    * (SharedProjections.reuseArtifact — r14; p06 at 100× costs ~13 s,
+    * all of it this replay) while a standalone query still gets a
+    * fresh, self-contained run. The scratch dir is fixed per
+    * (purpose, dir) and WIPED before replay (state is mutable — it
+    * must start empty, unlike the overwrite-idempotent index
+    * scratches), so repeated runs leak no temp dirs.
+    */
+  private def replayedState(s: SparkSession, dir: String, purpose: String): String =
+    graft.SharedProjections.reuseArtifact("docpipe_replay", dir) {
+      val stateDir = Similarity.scratchPath(purpose, dir)
       new scala.reflect.io.Directory(new java.io.File(stateDir)).deleteRecursively()
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -120,12 +122,9 @@ object Pipeline {
         docs.filter(col("doc_id") <= cut1),
         docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
         docs.filter(col("doc_id") > cut2)
-      ).foreach(b => DocPipeline.processBatch(b, stateDir))
-      DocPipeline.docsStore(s, stateDir)
-        .select(col("doc_id"), col("n_windows"), col("n_kept"))
-        .orderBy("doc_id")
-    })
-  )
+      ).foreach(b => graft.streaming.DocPipeline.processBatch(b, stateDir))
+      stateDir
+    }
 
   /** The shared order-free dedup CTE chain: exact keep-first (`d1`) and
     * the LSH-verified near-dup set (`dups`) over it — p01 filters with
