@@ -728,6 +728,44 @@ object Similarity {
       residual = true, nlist = nlist, coarse = coarse)
     graft.sources.PqIndex.write(codes, cbR, m, k, path,
       centsUnit.flatten, cids.toArray)
+    // the RAW coarse book (cv, cn — not just the unit form the serving
+    // LUTs need) rides a sibling so INCREMENTAL ADDS can reproduce the
+    // build's assignment argmax bit-for-bit (same IEEE sequence as the
+    // build: dot(v, cv)/(nrm·cn), the IvfIndex.writeWithCodebook story)
+    coarse.getOrElse(centroids(emb(s, dir), nlist))
+      .select("c_id", "cv", "cn").repartition(1)
+      .write.mode("overwrite").parquet(path + "_coarse")
+  }
+
+  /** INCREMENTAL index maintenance (r14): encode `newVecs` — rows of
+    * the embeddings shape, ids disjoint from the indexed corpus —
+    * against the PERSISTED codebook + coarse book and APPEND them into
+    * the `partitionBy(c_id)` layout. Everything loads from `path`
+    * (parquet doubles round-trip bit-exact), so appended vectors land
+    * in exactly the lists and codes a full rebuild would give them —
+    * IvfAdcAppendSpec pins append-equals-rebuild on a split corpus.
+    * At 100 TB this is the index-maintenance path: one narrow
+    * encode-and-append pass over the new rows, no touch of the
+    * existing files.
+    */
+  def appendToIvfAdcIndex(s: SparkSession, newVecs: DataFrame,
+      path: String): Unit = {
+    val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
+    require(centsFlat.nonEmpty,
+      s"appendToIvfAdcIndex: $path is a flat PQ index, not IVFADC")
+    val rawBook = s.read.parquet(path + "_coarse")
+    val e = newVecs
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val assign = assignTo(e, rawBook).select("vec_id", "c_id", "v", "nrm")
+    import s.implicits._
+    val cIdxDf = broadcast(cids.zipWithIndex.toSeq.toDF("c_id", "c_idx"))
+    assign.join(cIdxDf, "c_id")
+      .select(col("vec_id"), col("c_id"),
+        pqEncodeResidual(col("v"), col("nrm"), col("c_idx"),
+          cb, centsFlat, m, k).as("pq"))
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(path)
   }
 
   /** The build half of [[ivfAdcTop3]]: coarse book collect, residual
