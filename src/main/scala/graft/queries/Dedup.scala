@@ -232,9 +232,20 @@ object Dedup {
       case Some(d) => graft.SharedProjections.reuse(s"ppjoin_base_t$t", d)(build)
       case None => build
     }
-    val pref = base
+    (base, prefixCands(base, t, positional))
+  }
+
+  /** The prefix-filter candidate join over a base relation — shared by
+    * the in-query path and the persisted-index path ([[PpIndex]]
+    * consumer; `merge = true` pins the SortMergeJoin a bucketed base
+    * makes exchange-free).
+    */
+  private[graft] def prefixCands(base: DataFrame, t: Double,
+      positional: Boolean, merge: Boolean = false): DataFrame = {
+    val pref0 = base
       .filter(col("rk") <= col("n") - ceil(col("n") * t).cast("int") + 1)
       .select("doc_id", "s", "rk", "n")
+    val pref = if (merge) pref0.hint("merge") else pref0
     // PPJoin length filter: J ≥ t forces t·|B| ≤ |A| ≤ |B|/t, so pairs
     // with incompatible sizes never qualify — lossless prune of the
     // candidate join output (the ε guards double-rounding at the
@@ -256,11 +267,10 @@ object Dedup {
         col("b.n").cast("double") >= lit(t) * col("a.n") - lit(1e-9)
     val posOk =
       lit(1) + least(col("a.n") - col("a.rk"), col("b.n") - col("b.rk")) >= alpha
-    val ids = pref.as("a").join(pref.as("b"),
+    pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           (if (positional) lengthOk && posOk else lengthOk))
       .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("doc_id2"))
-    (base, ids)
   }
 
   /** The candidate-pair relation alone (distinct pairs) — the A/B
@@ -273,6 +283,37 @@ object Dedup {
   private[queries] def jaccardPairs(docs: DataFrame, t: Double = 0.5,
       positional: Boolean = true, reuseDir: Option[String] = None): DataFrame = {
     val (base, ids) = jaccardBaseAndCands(docs, t, positional, reuseDir)
+    verifyPairs(base, ids, t)
+  }
+
+  /** PPJoin pairs served from a PERSISTED bucketed base (r14 — the
+    * [[graft.sources.PpIndex]] consumer, the production analogue of
+    * the session-shared silver): the base loads from the bucketed
+    * table, so the prefix candidate self-join on `s` reads both sides
+    * pre-partitioned and pre-sorted — zero shuffle exchanges
+    * (PpIndexSpec pins the plan) — and only the candidate-proportional
+    * verify pays a shuffle. Row-identical to [[jaccardPairs]] over the
+    * corpus the index was built from.
+    */
+  def jaccardPairsIndexed(s: SparkSession, table: String,
+      t: Double = 0.5): DataFrame = {
+    val base = graft.sources.PpIndex.read(s, table)
+    verifyPairs(base, prefixCands(base, t, positional = true, merge = true), t)
+  }
+
+  /** Build + persist the PPJoin base as a bucketed table — the
+    * write-once production form of d02's index ([[graft.sources
+    * .PpIndex]]); rebuild when the corpus changes.
+    */
+  def buildPpIndex(s: SparkSession, dir: String, table: String,
+      t: Double = 0.5): Unit =
+    graft.sources.PpIndex.write(
+      jaccardBaseAndCands(shingleDocs(s, dir), t, positional = true)._1, table)
+
+  /** The exact-Jaccard counting verify over (base, candidate ids) —
+    * shared by the in-query and persisted-index paths.
+    */
+  private def verifyPairs(base: DataFrame, ids: DataFrame, t: Double): DataFrame = {
     // the counting verify below stays near-linear even if many docs are
     // candidates: the global df cap bounds per-shingle join fan-out at
     // C(MaxDf, 2), so total verify work ≤ MaxDf · Σ df — linear in the

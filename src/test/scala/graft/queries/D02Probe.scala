@@ -53,6 +53,17 @@ object D02Probe {
       println(f"[d02probe] pass=$pass positional=$positional " +
         f"candidates=$nc%d cand_count_time=$tc%.1fs d02_wall=$tq%.1fs")
     }
+    // persisted bucketed index (r14, PpIndex): build once, serve —
+    // the zero-exchange candidate join vs the in-query rebuild
+    spark.sql("DROP TABLE IF EXISTS d02probe_ppidx")
+    val (_, tBuild) = time(Dedup.buildPpIndex(spark, dir, "d02probe_ppidx"))
+    for (pass <- 1 to 2) {
+      val (_, tIdx) = time(Dedup.jaccardPairsIndexed(spark, "d02probe_ppidx")
+        .orderBy("a_id", "b_id")
+        .write.format("noop").mode("overwrite").save())
+      println(f"[d02probe] pass=$pass ppindex build=$tBuild%.1fs indexed_wall=$tIdx%.1fs")
+    }
+    spark.sql("DROP TABLE IF EXISTS d02probe_ppidx")
     spark.stop()
   }
 }

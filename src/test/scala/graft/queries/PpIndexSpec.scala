@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted bucketed PPJoin base (r14 — the BandIndex treatment
+  * for d02's index): pairs served from the index must equal the
+  * in-query path row for row, and the candidate self-join on the
+  * bucketed fingerprint must run with ZERO shuffle exchanges (the
+  * recurring-cost-to-write-once conversion the layout exists for).
+  */
+class PpIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("indexed pairs == in-query pairs; candidate self-join is exchange-free") {
+    val table = "ppjoin_base_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Dedup.buildPpIndex(spark, dir, table)
+
+    def pmap(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fresh = pmap(Dedup.jaccardPairs(Dedup.shingleDocs(spark, dir)))
+    val indexed = pmap(Dedup.jaccardPairsIndexed(spark, table))
+    assert(indexed.nonEmpty)
+    assert(indexed === fresh, "indexed PPJoin diverged from the in-query path")
+
+    // the candidate join reads both sides pre-partitioned + pre-sorted
+    val cands = Dedup.prefixCands(
+      graft.sources.PpIndex.read(spark, table), 0.5,
+      positional = true, merge = true)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"candidate self-join against the bucketed base must not shuffle:\n$plan")
+  }
+}
