@@ -31,6 +31,12 @@ object SharedProjections {
   /** Enable reuse for this JVM (suite runners only). */
   def enable(): Unit = on = true
 
+  /** Turn reuse back off — TEST hygiene only (a spec that enables the
+    * JVM-wide flag must not change later suites' execution mode); the
+    * runner mains never disable.
+    */
+  private[graft] def disable(): Unit = on = false
+
   /** `build`, or its cached twin when reuse is enabled. */
   def reuse(kind: String, dir: String)(build: => DataFrame): DataFrame =
     if (!on) build

@@ -56,6 +56,11 @@ object D02Probe {
     // persisted bucketed index (r14, PpIndex): build once, serve —
     // the zero-exchange candidate join vs the in-query rebuild
     spark.sql("DROP TABLE IF EXISTS d02probe_ppidx")
+    // also clear a prior JVM's orphaned warehouse dir (no catalog entry
+    // in this session → DROP is a no-op but saveAsTable would refuse)
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "d02probe_ppidx")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     val (_, tBuild) = time(Dedup.buildPpIndex(spark, dir, "d02probe_ppidx"))
     for (pass <- 1 to 2) {
       val (_, tIdx) = time(Dedup.jaccardPairsIndexed(spark, "d02probe_ppidx")

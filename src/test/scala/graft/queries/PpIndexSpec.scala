@@ -16,7 +16,14 @@ class PpIndexSpec extends SparkSpec {
 
   test("indexed pairs == in-query pairs; candidate self-join is exchange-free") {
     val table = "ppjoin_base_spec"
+    // drop catalog entry AND the warehouse directory: a prior JVM's run
+    // leaves the directory behind with no entry in THIS session's
+    // in-memory catalog, and saveAsTable refuses an existing location
+    // (the BandIndexSpec reset)
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     Dedup.buildPpIndex(spark, dir, table)
 
     def pmap(df: org.apache.spark.sql.DataFrame) =
