@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * scoring. The dedup hot path (shingling, fingerprints, MinHash,
   * SimHash) runs as NATIVE codegen expressions (TextExprs/MinHashSig/
   * CharFp — no ScalaUDF conversion layer, inlined into whole-stage
-  * codegen); the remaining per-row scorers are compiled-Scala UDFs
-  * (still JVM loops, never interpreted HOF lambdas, no Python).
+  * codegen); the remaining per-row scorers are compiled-Scala statics
+  * invoked FROM generated code (zero UDF registrations anywhere in
+  * main — still JVM loops, never interpreted HOF lambdas, no Python).
   *
   * Cross-engine determinism: the polynomial hash [[charFp]] is defined
   * over Unicode code points with BIGINT arithmetic mod 2^31-1, an
@@ -38,7 +39,7 @@ object Text {
 
   // -- hash kernels ---------------------------------------------------
   // These run as compiled JVM loops (native codegen expressions where
-  // hot, compiled-Scala UDFs otherwise), never Catalyst higher-order
+  // hot, codegen-called compiled statics otherwise), never Catalyst higher-order
   // functions: HOF lambdas evaluate interpreted (HigherOrderFunction is
   // CodegenFallback) and profiled ~25-50x slower than compiled loops on
   // the minhash inner loop (200s+ cold for 500 docs). Semantics are the
