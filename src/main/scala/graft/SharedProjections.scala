@@ -33,9 +33,19 @@ object SharedProjections {
 
   /** Turn reuse back off — TEST hygiene only (a spec that enables the
     * JVM-wide flag must not change later suites' execution mode); the
-    * runner mains never disable.
+    * runner mains never disable. Clears BOTH tiers (r15, ADVICE): a
+    * cached DataFrame is bound to the SparkSession that built it and an
+    * artifact may point at state a later suite wipes — handing either
+    * out after a re-enable would fail (or serve stale state) far from
+    * the cause. Unpersist is best-effort: the owning session may
+    * already be stopped.
     */
-  private[graft] def disable(): Unit = on = false
+  private[graft] def disable(): Unit = {
+    on = false
+    cache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    cache.clear()
+    artifacts.clear()
+  }
 
   /** `build`, or its cached twin when reuse is enabled. */
   def reuse(kind: String, dir: String)(build: => DataFrame): DataFrame =
