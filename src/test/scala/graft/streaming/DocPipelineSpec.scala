@@ -55,6 +55,22 @@ class DocPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a pre-r14 state layout fails loudly instead of serving null verdicts") {
+    import spark.implicits._
+    // a docs store written before the n_windows/n_kept columns existed:
+    // reading it with the explicit current schema would silently yield
+    // NULL for both — the r15 guard must reject it instead
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipelegacy").toString
+    Seq((1L, "t", "en", "s", "h", Seq("sh"), false))
+      .toDF("doc_id", "text", "lang", "source", "text_hash", "sh", "is_neardup")
+      .write.parquet(s"$stateDir/docs")
+    val e = intercept[IllegalArgumentException] {
+      DocPipeline.docsStore(spark, stateDir).collect()
+    }
+    assert(e.getMessage.contains("older layout") &&
+      e.getMessage.contains("n_windows"))
+  }
+
   test("compaction shrinks the store file count and changes nothing observable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
