@@ -218,15 +218,8 @@ object Dedup {
     // analogue is a persisted bucketed silver table (BandIndex's
     // story), rebuilt when the corpus changes.
     def build: DataFrame = {
-      val ex = docs.select(col("doc_id"),
-        explode(array_distinct(Text.fps(col("sh")))).as("s"))
-      val byDoc = Window.partitionBy("doc_id")
-      cp(ex
-        .join(ex.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxDf), "s")
-        .select(col("doc_id"), col("s"),
-          row_number().over(byDoc.orderBy("df", "s")).as("rk"),
-          count(lit(1)).over(byDoc).as("n")))
+      val ex = ppExplode(docs)
+      cp(ppRank(ex, ppDf(ex)))
     }
     val base = reuseDir match {
       case Some(d) => graft.SharedProjections.reuse(s"ppjoin_base_t$t", d)(build)
@@ -305,10 +298,106 @@ object Dedup {
     * write-once production form of d02's index ([[graft.sources
     * .PpIndex]]); rebuild when the corpus changes.
     */
+  /** The PPJoin base's building blocks, shared by the in-query build,
+    * the persisted-index build, and the INCREMENTAL append (r15):
+    * per-doc distinct fingerprint explode, global document frequency,
+    * and the (rk, n) ranking of a fingerprint relation under a given
+    * df order. Split out so the append path can rank new docs under
+    * the BUILD-frozen df (see [[appendToPpIndex]]) through the exact
+    * code the build ran.
+    */
+  private def ppExplode(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(Text.fps(col("sh")))).as("s"))
+
+  private def ppDf(ex: DataFrame): DataFrame =
+    ex.groupBy("s").agg(count(lit(1)).as("df"))
+
+  private def ppRank(ex: DataFrame, dfRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    ex.join(dfRel.filter(col("df") <= MaxDf), "s")
+      .select(col("doc_id"), col("s"),
+        row_number().over(byDoc.orderBy("df", "s")).as("rk"),
+        count(lit(1)).over(byDoc).as("n"))
+  }
+
   def buildPpIndex(s: SparkSession, dir: String, table: String,
       t: Double = 0.5): Unit =
-    graft.sources.PpIndex.write(
-      jaccardBaseAndCands(shingleDocs(s, dir), t, positional = true)._1, table)
+    buildPpIndexOver(s, shingleDocs(s, dir), table)
+
+  /** [[buildPpIndex]] over an explicit (doc_id, sh) corpus — persists
+    * the bucketed base AND the build-time df sibling that freezes the
+    * prefix order for incremental appends ([[graft.sources
+    * .PpIndex.writeDf]]).
+    */
+  def buildPpIndexOver(s: SparkSession, docs: DataFrame, table: String): Unit = {
+    val ex = cp(ppExplode(docs))
+    val dfAll = ppDf(ex)
+    graft.sources.PpIndex.write(ppRank(ex, dfAll), table)
+    graft.sources.PpIndex.writeDf(dfAll, table)
+  }
+
+  /** INCREMENTAL maintenance of a persisted PPJoin base (r15, verdict
+    * ask #2 — the index-maintenance story [[graft.queries.Similarity
+    * .appendToIvfAdcIndex]] started, applied to the similarity-join
+    * family): shingle ONLY `newDocs`, rank them under the BUILD-FROZEN
+    * global order, and append the (doc_id, s, rk, n) rows into the
+    * bucketed layout — the corpus is never re-shingled.
+    *
+    * The staleness contract, explicitly:
+    *
+    *  - **The prefix order is frozen at build time.** Every doc — built
+    *    or appended, any batch — ranks its fingerprints under the SAME
+    *    total order (df_build, s), with never-seen fingerprints at
+    *    df_build = 0 (rarest; only ever shared with other appended
+    *    docs). The prefix lemma requires one shared order across both
+    *    sides of a pair, so freezing is what makes the candidate join
+    *    remain EXACT for J ≥ t — no appended volume ever causes a
+    *    missed pair. (Re-ranking each batch under its own updated df
+    *    would be the subtle bug: two docs inserted at different times
+    *    would prefix under different orders and qualifying pairs could
+    *    stop sharing an indexed fingerprint.)
+    *  - **The df CAP is frozen at build time.** Kept-vs-dropped is
+    *    decided by df_build ≤ MaxDf, so the Jaccard universe is the
+    *    build's. [[jaccardPairsIndexed]] over build+appends equals a
+    *    full rebuild EXACTLY as long as no fingerprint's df crosses
+    *    MaxDf between build and rebuild (rebuild-dropped-but-append-
+    *    kept fps change J for the docs that carry them) —
+    *    PpAppendSpec pins both the equality and the documented
+    *    divergence at the cap boundary.
+    *  - **Filter POWER decays, correctness doesn't.** A fingerprint
+    *    that was rare at build but becomes common through appends
+    *    keeps its rare rank, so it stays in prefixes and its posting
+    *    list grows — candidates rise (cost), results don't change
+    *    (the verify is exact). Measured decay on the 25%-dup replica:
+    *    BENCHNOTES r15. Rebuild when it drifts past budget.
+    *
+    * Appended files keep the bucket layout (same bucketBy spec), so
+    * the candidate self-join stays EXCHANGE-free; with >1 file per
+    * bucket Spark no longer claims sortedness, so the plan gains
+    * in-partition Sorts — still no shuffle (PpAppendSpec pins it).
+    */
+  def appendToPpIndex(s: SparkSession, table: String, newDocs: DataFrame): Unit = {
+    // loud-failure guard (the appendToIvfAdcIndex doctrine): a re-appended
+    // doc_id would duplicate its base rows and double-count the verify
+    val dup = newDocs.select("doc_id")
+      .join(graft.sources.PpIndex.read(s, table).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty, s"appendToPpIndex: doc_id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+      s"is already indexed in $table — appended ids must be disjoint " +
+      "(a duplicate would double-count the verify); rebuild instead")
+    val frozen = graft.sources.PpIndex.readDf(s, table)
+    val exNew = cp(ppExplode(newDocs))
+    // the frozen order EXTENDED to never-seen fps at df 0 (rarest) —
+    // left join, not inner: dropping unseen fps would shrink new docs'
+    // sets and change their Jaccard values
+    val dfEff = exNew.select("s").distinct()
+      .join(frozen, Seq("s"), "left")
+      .select(col("s"), coalesce(col("df"), lit(0L)).as("df"))
+    graft.sources.PpIndex.append(ppRank(exNew, dfEff), s, table)
+  }
 
   /** The exact-Jaccard counting verify over (base, candidate ids) —
     * shared by the in-query and persisted-index paths.

@@ -17,8 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * corpus pays scan + merge, never the index reshuffle. (The verify
   * join's left-semi restriction re-keys on doc_id and reshuffles
   * regardless of storage — inherent to the counting formulation, and
-  * proportional to candidates, not the corpus.) Rebuild on corpus
-  * change is one write of the base relation d02 computes anyway.
+  * proportional to candidates, not the corpus.)
+  *
+  * r15: the index is MAINTAINABLE, not rebuild-only — [[append]] adds
+  * new docs' rows into the bucketed layout, and the [[writeDf]]
+  * sibling freezes the build-time document frequencies so appended
+  * docs rank under the build's prefix order (the correctness of that
+  * contract lives in [[graft.queries.Dedup.appendToPpIndex]]).
   */
 object PpIndex {
 
@@ -30,4 +35,30 @@ object PpIndex {
       table, "s", buckets)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Persist the BUILD-time per-fingerprint document frequency —
+    * every fp seen at build, capped and uncapped alike (the base alone
+    * can't recover the dropped fps, and appends must keep dropping
+    * them). Frozen: appends never rewrite it.
+    */
+  def writeDf(dfAll: DataFrame, table: String): Unit =
+    dfAll.select("s", "df").write.mode("overwrite")
+      .format("parquet").saveAsTable(table + "_df")
+
+  def readDf(spark: SparkSession, table: String): DataFrame =
+    spark.table(table + "_df")
+
+  /** Append pre-ranked base rows into the bucketed layout with the
+    * SAME bucket spec as [[write]] — each append adds one file per
+    * touched bucket. Bucket pruning and the exchange-free candidate
+    * self-join survive appends (bucket membership is a function of
+    * `s` alone); per-bucket SORTEDNESS does not (Spark only claims
+    * sort order for single-file buckets), so post-append plans carry
+    * in-partition Sorts — still zero shuffle (PpAppendSpec).
+    */
+  def append(rows: DataFrame, spark: SparkSession, table: String,
+      buckets: Int = 8): Unit =
+    rows.select("doc_id", "s", "rk", "n").write.mode("append")
+      .format("parquet").bucketBy(buckets, "s").sortBy("s")
+      .saveAsTable(table)
 }

@@ -20,10 +20,12 @@ class PpIndexSpec extends SparkSpec {
     // leaves the directory behind with no entry in THIS session's
     // in-memory catalog, and saveAsTable refuses an existing location
     // (the BandIndexSpec reset)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    for (t <- Seq(table, table + "_df")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
     Dedup.buildPpIndex(spark, dir, table)
 
     def pmap(df: org.apache.spark.sql.DataFrame) =
