@@ -157,4 +157,35 @@ object Vectors {
         org.apache.spark.sql.GraftSqlBridge.expression(v),
         org.apache.spark.sql.GraftSqlBridge.expression(nrm),
         org.apache.spark.sql.GraftSqlBridge.expression(cIdx), cb, cents, m, k))
+
+  /** Executor-side per-query ADC LUT — see [[PqLuts]]; the distributed
+    * query side of PQ serving (r15).
+    */
+  def pqLuts(v: Column, nrm: Column,
+      cb: Array[Double], m: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqLuts(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm), cb, m, k))
+
+  /** Executor-side IVF probe routing (top-`nprobe` lists + base
+    * offsets) — see [[PqProbes]]; the distributed query side of
+    * IVFADC serving (r15).
+    */
+  def pqProbes(v: Column, nrm: Column,
+      cids: Array[Long], cents: Array[Double], nprobe: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqProbes(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(nrm),
+        cids, cents, nprobe))
+
+  /** ADC score from a column-carried LUT — see [[PqAdcFromLut]]; the
+    * distributed ADC hot loop (r15).
+    */
+  def pqAdcLut(lut: Column, codes: Column, m: Int, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqAdcFromLut(
+        org.apache.spark.sql.GraftSqlBridge.expression(lut),
+        org.apache.spark.sql.GraftSqlBridge.expression(codes), m, k))
 }

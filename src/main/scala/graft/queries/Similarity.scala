@@ -91,6 +91,22 @@ object Similarity {
   private[queries] val V12Frontier = 100
   private[queries] val V12Floor = 9L
 
+  /** v12b's gated recall floor — the TRAINED-coarse IVFADC recipe
+    * (trained routing + residual codes, the production form). The r14
+    * sweep (IvfAdcProbe, BENCHNOTES) measured 24/24/24 of 30 at the
+    * shipped nprobe=8/frontier=100 across the SFs — trained routing is
+    * the dominant recall dial (+5/+2/+6 over the seed book) AND makes
+    * recall uniform across SFs. Floored at 12 (50% under the measured
+    * reading, the V11Floor margin convention): distributed Lloyd's
+    * add-order float wobble moves hits by ≤1–2, never 12; a broken
+    * router or codebook (random ≈ 1/30 per slot) still trips it. The
+    * floor also sits ABOVE the seed book's worst reading (18) minus
+    * its own margin — deliberately NOT above 18 itself, because the
+    * gate's job is catching regressions in the trained path, not
+    * re-litigating seed-vs-trained (BENCHNOTES carries that A/B).
+    */
+  private[queries] val V12bFloor = 12L
+
   /** v10d's gated w=2 match-fraction floor for the TRAINED-fine
     * sharded path — measured with trained fine book + trained router
     * on the gate fixtures (TwoLevelProbe trained mode, BENCHNOTES
@@ -659,10 +675,95 @@ object Similarity {
     val e = emb(s, dir)
     val qRows = e.filter(qPred).orderBy("vec_id")
       .select(col("vec_id"), col("v"), col("nrm")).collect()
-    pqRerankTop3(e,
+    // a predicate matching zero rows is a valid (empty) query batch,
+    // not a LUT-construction error (r15, ADVICE)
+    if (qRows.isEmpty) emptyTop3(s)
+    else pqRerankTop3(e,
       pqAdcScores(s, graft.sources.PqIndex.read(s, path), cb, m, k, qRows),
       qPred, frontier)
   }
+
+  /** DISTRIBUTED-query-side flat-PQ serving (r15, verdict ask #3) —
+    * row-identical to [[knnPqIndexed]] (PqDistServeSpec) with the
+    * driver qRows/LUT materialization replaced by a query RELATION:
+    * [[graft.functions.PqLuts]] computes each query's m×k ADC table
+    * executor-side in the query projection, the skinny (q_id, lut)
+    * rows broadcast (n_q · m·k doubles — 2 KB per query at the shipped
+    * dial, so 10⁴–10⁶ queries fit where driver arrays would not), and
+    * [[graft.functions.PqAdcFromLut]] runs the m-add hot loop against
+    * the column-carried LUT. Only the codebook itself syncs through
+    * the driver (corpus- and query-independent). Same exact re-rank
+    * tail. Batch-serving cost at 100×: BENCHNOTES r15 (n_q = 10k).
+    */
+  def knnPqIndexedDist(s: SparkSession, dir: String, path: String,
+      qPred: Column, frontier: Int = 50): DataFrame = {
+    val (cb, m, k, _, _) = graft.sources.PqIndex.codebook(s, path)
+    val e = emb(s, dir)
+    val qRel = e.filter(qPred).select(col("vec_id").as("q_id"),
+      pqLuts(col("v"), col("nrm"), cb, m, k).as("lut"))
+    val scored = graft.sources.PqIndex.read(s, path)
+      .crossJoin(broadcast(qRel))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        pqAdcLut(col("lut"), col("pq"), m, k).as("adc"))
+    pqRerankTop3(e, scored, qPred, frontier)
+  }
+
+  /** DISTRIBUTED-query-side IVFADC serving (r15, verdict ask #3) —
+    * row-identical to [[ivfAdcServe]] (PqDistServeSpec) with BOTH
+    * driver loops replaced by relations: [[graft.functions.PqProbes]]
+    * ranks the coarse lists per query executor-side (same IEEE fold
+    * and total-order tie-break as the driver loop, so probed lists and
+    * base offsets match bit-for-bit) and [[graft.functions.PqLuts]]
+    * supplies the LUT column. The probe rows broadcast SKINNY
+    * (q_id, c_id, base) — the LUT column deliberately does NOT ride
+    * them (it would replicate nprobe× in the broadcast); candidates
+    * pick it up through a second broadcast hash join on q_id. The
+    * probed-list restriction reaches the partitioned code scan as
+    * runtime filters from the c_id broadcast join (the static `isin`
+    * push needs the driver-known probe set, which is exactly what this
+    * path removes — at batch n_q the probed union approaches all lists
+    * anyway, and the low-n_q driver path keeps the static prune).
+    */
+  def ivfAdcServeDist(s: SparkSession, dir: String, path: String,
+      nprobe: Int, frontier: Int, qPred: Column): DataFrame = {
+    val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
+    require(centsFlat.nonEmpty, s"ivfAdcServeDist: $path is a flat PQ " +
+      "index (no coarse centroids) — serve it with knnPqIndexedDist")
+    val e = emb(s, dir)
+    val qRel = e.filter(qPred).select(col("vec_id").as("q_id"),
+      pqLuts(col("v"), col("nrm"), cb, m, k).as("lut"),
+      pqProbes(col("v"), col("nrm"), cids.toArray, centsFlat, nprobe).as("pr"))
+    val probes = qRel
+      .select(col("q_id"), col("pr.bases").as("bs"),
+        posexplode(col("pr.cids")).as(Seq("i", "c_id")))
+      .select(col("q_id"), col("c_id"),
+        element_at(col("bs"), col("i") + 1).as("base"))
+    val scored = graft.sources.PqIndex.read(s, path)
+      .join(broadcast(probes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qRel.select("q_id", "lut")), "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (col("base") + pqAdcLut(col("lut"), col("pq"), m, k)).as("adc"))
+    pqRerankTop3(e, scored, qPred, frontier)
+  }
+
+  /** The empty top-3 relation — [[pqRerankTop3]]'s schema with zero
+    * rows, what every PQ serving entry point returns for a query
+    * predicate that matches nothing (rather than surfacing a bare
+    * NoSuchElementException from LUT construction).
+    */
+  private def emptyTop3(s: SparkSession): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("neighbor_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cosine",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType))))
 
   /** IVFADC retrieval (r14, verdict ask #1 — the designed composition
     * of v02 × v11, Jégou/Douze/Schmid TPAMI 2011 §IV): route each query
@@ -753,6 +854,17 @@ object Similarity {
     val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
     require(centsFlat.nonEmpty,
       s"appendToIvfAdcIndex: $path is a flat PQ index, not IVFADC")
+    // loud-failure guard (r15, ADVICE): the serving path relies on
+    // "each vector lives in exactly one list" — a duplicate vec_id
+    // would silently serve duplicate neighbors. One semi-join probe of
+    // the new ids against the index, bounded by the batch size.
+    val dup = newVecs.select("vec_id")
+      .join(graft.sources.PqIndex.read(s, path).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty, s"appendToIvfAdcIndex: vec_id ${dup.head.get(0)} " +
+      s"is already indexed at $path — appended ids must be disjoint " +
+      "(a duplicate would serve twice; rebuild instead)")
     val rawBook = s.read.parquet(path + "_coarse")
     val e = newVecs
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
@@ -850,6 +962,8 @@ object Similarity {
     // query side: contract-bounded n_q-row sync
     val qRows = e.filter(qPred).orderBy("vec_id")
       .select(col("vec_id"), col("v"), col("nrm")).collect()
+    // zero matching queries → empty result, not a LUT error (r15, ADVICE)
+    if (qRows.isEmpty) return emptyTop3(s)
     val qU = qRows.map(unitRow)
     val luts = PqCodebook.luts(cb, qU.toSeq, m, k)
     val probeRows: Seq[(Long, Int, Long, Double)] =
@@ -1467,6 +1581,33 @@ object Similarity {
         frontier = V12Frontier, qPred = qPred, residual = true,
         indexPath = Some(scratchPath("v12", dir)))
       pqContract(s, dir, pq3, 300, 310, V12Floor)
+    }),
+
+    // The TRAINED-COARSE IVFADC recipe under its own gate (r15, verdict
+    // ask #1 — the v10d pattern applied to v12): the r14 sweep proved
+    // Lloyd-training the coarse book is the dominant recall dial
+    // (19/22/18 → 24/24/24 at the shipped nprobe, more than any
+    // codebook-form or frontier change), and this is the PRODUCTION
+    // recipe — trained routing + residual codes, built off-path by
+    // buildIvfAdcIndex(coarse = Some(ivfTrain(...))) and served from
+    // the persisted index. Training is not bit-pinned (distributed
+    // Lloyd, like v10d's fine book), so the gate is the within_bound
+    // contract with every flag deterministic-given-corpus UP TO the
+    // floor margins: the oracle pins the exact ground-truth half
+    // (identical to v12's — the approximate recipe lives in the
+    // flags), recall_ok floors at V12bFloor (50% under the measured
+    // 24/24/24), and never_better is structural (the exact re-rank
+    // can't beat the exact optimum). Serving goes through ivfAdcServe
+    // — codebook, coarse book, and codes all LOAD from the persisted
+    // index, so the gate drives the production serve path end to end.
+    "v12b_ivfadc_trained" -> ((s, dir) => {
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val path = scratchPath("v12b", dir)
+      buildIvfAdcIndex(s, dir, path, m = 16, k = 16, nlist = 16,
+        coarse = Some(ivfTrain(s, dir, nlist = 16)))
+      val pq3 = ivfAdcServe(s, dir, path,
+        nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
+      pqContract(s, dir, pq3, 300, 310, V12bFloor)
     })
   )
 
@@ -1750,6 +1891,28 @@ object Similarity {
     // top-3 over the same query set — IVFADC only changes HOW the
     // approximate side is computed, which lives in the literal flags.
     "v12_ivfadc" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
+
+    // the trained-coarse recipe changes only HOW the approximate side
+    // routes — the exact ground-truth half (and so the oracle) is
+    // v12's verbatim (the v11/v12 shared-oracle precedent)
+    "v12b_ivfadc_trained" ->
       s"""WITH e AS ($EMB),
          |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
