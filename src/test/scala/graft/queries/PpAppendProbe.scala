@@ -65,6 +65,21 @@ object PpAppendProbe {
       println(f"[ppappendprobe] append ${(frac * 100).toInt}%%: base-build $tBuild%.1fs, " +
         f"APPEND $tApp%.1fs, serve $tServe%.1fs, cands=$c (${c.toDouble / cF}%.3fx full), " +
         s"pairs=$p ck=$k resultsEqualFull=$ok")
+      // attribute any divergence: fps whose df crosses the MaxDf cap
+      // between the build subset and the full corpus judge under the
+      // frozen (smaller) universe after an append — the documented
+      // contract boundary. Count them and their full-corpus postings.
+      val ex = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.Text.fps(col("sh")))).as("s"))
+      val dfFull = ex.groupBy("s").agg(count(lit(1)).as("dfF"))
+      val dfBuild = ex.filter(col("doc_id") <= cut)
+        .groupBy("s").agg(count(lit(1)).as("dfB"))
+      val cross = dfBuild.join(dfFull, "s")
+        .filter(col("dfB") <= 50 && col("dfF") > 50)
+        .agg(count(lit(1)).as("nfp"), sum(col("dfF")).as("postings")).head()
+      println(s"[ppappendprobe]   cap-crossers at ${(frac * 100).toInt}%: " +
+        s"${cross.getLong(0)} fps (${if (cross.isNullAt(1)) 0L else cross.getLong(1)} full-corpus postings) " +
+        "kept by the frozen universe but dropped by a rebuild")
     }
     spark.stop()
   }
