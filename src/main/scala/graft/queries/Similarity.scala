@@ -1608,6 +1608,27 @@ object Similarity {
       val pq3 = ivfAdcServe(s, dir, path,
         nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
       pqContract(s, dir, pq3, 300, 310, V12bFloor)
+    }),
+
+    // The DISTRIBUTED batch-serving path under the driver's hash gate
+    // (r15 — the spec'd→gated progression applied to ask #3's
+    // mechanism, v10c's precedent): build the deterministic seed-book
+    // IVFADC index, then serve through ivfAdcServeDist — query-side
+    // LUTs and probe routing computed by the scan kernels, skinny
+    // probe broadcast, LUT hash-join, column-carried ADC — the plan a
+    // 10⁴–10⁶-query batch deployment runs. PqDistServeSpec pins
+    // bit-for-bit equality with the driver path; this gate makes the
+    // driver hash the distributed plan's OUTPUT directly at all three
+    // SFs, so the equality claim is driver-checked, not only
+    // spec-checked. Same oracle and floor as v12 (row-identical
+    // serving ⇒ identical recall).
+    "v12c_ivfadc_dist" -> ((s, dir) => {
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val path = scratchPath("v12c", dir)
+      buildIvfAdcIndex(s, dir, path, m = 16, k = 16, nlist = 16)
+      val pq3 = ivfAdcServeDist(s, dir, path,
+        nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
+      pqContract(s, dir, pq3, 300, 310, V12Floor)
     })
   )
 
@@ -1891,6 +1912,27 @@ object Similarity {
     // top-3 over the same query set — IVFADC only changes HOW the
     // approximate side is computed, which lives in the literal flags.
     "v12_ivfadc" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
+
+    // the distributed serving path is row-identical to the driver
+    // path (PqDistServeSpec), so the oracle is v12's verbatim too
+    "v12c_ivfadc_dist" ->
       s"""WITH e AS ($EMB),
          |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n

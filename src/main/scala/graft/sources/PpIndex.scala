@@ -61,4 +61,19 @@ object PpIndex {
     rows.select("doc_id", "s", "rk", "n").write.mode("append")
       .format("parquet").bucketBy(buckets, "s").sortBy("s")
       .saveAsTable(table)
+
+  /** Rewrite the table back to one sorted file per bucket — the
+    * maintenance companion to [[append]] (the DocPipeline.compact
+    * story for the bucketed tier): every append adds a file per
+    * touched bucket, which keeps the join exchange-free but forfeits
+    * the scan's claimed sort order (Spark only claims it for
+    * single-file buckets), so post-append plans re-sort in-partition.
+    * Compacting restores the build-time plan. Rows are untouched —
+    * same data, same bucket spec (PpAppendSpec pins row identity and
+    * the Sort nodes' disappearance). The read is materialized EAGERLY
+    * before the overwrite of its own source table. Run between
+    * appends, not concurrently with a reader.
+    */
+  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit =
+    write(spark.table(table).localCheckpoint(eager = true), table, buckets)
 }

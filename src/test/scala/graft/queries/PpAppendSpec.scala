@@ -58,6 +58,35 @@ class PpAppendSpec extends SparkSpec {
       s"candidate self-join must stay exchange-free after appends:\n$plan")
   }
 
+  test("compact restores single-file buckets and the sort-free plan; rows untouched") {
+    val table = "ppjoin_compact_spec"
+    resetTable(table)
+    val docs = Dedup.shingleDocs(spark, dir).localCheckpoint(eager = false)
+    val cut = docs.agg(expr("percentile(doc_id, 0.75)")).head().getDouble(0).toLong
+    Dedup.buildPpIndexOver(spark, docs.filter(col("doc_id") <= cut), table)
+    Dedup.appendToPpIndex(spark, table, docs.filter(col("doc_id") > cut))
+
+    def baseRows = graft.sources.PpIndex.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    def candPlan = Dedup.prefixCands(
+        graft.sources.PpIndex.read(spark, table), 0.5,
+        positional = true, merge = true)
+      .queryExecution.executedPlan.toString
+    val before = baseRows
+    // appended buckets carry >1 file → Spark stops claiming sort order
+    // → the exchange-free join re-sorts in-partition
+    assert(candPlan.contains("Sort"),
+      s"expected in-partition sorts on the post-append plan:\n$candPlan")
+
+    graft.sources.PpIndex.compact(spark, table)
+    assert(baseRows === before, "compact changed the base relation")
+    val after = candPlan
+    assert(!after.contains("Exchange"), after)
+    assert(!after.contains("Sort ("),
+      s"compact should restore the claimed per-bucket sort order:\n$after")
+  }
+
   test("re-appending an indexed doc_id fails loudly") {
     val table = "ppjoin_append_dup_spec"
     resetTable(table)
