@@ -270,6 +270,33 @@ object Similarity {
     knnIvfOver(emb(s, dir), graft.sources.IvfIndex.codebook(s, path),
       graft.sources.IvfIndex.read(s, path), qPred, nprobe)
 
+  /** INCREMENTAL maintenance for the float IVF index (r15 — the
+    * [[appendToIvfAdcIndex]] treatment applied to the v02-tier
+    * artifact, completing the append story across all the index
+    * layouts: IvfIndex, PqIndex, PpIndex): assign `newVecs` — rows of
+    * the embeddings shape, ids disjoint from the indexed corpus —
+    * against the PERSISTED codebook and append them into the
+    * `partitionBy(c_id)` layout. The loaded codebook reproduces the
+    * build's argmax bit-for-bit (IvfPersistSpec round-trip), so
+    * appended vectors land exactly where a rebuild WITH THE SAME
+    * CODEBOOK would put them; retraining is a rebuild, not an append.
+    */
+  def appendToIvfIndex(s: SparkSession, newVecs: DataFrame, path: String): Unit = {
+    val dup = newVecs.select("vec_id")
+      .join(graft.sources.IvfIndex.read(s, path).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty, s"appendToIvfIndex: vec_id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+      s"is already indexed at $path — appended ids must be disjoint; rebuild instead")
+    val e = newVecs
+      .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    assignTo(e, graft.sources.IvfIndex.codebook(s, path))
+      .select("vec_id", "c_id", "v", "nrm")
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id").parquet(path)
+  }
+
   /** TWO-LEVEL IVF assignment (r12 — the tier above the single
     * embedded codebook's ~51 MB / nlist≈1e5 ceiling, prototyped; cost
     * model in SCALE.md). Structure:
@@ -1577,9 +1604,8 @@ object Similarity {
     // gates via V12Floor while scanning nprobe/nlist of the codes.
     "v12_ivfadc" -> ((s, dir) => {
       val qPred = col("vec_id") >= 300 && col("vec_id") < 310
-      val pq3 = ivfAdcTop3(s, dir, m = 16, k = 16, nprobe = V12Nprobe,
-        frontier = V12Frontier, qPred = qPred, residual = true,
-        indexPath = Some(scratchPath("v12", dir)))
+      val pq3 = ivfAdcServe(s, dir, v12SeedIndex(s, dir),
+        nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
       pqContract(s, dir, pq3, 300, 310, V12Floor)
     }),
 
@@ -1624,13 +1650,27 @@ object Similarity {
     // serving ⇒ identical recall).
     "v12c_ivfadc_dist" -> ((s, dir) => {
       val qPred = col("vec_id") >= 300 && col("vec_id") < 310
-      val path = scratchPath("v12c", dir)
-      buildIvfAdcIndex(s, dir, path, m = 16, k = 16, nlist = 16)
-      val pq3 = ivfAdcServeDist(s, dir, path,
+      val pq3 = ivfAdcServeDist(s, dir, v12SeedIndex(s, dir),
         nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
       pqContract(s, dir, pq3, 300, 310, V12Floor)
     })
   )
+
+  /** The deterministic SEED-book IVFADC index both v12 (driver-path
+    * serving) and v12c (distributed serving) consume: a suite session
+    * builds it once ([[graft.SharedProjections.reuseArtifact]] — the
+    * p06/p08 sharing pattern applied to an index build); standalone
+    * gates rebuild into the same fixed scratch path with overwrite
+    * semantics. The build is fully deterministic (seed centroids,
+    * hash-stratified sample), so first-builder order cannot change
+    * either gate's output.
+    */
+  private def v12SeedIndex(s: SparkSession, dir: String): String =
+    graft.SharedProjections.reuseArtifact("ivfadc_seed_idx", dir) {
+      val p = scratchPath("v12", dir)
+      buildIvfAdcIndex(s, dir, p, m = 16, k = 16, nlist = 16)
+      p
+    }
 
   private val EMB =
     "SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings"

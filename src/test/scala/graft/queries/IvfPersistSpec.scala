@@ -59,4 +59,34 @@ class IvfPersistSpec extends SparkSpec {
     assert(files.nonEmpty && !files.exists(_.contains("_codebook")),
       "codebook leaked into the assignment scan")
   }
+
+  test("append routes new vectors exactly as a same-codebook rebuild; duplicates fail loudly") {
+    val path = java.nio.file.Files.createTempDirectory("ivfappend").toString + "/index"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = maxId / 2
+
+    // build over the first half only (trained, so the codebook is NOT
+    // derivable from the appended rows — the artifact must carry it)
+    val halfDir = java.nio.file.Files.createTempDirectory("ivfappenddata").toString
+    emb.filter(col("vec_id") <= cut).write.parquet(s"$halfDir/embeddings.parquet")
+    Similarity.buildTrainedIndex(spark, halfDir, path, nlist = 16, iters = 2)
+
+    Similarity.appendToIvfIndex(spark, emb.filter(col("vec_id") > cut), path)
+
+    def amap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "c_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = amap(IvfIndex.read(spark, path))
+    assert(after.size === emb.count())
+    // a rebuild against the SAME persisted codebook over the full
+    // corpus places every vector identically
+    val rebuilt = amap(Similarity.ivfAssignFromIndex(spark, dir, path))
+    assert(after === rebuilt, "append diverged from a same-codebook rebuild")
+
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, emb.filter(col("vec_id") === 0), path)
+    }
+    assert(e.getMessage.contains("already indexed"))
+  }
 }
