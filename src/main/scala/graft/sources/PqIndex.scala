@@ -75,4 +75,21 @@ object PqIndex {
     (r.getAs[Seq[Double]]("cb").toArray, r.getAs[Int]("m"), r.getAs[Int]("k"),
       r.getAs[Seq[Double]]("cents").toArray, r.getAs[Seq[Long]]("cids").toArray)
   }
+
+  /** Rewrite the code relation back to one file per list (r15 — the
+    * maintenance companion to `appendToIvfAdcIndex`, PpIndex.compact's
+    * story for the partitioned tier): every append adds a file into
+    * each touched `c_id=` directory, so after many deltas a probe
+    * opens nprobe × appends files instead of nprobe. Rows and the
+    * codebook sibling are untouched; the read is materialized EAGERLY
+    * before overwriting its own source. Run between appends, not
+    * concurrently with a reader.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = read(spark, path).localCheckpoint(eager = true)
+    if (snap.columns.contains("c_id"))
+      snap.repartition(col("c_id")).write.mode("overwrite")
+        .partitionBy("c_id").parquet(path)
+    else snap.write.mode("overwrite").parquet(path)
+  }
 }

@@ -73,5 +73,30 @@ class IvfAdcAppendSpec extends SparkSpec {
     // neighbors can come from BOTH halves — the appended rows are live
     val ids = served.map(_.getLong(1)).toSet
     assert(ids.exists(_ > cut) || ids.exists(_ <= cut))
+
+    // 4. compact merges the appended files back to one per list;
+    // rows, codebook, and serving are untouched (r15)
+    def parquetFiles: Int = {
+      val fs = new org.apache.hadoop.fs.Path(idx)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = parquetFiles
+    val cbBefore = PqIndex.codebook(spark, idx)
+    PqIndex.compact(spark, idx)
+    assert(parquetFiles < filesBefore,
+      s"compact should merge the appended files (before=$filesBefore, after=$parquetFiles)")
+    assert(cmap(idx) === after, "compact changed the code relation")
+    val cbAfter = PqIndex.codebook(spark, idx)
+    assert(cbAfter._1.toSeq === cbBefore._1.toSeq &&
+      cbAfter._4.toSeq === cbBefore._4.toSeq, "compact touched the codebook sibling")
+    val served2 = Similarity.ivfAdcServe(spark, dir, idx,
+        nprobe = Similarity.V12Nprobe, frontier = Similarity.V12Frontier, qPred)
+      .select("q_id", "neighbor_id").collect()
+    assert(served2.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      served.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 }
