@@ -17,6 +17,102 @@ import OracleDialect._
   */
 object TextAnalysis {
 
+  /** Postings (term, doc_id, tf) + doc lengths (doc_id, dl) for a
+    * (doc_id, text) corpus — ONE kernel scan (tokenStats for dl,
+    * termCounts for the per-doc tf pairs, both codegen), checkpointed
+    * so the two derived relations share it. The building block of the
+    * persisted BM25 index and its append path.
+    */
+  private def bm25Derive(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"),
+        Text.tokenStats(col("text")).getField("_1").as("dl"),
+        Text.termCounts(col("text")).as("tc"))
+      .localCheckpoint(eager = false)
+    val postings = base.select(col("doc_id"), explode(col("tc")).as("e"))
+      .select(col("e.term").as("term"), col("doc_id"), col("e.tf").as("tf"))
+    (postings, base.select("doc_id", "dl"))
+  }
+
+  /** Build + persist the BM25 inverted index over `dir`'s documents —
+    * write-once production form of t14's two in-query corpus passes
+    * ([[graft.sources.BmIndex]]). Rebuild to refresh the frozen
+    * ranking statistics.
+    */
+  def buildBm25Index(s: SparkSession, dir: String, path: String): Unit =
+    buildBm25IndexOver(s,
+      Tables(s, dir, "documents").select("doc_id", "text"), path)
+
+  /** [[buildBm25Index]] over an explicit (doc_id, text) corpus. */
+  def buildBm25IndexOver(s: SparkSession, docs: DataFrame,
+      path: String): Unit = {
+    val (postings, doclens) = bm25Derive(docs)
+    graft.sources.BmIndex.write(postings, doclens, path)
+  }
+
+  /** INCREMENTAL maintenance (r15): index `newDocs` (doc_id, text)
+    * without re-tokenizing the corpus. `_df`/`_stats` stay FROZEN —
+    * appended docs are scored under build-time idf/avgdl (stale-index
+    * serving, the contract [[graft.sources.BmIndex]] documents);
+    * already-indexed docs' scores are provably unchanged.
+    */
+  def appendToBm25Index(s: SparkSession, path: String,
+      newDocs: DataFrame): Unit = {
+    val dup = newDocs.select("doc_id")
+      .join(graft.sources.BmIndex.doclens(s, path).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty, s"appendToBm25Index: doc_id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+      s"is already indexed at $path — appended ids must be disjoint; rebuild instead")
+    val (postings, doclens) = bm25Derive(newDocs.select("doc_id", "text"))
+    graft.sources.BmIndex.append(postings, doclens, path)
+  }
+
+  /** BM25 top-`k` served from a persisted [[graft.sources.BmIndex]] —
+    * row-identical to the in-query t14 over the indexed corpus
+    * (Bm25IndexSpec pins it; the t15 gate hashes it against t14's
+    * oracle): the scoring expression tree is t14's VERBATIM — same
+    * IEEE op order over the same integers, the loaded relations just
+    * replace the in-query corpus passes. The posting fetch reads only
+    * the queried terms' bucket DIRECTORIES (static PartitionFilters —
+    * [[graft.sources.BmIndex.postingsFor]]); the scorer joins the
+    * narrow doclens relation left so zero-score docs rank exactly as
+    * t14 ranks them.
+    */
+  def bm25Indexed(s: SparkSession, path: String, qterms: Seq[String],
+      k: Int = 20): DataFrame = {
+    require(qterms.nonEmpty, "bm25Indexed: no query terms")
+    val post = graft.sources.BmIndex.postingsFor(s, path, qterms)
+    val tfAggs = qterms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"tf$i") }
+    val tfs = post.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = qterms.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df$i") }
+    val dfAgg = graft.sources.BmIndex.dfRel(s, path)
+      .filter(col("term").isin(qterms: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    // t14's expression tree, verbatim — the IEEE-identity contract
+    def idf(i: Int): Column =
+      ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+    def tscore(i: Int): Column =
+      idf(i) * (col(s"tf$i").cast("double") * lit(2.2)) /
+        (col(s"tf$i").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val joined = qterms.indices.foldLeft(
+        graft.sources.BmIndex.doclens(s, path)
+          .join(tfs, Seq("doc_id"), "left")) { (df, i) =>
+        df.withColumn(s"tf$i", coalesce(col(s"tf$i"), lit(0L)))
+      }
+      .crossJoin(broadcast(graft.sources.BmIndex.stats(s, path)))
+      .crossJoin(broadcast(dfAgg))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+    joined.select(col("doc_id") +:
+        qterms.zipWithIndex.map { case (t, i) =>
+          col(s"tf$i").cast("int").as(s"tf_$t") } :+
+        qterms.indices.map(tscore).reduce(_ + _).as("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats come from the compiled tokenStats kernel (one
@@ -295,6 +391,28 @@ object TextAnalysis {
     // expressions (array_remove diff, no explode); the corpus-level
     // stats (N, avgdl, per-term df) are ONE tiny agg broadcast back;
     // the final top-20 is TakeOrdered, never a global sort.
+    // BM25 served from the PERSISTED inverted index (r15 — the v10c
+    // "production shape under the same hash gate" progression applied
+    // to the search family): buildBm25Index derives postings/doclens
+    // ONCE and persists them with FROZEN ranking stats (BmIndex); the
+    // query computes its terms' hash buckets driver-side and pushes
+    // them as a static isin → PartitionFilters, so the posting fetch
+    // reads ≤ k of the 64 bucket directories, never the corpus; it
+    // then aggregates per-doc tfs and scores through t14's EXACT
+    // expression tree over the loaded (dl, tf, df, n_docs, avgdl) —
+    // same IEEE op sequence, so the output is row-identical to the
+    // two-pass in-query t14 and the ORACLE IS t14's VERBATIM. A suite
+    // session builds the index once (reuseArtifact, deterministic
+    // build); standalone rebuilds into the fixed scratch path.
+    "t15_bm25_indexed" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25_idx", dir) {
+        val p = Similarity.scratchPath("bm25", dir)
+        buildBm25Index(s, dir, p)
+        p
+      }
+      bm25Indexed(s, path, Seq("dup", "vector", "spark"))
+    }),
+
     "t14_bm25_search" -> ((s, dir) => {
       val qterms = Seq("dup", "vector", "spark")
       // r11: dl + all three tf's from ONE QueryTf kernel pass — the
@@ -559,6 +677,32 @@ object TextAnalysis {
     // arithmetic step below mirrors the Spark expression tree node for
     // node (+, *, / in written order, same casts), so the double score
     // is bit-identical and the hash compare holds
+    // the indexed path is row-identical to t14 by construction (same
+    // expression tree over the loaded relations) — t14's oracle verbatim
+    "t15_bm25_indexed" ->
+      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
+         |  CAST(len([t for t in tk if t = 'dup']) AS INT) AS tf0,
+         |  CAST(len([t for t in tk if t = 'vector']) AS INT) AS tf1,
+         |  CAST(len([t for t in tk if t = 'spark']) AS INT) AS tf2 FROM d),
+         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b),
+         |j AS (SELECT b.*, st.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM b, st)
+         |SELECT doc_id, tf0 AS tf_dup, tf1 AS tf_vector, tf2 AS tf_spark,
+         |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+         |    * (CAST(tf0 AS DOUBLE) * 2.2)
+         |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+         |    * (CAST(tf1 AS DOUBLE) * 2.2)
+         |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+         |    * (CAST(tf2 AS DOUBLE) * 2.2)
+         |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         |  AS score
+         |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "t14_bm25_search" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
          |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Persisted BM25 search index (r15) — t14's corpus derivations as an
+  * on-disk artifact instead of two in-query corpus passes: the
+  * [[IvfIndex]]/[[PqIndex]] treatment applied to the search family.
+  *
+  * Layout under `path`:
+  *
+  *  - `path` — the postings (term, doc_id, tf), written
+  *    `partitionBy(pbkt)` where pbkt = charFp(term) mod [[Buckets]]:
+  *    a k-term query computes its terms' buckets DRIVER-SIDE (the
+  *    portable hash has a Scala twin) and pushes them as an explicit
+  *    `isin` → static PartitionFilters, so the posting fetch reads
+  *    ≤ k of the bucket directories, never the corpus. Directory
+  *    pruning, not table bucketing, deliberately: bucket-filter
+  *    pruning rides the planner's DisableUnnecessaryBucketedScan
+  *    mood (observed disabled for filter-only plans), while partition
+  *    pruning is structural — the same reasoning as [[IvfIndex]].
+  *  - `path + "_doclens"` — (doc_id, dl): the narrow per-doc length
+  *    relation the scorer joins.
+  *  - `path + "_df"` / `path + "_stats"` — the FROZEN ranking
+  *    statistics (per-term document frequency; corpus size and total
+  *    length). Frozen is load-bearing for [[append]]: BM25's
+  *    idf/avgdl are global, so scoring appended docs under build-time
+  *    statistics is the standard stale-index serving contract every
+  *    search engine runs between rebuilds — appends change WHICH docs
+  *    are scored, never how already-indexed docs score
+  *    (Bm25IndexSpec pins old-doc score invariance across appends).
+  *    Rebuild to refresh statistics — the same "retraining is a
+  *    rebuild" split as the ANN indexes.
+  */
+object BmIndex {
+
+  /** Posting-directory fan-out. 64 directories ≈ k/64 of the bytes per
+    * k-term query at any corpus size (each directory just holds more
+    * files at scale — the IvfIndex argument).
+    */
+  val Buckets = 64
+
+  /** The bucket of one term — driver-side twin of the pbkt column
+    * (same portable hash, same mod).
+    */
+  def bucketOf(term: String): Long = {
+    val m = Text.charFpStr(term) % Buckets
+    if (m < 0) m + Buckets else m
+  }
+
+  def write(postings: DataFrame, doclens: DataFrame, path: String): Unit = {
+    // repartition on the partition column first — partitionBy alone
+    // fans every task into every directory (the PqIndex 5120-file trap)
+    postings.select(col("term"), col("doc_id"), col("tf"),
+        pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
+      .repartition(col("pbkt"))
+      .write.mode("overwrite").partitionBy("pbkt").parquet(path)
+    doclens.select("doc_id", "dl")
+      .write.mode("overwrite").parquet(path + "_doclens")
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(path + "_df")
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** The postings restricted to `qterms` — the terms' buckets pushed
+    * as a static `isin` (PartitionFilters: read only those
+    * directories), the term equality as an ordinary pushed filter
+    * inside them.
+    */
+  def postingsFor(spark: SparkSession, path: String,
+      qterms: Seq[String]): DataFrame = {
+    // INT literals to match the inferred partition-directory type —
+    // a cast between the column and the isin list would sit between
+    // the filter and PartitionFilters
+    val bkts = qterms.map(t => bucketOf(t).toInt).distinct
+    spark.read.parquet(path)
+      .filter(col("pbkt").isin(bkts: _*) && col("term").isin(qterms: _*))
+      .select("term", "doc_id", "tf")
+  }
+
+  def doclens(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_doclens")
+
+  def dfRel(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_df")
+
+  def stats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path + "_stats")
+
+  /** Append new docs' postings + lengths into the partitioned layout;
+    * `_df`/`_stats` stay FROZEN (see the class note). One narrow pass
+    * over the new rows, existing files untouched.
+    */
+  def append(postingsNew: DataFrame, doclensNew: DataFrame,
+      path: String): Unit = {
+    postingsNew.select(col("term"), col("doc_id"), col("tf"),
+        pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
+      .repartition(col("pbkt"))
+      .write.mode("append").partitionBy("pbkt").parquet(path)
+    doclensNew.select("doc_id", "dl")
+      .write.mode("append").parquet(path + "_doclens")
+  }
+}
