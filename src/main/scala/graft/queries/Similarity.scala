@@ -1557,6 +1557,26 @@ object Similarity {
           when(col("bound_viol") === 0L, lit(1L)).otherwise(lit(0L)).as("never_better"))
     }),
 
+    // The flat-PQ DISTRIBUTED serving path under the driver's hash
+    // gate (r15 — v12c's progression applied to v11's tier): build the
+    // deterministic PqIndex once per session (reuseArtifact; standalone
+    // rebuilds into the fixed scratch path), serve through
+    // knnPqIndexedDist — query-side LUTs computed by the scan kernel,
+    // broadcast query relation, column-carried ADC — and gate on v11's
+    // contract with v11's oracle verbatim (the loaded codebook
+    // round-trips bit-exactly, and PqDistServeSpec pins dist == driver
+    // row for row, so recall is v11's measured 28/29/25).
+    "v11b_pq_dist" -> ((s, dir) => {
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val path = graft.SharedProjections.reuseArtifact("pq_flat_idx", dir) {
+        val p = scratchPath("v11b", dir)
+        buildPqIndex(s, dir, p)
+        p
+      }
+      val pq3 = knnPqIndexedDist(s, dir, path, qPred)
+      pqContract(s, dir, pq3, 300, 310, V11Floor)
+    }),
+
     // Product-quantized ADC retrieval (r13) — the compression tier PAST
     // int8: v09's codes are dim bytes/vector, PQ's are m = 16 (32× vs
     // float64, 4× vs int8), and the ADC scan costs m table-adds per
@@ -1889,6 +1909,27 @@ object Similarity {
          |a AS (SELECT vec_id, c_id, cos,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn FROM p)
          |SELECT vec_id, c_id, cos AS c_cos FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the distributed flat-PQ serving path is row-identical to v11's
+    // driver path (PqDistServeSpec) — v11's oracle verbatim
+    "v11b_pq_dist" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
 
     // within_bound contract oracle (x01/v10b pattern): the exact
     // ground-truth half (query count, top-3 floor-micros cosine sum)
