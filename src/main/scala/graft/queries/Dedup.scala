@@ -539,6 +539,29 @@ object Dedup {
         .orderBy("a_id", "b_id")
     }),
 
+    // PPJoin served from the PERSISTED bucketed index under the
+    // driver's hash gate (r15 — the v10c production-shape progression
+    // applied to the dedup family, completing the artifact-gate
+    // matrix: IvfIndex v10c/v10d, PqIndex v11b/v12/v12b/v12c, BmIndex
+    // t15, PpIndex here): write the base relation into the bucketed
+    // PpIndex table (in a suite session the base itself comes from the
+    // shared ppjoin_base silver, so the in-gate cost is the bucketed
+    // WRITE; standalone rebuilds from scratch), then serve
+    // jaccardPairsIndexed — the zero-exchange candidate self-join
+    // (PpIndexSpec pins the plan). Row-identical to d02 over the same
+    // corpus (same base relation, same exact verify), so d02's oracle
+    // applies verbatim.
+    "d02b_jaccard_indexed" -> ((s, dir) => {
+      val table = graft.SharedProjections.reuseArtifact("pp_idx", dir) {
+        val t = "ppjoin_idx_" + java.lang.Integer.toHexString(dir.hashCode)
+        graft.sources.PpIndex.write(
+          jaccardBaseAndCands(shingleDocs(s, dir), 0.5,
+            positional = true, reuseDir = Some(dir))._1, t)
+        t
+      }
+      jaccardPairsIndexed(s, table).orderBy("a_id", "b_id")
+    }),
+
     // scalar-exploded shape (doc_id, perm_index, sig_value): the driver's
     // pandas oracle can't sort/hash an array<bigint> column (round-1 err),
     // so the gate row is one row per permutation; the array-valued
@@ -893,6 +916,12 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "d02_jaccard_pairs" ->
+      s"""WITH $JACCARD_PAIRS_CAPPED
+         |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    // the indexed path serves the same base relation through the same
+    // exact verify — d02's oracle verbatim
+    "d02b_jaccard_indexed" ->
       s"""WITH $JACCARD_PAIRS_CAPPED
          |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 

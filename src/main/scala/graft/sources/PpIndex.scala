@@ -28,11 +28,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PpIndex {
 
   /** Persist a PPJoin base relation bucketed + sorted on the
-    * fingerprint join key.
+    * fingerprint join key. Resets the target first (drop + warehouse-
+    * dir delete — the BmIndex.write convention): an in-query build
+    * must survive a fresh JVM whose in-memory catalog has no entry for
+    * a leftover warehouse directory (saveAsTable would otherwise fail
+    * LOCATION_ALREADY_EXISTS).
     */
-  def write(base: DataFrame, table: String, buckets: Int = 8): Unit =
+  def write(base: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val spark = base.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     Bucketing.writeBucketed(base.select("doc_id", "s", "rk", "n"),
       table, "s", buckets)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
