@@ -322,8 +322,11 @@ object Dedup {
         count(lit(1)).over(byDoc).as("n"))
   }
 
-  def buildPpIndex(s: SparkSession, dir: String, table: String,
-      t: Double = 0.5): Unit =
+  // no threshold parameter (r16, ADVICE): the persisted base is
+  // threshold-INDEPENDENT — t shapes only the candidate side at query
+  // time (jaccardPairsIndexed takes it), so a t here would mislead
+  // callers into thinking the index is threshold-specific
+  def buildPpIndex(s: SparkSession, dir: String, table: String): Unit =
     buildPpIndexOver(s, shingleDocs(s, dir), table)
 
   /** [[buildPpIndex]] over an explicit (doc_id, sh) corpus — persists

@@ -82,8 +82,13 @@ object TextAnalysis {
       k: Int = 20): DataFrame = {
     require(qterms.nonEmpty, "bm25Indexed: no query terms")
     val post = graft.sources.BmIndex.postingsFor(s, path, qterms)
+    // max, NOT sum (r16, ADVICE): a crash inside BmIndex.append's
+    // postings→doclens window makes the replayed batch re-append
+    // bit-identical posting rows; max collapses the exact copies where
+    // sum would silently double tf (see BmIndex.append). A clean index
+    // has exactly one (term, doc) row, where max == sum.
     val tfAggs = qterms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, col("tf"))).as(s"tf$i") }
+      max(when(col("term") === t, col("tf"))).as(s"tf$i") }
     val tfs = post.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
     val dfAggs = qterms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("df"))), lit(0L)).as(s"df$i") }

@@ -73,6 +73,7 @@ object BmIndex {
     */
   def postingsFor(spark: SparkSession, path: String,
       qterms: Seq[String]): DataFrame = {
+    AtomicSwap.recover(spark, path)
     // INT literals to match the inferred partition-directory type —
     // a cast between the column and the isin list would sit between
     // the filter and PartitionFilters
@@ -82,8 +83,10 @@ object BmIndex {
       .select("term", "doc_id", "tf")
   }
 
-  def doclens(spark: SparkSession, path: String): DataFrame =
+  def doclens(spark: SparkSession, path: String): DataFrame = {
+    AtomicSwap.recover(spark, path + "_doclens")
     spark.read.parquet(path + "_doclens")
+  }
 
   def dfRel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "_df")
@@ -94,6 +97,18 @@ object BmIndex {
   /** Append new docs' postings + lengths into the partitioned layout;
     * `_df`/`_stats` stay FROZEN (see the class note). One narrow pass
     * over the new rows, existing files untouched.
+    *
+    * The two writes are separate jobs, NOT atomic together, and replay
+    * absorption (the [[graft.streaming.BmIngest]] anti-join and
+    * `appendToBm25Index`'s dup guard) keys on DOCLENS — so a crash in
+    * the window between them leaves this batch's postings durable with
+    * no doclens rows, and the replayed batch re-appends the SAME
+    * posting rows (r16, ADVICE). Posting order is therefore load-
+    * bearing: postings FIRST, so the only reachable duplicate state is
+    * exact-copy posting rows — which every consumer collapses by
+    * aggregating per-(doc, term) tf with max() instead of sum()
+    * (duplicates are bit-identical rows; max is idempotent where sum
+    * silently doubles tf). BmIngestSpec pins the partial-crash replay.
     */
   def append(postingsNew: DataFrame, doclensNew: DataFrame,
       path: String): Unit = {
@@ -103,5 +118,32 @@ object BmIndex {
       .write.mode("append").partitionBy("pbkt").parquet(path)
     doclensNew.select("doc_id", "dl")
       .write.mode("append").parquet(path + "_doclens")
+  }
+
+  /** Rewrite postings back to one file per bucket directory and the
+    * doclens relation to `doclensFiles` files (r16, verdict ask #2 —
+    * the maintenance companion to [[append]] behind [[graft.streaming
+    * .BmIngest]]): every micro-batch appends up to [[Buckets]] posting
+    * files plus one doclens file, so a long-running stream accretes
+    * tiny files and the per-query posting fetch opens batches × files.
+    * Rows and the frozen `_df`/`_stats` siblings are untouched
+    * (Bm25IndexSpec pins row identity and the file-count collapse).
+    * Swap-based ([[AtomicSwap]]): the rewrite reads straight from the
+    * durable source into a sibling and renames in — never an
+    * overwrite-in-place through executor-memory state. Run between
+    * appends, not concurrently with a reader.
+    */
+  def compact(spark: SparkSession, path: String, doclensFiles: Int = 8): Unit = {
+    AtomicSwap.swapIn(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .select("term", "doc_id", "tf", "pbkt")
+        .repartition(col("pbkt"))
+        .write.mode("overwrite").partitionBy("pbkt").parquet(tmp)
+    }
+    AtomicSwap.swapIn(spark, path + "_doclens") { tmp =>
+      spark.read.parquet(path + "_doclens")
+        .repartition(doclensFiles)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 }

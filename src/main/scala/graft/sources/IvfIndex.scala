@@ -53,8 +53,10 @@ object IvfIndex {
     * inference parses `c_id=N` as INT; cast back to the relation's
     * BIGINT so readers see the written schema.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    AtomicSwap.recover(spark, path)
     spark.read.parquet(path).withColumn("c_id", col("c_id").cast("long"))
+  }
 
   /** Read only the probed centroids' partitions. */
   def probe(spark: SparkSession, path: String, centroidIds: Seq[Long]): DataFrame =
@@ -85,4 +87,23 @@ object IvfIndex {
     */
   def fineShards(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "_fine").withColumn("s_id", col("s_id").cast("long"))
+
+  /** Rewrite the assignment relation back to one file per `c_id=`
+    * directory (r16, verdict ask #2 — the missing half of the
+    * maintenance story behind `appendToIvfIndex`: every append adds a
+    * file into each touched list directory, so after many deltas a
+    * probe opens nprobe × appends files instead of nprobe). Rows and
+    * the codebook sibling are untouched (IvfPersistSpec pins row
+    * identity and the file-count collapse). Swap-based
+    * ([[AtomicSwap]]): the rewrite reads straight from the durable
+    * source into a sibling and renames in — never an
+    * overwrite-in-place through executor-memory state. Run between
+    * appends, not concurrently with a reader.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    AtomicSwap.swapIn(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
+    }
 }

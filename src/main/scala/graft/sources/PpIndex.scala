@@ -36,15 +36,37 @@ object PpIndex {
     */
   def write(base: DataFrame, table: String, buckets: Int = 8): Unit = {
     val spark = base.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    resetTable(spark, table)
     Bucketing.writeBucketed(base.select("doc_id", "s", "rk", "n"),
       table, "s", buckets)
   }
 
-  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  /** Drop `table` AND delete its leftover warehouse directory — an
+    * in-query build must survive a fresh JVM whose in-memory catalog
+    * has no entry for the directory (saveAsTable would otherwise fail
+    * LOCATION_ALREADY_EXISTS).
+    */
+  private def resetTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
+  /** Finish an interrupted [[compact]] swap, if one is detected: the
+    * live table absent with the compacted `_c` sibling present (the
+    * only crash window — see compact) → rename the sibling in.
+    * Idempotent, one catalog lookup when healthy.
+    */
+  private def recoverSwap(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(table + "_c"))
+      spark.sql(s"ALTER TABLE ${table}_c RENAME TO $table")
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    recoverSwap(spark, table)
+    spark.table(table)
+  }
 
   /** Persist the BUILD-time per-fingerprint document frequency —
     * every fp seen at build, capped and uncapped alike (the base alone
@@ -80,10 +102,28 @@ object PpIndex {
     * single-file buckets), so post-append plans re-sort in-partition.
     * Compacting restores the build-time plan. Rows are untouched —
     * same data, same bucket spec (PpAppendSpec pins row identity and
-    * the Sort nodes' disappearance). The read is materialized EAGERLY
-    * before the overwrite of its own source table. Run between
-    * appends, not concurrently with a reader.
+    * the Sort nodes' disappearance).
+    *
+    * r16 (ADVICE): swap-based, not overwrite-in-place. The old form
+    * eagerly localCheckpoint'ed the table and overwrote its own source
+    * — holding the ONLY copy of the index in unreplicated executor
+    * state while the source was deleted; an executor loss in that
+    * window lost the index irrecoverably. Now the compacted rows land
+    * in a sibling `_c` TABLE read straight from the durable source,
+    * and the swap is two catalog ops (drop live, rename sibling in —
+    * a managed-table rename moves the warehouse directory with it).
+    * Crash before the drop leaves the live table untouched (the stray
+    * `_c` is reset on the next compact); crash between drop and rename
+    * is healed by [[recoverSwap]] at the head of every read. Run
+    * between appends, not concurrently with a reader.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit =
-    write(spark.table(table).localCheckpoint(eager = true), table, buckets)
+  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+    recoverSwap(spark, table)
+    resetTable(spark, table + "_c")
+    Bucketing.writeBucketed(
+      spark.table(table).select("doc_id", "s", "rk", "n"),
+      table + "_c", "s", buckets)
+    resetTable(spark, table)
+    spark.sql(s"ALTER TABLE ${table}_c RENAME TO $table")
+  }
 }

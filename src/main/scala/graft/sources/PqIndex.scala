@@ -63,6 +63,7 @@ object PqIndex {
     * parses `c_id=N` as INT; cast back to the relation's BIGINT.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
+    AtomicSwap.recover(spark, path)
     val df = spark.read.parquet(path)
     if (df.columns.contains("c_id")) df.withColumn("c_id", col("c_id").cast("long"))
     else df
@@ -81,15 +82,20 @@ object PqIndex {
     * story for the partitioned tier): every append adds a file into
     * each touched `c_id=` directory, so after many deltas a probe
     * opens nprobe × appends files instead of nprobe. Rows and the
-    * codebook sibling are untouched; the read is materialized EAGERLY
-    * before overwriting its own source. Run between appends, not
-    * concurrently with a reader.
+    * codebook sibling are untouched. r16 (ADVICE): the rewrite lands in
+    * a `.compact` sibling read STRAIGHT FROM THE DURABLE SOURCE and
+    * swaps in by rename ([[AtomicSwap]]) — the old eager-localCheckpoint
+    * +overwrite-in-place form held the only copy of the index in
+    * unreplicated executor state while its source was being deleted.
+    * Run between appends, not concurrently with a reader.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val snap = read(spark, path).localCheckpoint(eager = true)
-    if (snap.columns.contains("c_id"))
-      snap.repartition(col("c_id")).write.mode("overwrite")
-        .partitionBy("c_id").parquet(path)
-    else snap.write.mode("overwrite").parquet(path)
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    AtomicSwap.swapIn(spark, path) { tmp =>
+      val snap = spark.read.parquet(path)
+      if (snap.columns.contains("c_id"))
+        snap.withColumn("c_id", col("c_id").cast("long"))
+          .repartition(col("c_id")).write.mode("overwrite")
+          .partitionBy("c_id").parquet(tmp)
+      else snap.write.mode("overwrite").parquet(tmp)
+    }
 }

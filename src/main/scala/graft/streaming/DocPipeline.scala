@@ -121,12 +121,21 @@ object DocPipeline {
       // serve null verdicts instead of failing (r15, ADVICE). Compare
       // the on-disk footer schema first and fail loudly: state is
       // cheap to rebuild, silent nulls are not. Footer inference is
-      // one driver-side read per store per batch.
-      val onDisk = spark.read.parquet(path).schema.fieldNames.toSet
-      val missing = schema.fieldNames.filterNot(onDisk.contains)
-      require(missing.isEmpty, s"DocPipeline state at $path was written " +
-        s"by an older layout: missing column(s) ${missing.mkString(", ")}. " +
-        "Wipe the state dir and re-ingest (state is derived data).")
+      // one driver-side read per store per batch. A dir that EXISTS
+      // but holds no committed data files (crash during the very first
+      // write leaves only _temporary) has no footers to infer from —
+      // that is the empty store, not a layout violation, so fall
+      // through to the explicit-schema read (which returns empty) and
+      // let the replay recover as it did pre-r15 (r16, ADVICE).
+      val onDisk =
+        try Some(spark.read.parquet(path).schema.fieldNames.toSet)
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      onDisk.foreach { fields =>
+        val missing = schema.fieldNames.filterNot(fields.contains)
+        require(missing.isEmpty, s"DocPipeline state at $path was written " +
+          s"by an older layout: missing column(s) ${missing.mkString(", ")}. " +
+          "Wipe the state dir and re-ingest (state is derived data).")
+      }
       spark.read.schema(schema).parquet(path)
     }
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -75,4 +75,40 @@ class Bm25IndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already indexed"))
   }
+
+  test("compact collapses appended files; rows and serving identical") {
+    val base = java.nio.file.Files.createTempDirectory("bm25compact").toString
+    val path = s"$base/idx"
+    val docs = graft.Tables(spark, dir, "documents").select("doc_id", "text")
+      .localCheckpoint(eager = false)
+    val Seq(c1, c2) = Seq(0.5, 0.75).map(p =>
+      docs.agg(expr(s"percentile(doc_id, $p)")).head().getDouble(0).toLong)
+    TextAnalysis.buildBm25IndexOver(spark, docs.filter(col("doc_id") <= c1), path)
+    TextAnalysis.appendToBm25Index(spark, path,
+      docs.filter(col("doc_id") > c1 && col("doc_id") <= c2))
+    TextAnalysis.appendToBm25Index(spark, path, docs.filter(col("doc_id") > c2))
+
+    def serve = TextAnalysis.bm25Indexed(spark, path, qterms, k = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(4))).toSeq
+    def postings = BmIndex.postingsFor(spark, path, qterms)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    def filesPerDir(p: String, pfx: String): Map[String, Int] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(pfx))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+
+    val (beforeServe, beforePost) = (serve, postings)
+    assert(filesPerDir(path, "pbkt=").values.exists(_ > 1),
+      "appends should leave multiple files per bucket directory")
+    BmIndex.compact(spark, path)
+    assert(postings === beforePost, "compact must not change posting rows")
+    assert(serve === beforeServe, "compact must not change serving")
+    assert(filesPerDir(path, "pbkt=").values.forall(_ == 1),
+      "compact should leave one file per bucket directory")
+    val dlFiles = new java.io.File(path + "_doclens").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dlFiles <= 8, s"doclens should collapse to <= 8 files, got $dlFiles")
+  }
 }

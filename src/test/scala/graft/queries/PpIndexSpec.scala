@@ -45,4 +45,26 @@ class PpIndexSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"candidate self-join against the bucketed base must not shuffle:\n$plan")
   }
+
+  test("interrupted compact swap (live dropped, _c present) heals on read") {
+    import spark.implicits._
+    val table = "ppjoin_swap_spec"
+    for (t <- Seq(table, table + "_df", table + "_c")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    val base = Seq((1L, 10L, 1, 2), (1L, 11L, 2, 2), (2L, 10L, 1, 1))
+      .toDF("doc_id", "s", "rk", "n")
+    graft.sources.PpIndex.write(base, table)
+    // simulate the crash window between compact's drop and rename: the
+    // compacted sibling exists, the live table does not
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}_c")
+    val rows = graft.sources.PpIndex.read(spark, table)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows === Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+    assert(spark.catalog.tableExists(table) &&
+      !spark.catalog.tableExists(table + "_c"))
+  }
 }

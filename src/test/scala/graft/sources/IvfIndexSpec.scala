@@ -40,4 +40,33 @@ class IvfIndexSpec extends SparkSpec {
     val plan = probed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"))
   }
+
+  test("compact collapses append files to one per list; rows identical") {
+    val path = Files.createTempDirectory("ivfc").resolve("idx").toString
+    val assign = graft.queries.Similarity.ivfAssign(spark, "/root/testdata/sf0.001")
+    // build on a third, then two appends (each lands one file per
+    // touched c_id= directory — the accretion IvfIndex.compact sweeps)
+    IvfIndex.write(assign.filter(col("vec_id") % 3 === 0), path)
+    for (m <- Seq(1, 2))
+      assign.filter(col("vec_id") % 3 === m)
+        .repartition(col("c_id"))
+        .write.mode("append").partitionBy("c_id").parquet(path)
+
+    def rows: Seq[(Long, Long)] = IvfIndex.read(spark, path)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().sorted.toSeq
+    def filesPerDir: Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+    }
+
+    val before = rows
+    assert(filesPerDir.values.exists(_ > 1),
+      "appends should leave multiple files per list directory")
+    IvfIndex.compact(spark, path)
+    assert(rows === before, "compact must not change the indexed rows")
+    assert(filesPerDir.values.forall(_ == 1),
+      s"compact should leave one file per list: $filesPerDir")
+  }
 }

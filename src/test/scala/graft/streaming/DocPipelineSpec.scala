@@ -322,4 +322,15 @@ class DocPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dirB/winfps").collect().map(_.toSeq).sortBy(_.toString).toSeq ===
       spark.read.parquet(s"$dirA/winfps").collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
+
+  test("a state dir with no committed data files reads as the empty store") {
+    // crash during the very first write of a store leaves the dir with
+    // only _temporary — the footer-schema layout check must not turn
+    // that into a permanent 'unable to infer schema' failure (r16,
+    // ADVICE): it is the empty store, and replay recovers it
+    val stateDir = java.nio.file.Files.createTempDirectory("dpempty").toString
+    assert(new java.io.File(s"$stateDir/docs/_temporary").mkdirs())
+    assert(DocPipeline.docsStore(spark, stateDir).isEmpty,
+      "an uncommitted state dir should read as empty, not fail")
+  }
 }
