@@ -119,6 +119,101 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DISTRIBUTED batch BM25 serving (r16, verdict ask #1 — the
+    * v11b/v12c treatment applied to the search family): the query side
+    * becomes a RELATION instead of a driver parameter, so a 10⁴-query
+    * batch is one Spark job, never a driver loop over [[bm25Indexed]].
+    *
+    * Shape: `queries` flattens to a tiny (q_id, ti, term) relation
+    * (ti = the term's position in its query — the FOLD ORDER), which
+    * broadcast-joins the posting fetch for the batch's distinct terms
+    * (still ≤ |terms| of the 64 bucket directories — the static-isin
+    * prune is per-BATCH, shared by every query in it). Matched
+    * (q_id, doc) pairs pivot their tfs into per-position columns with
+    * max() (replay-proof, see [[graft.sources.BmIndex.append]]), join
+    * the narrow doclens relation for dl, and score through t14's
+    * VERBATIM expression tree — same casts, same written-order +,*,/.
+    *
+    * Per-query ranking is top-`k` over MATCHED docs (docs sharing ≥1
+    * term with the query) — the production search contract. Matched
+    * docs' scores are bit-identical to [[bm25Indexed]]'s: a zero-tf
+    * term contributes exactly +0.0 and IEEE x+0.0 == x for the
+    * non-negative partial sums here, so folding the padded fixed-width
+    * columns in position order equals t14's per-query written-order
+    * sum bit for bit (Bm25BatchSpec pins the equality per query).
+    * Zero-score docs are UNRANKED — the one documented divergence from
+    * the single-query path, which ranks them for t14 oracle parity
+    * (no real search serves score-0 results; the corpus-sized doclens
+    * left join existed only for that parity).
+    *
+    * Scale: the query relation broadcasts (bytes/query, not the LUT
+    * problem — terms are short), postings move once through the
+    * (q_id, doc) aggregation, and the per-query rank window partitions
+    * by q_id — parallelism grows with the batch. Nothing is collected
+    * to the driver.
+    */
+  def bm25Batch(s: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])], k: Int = 20): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25Batch: every query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "bm25Batch: duplicate q_id")
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m = queries.map(_._2.size).max
+    val qrel = queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+      .toDF("q_id", "ti", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val post = graft.sources.BmIndex.postingsFor(s, path, allTerms)
+    // pivot to fixed-width per-position columns; max() both collapses
+    // replayed duplicate postings AND is the pivot aggregate (a clean
+    // index has exactly one (term, doc) row per position)
+    val tfAggs = (0 until m).map(i =>
+      coalesce(max(when(col("ti") === i, col("tf"))), lit(0L)).as(s"tf$i"))
+    val tfs = post.join(broadcast(qrel), Seq("term"))
+      .groupBy("q_id", "doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    // per-query frozen dfs, pivoted the same way — n_q rows, broadcast
+    val dfAggs = (0 until m).map(i =>
+      coalesce(max(when(col("ti") === i, col("df"))), lit(0L)).as(s"df$i"))
+    val dfq = broadcast(qrel
+      .join(graft.sources.BmIndex.dfRel(s, path)
+        .filter(col("term").isin(allTerms: _*)), Seq("term"), "left")
+      .select(col("q_id"), col("ti"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("q_id").agg(dfAggs.head, dfAggs.tail: _*))
+    // t14's expression tree, verbatim — the IEEE-identity contract
+    def idf(i: Int): Column =
+      ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+    def tscore(i: Int): Column =
+      idf(i) * (col(s"tf$i").cast("double") * lit(2.2)) /
+        (col(s"tf$i").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val scored = tfs
+      .join(graft.sources.BmIndex.doclens(s, path), Seq("doc_id"))
+      .crossJoin(broadcast(graft.sources.BmIndex.stats(s, path)))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .join(dfq, Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (0 until m).map(tscore).reduce(_ + _).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "doc_id", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  /** The fixed deterministic query batch the t16 gate serves (and its
+    * spec replays query-by-query): t14's query, two more over the
+    * fixture vocabulary at different term counts, and one carrying an
+    * out-of-vocabulary term (df = 0 — contributes exactly 0.0).
+    */
+  private[graft] val T16Batch: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("dup", "vector", "spark"),
+    1L -> Seq("merge", "sort"),
+    2L -> Seq("stream", "batch", "window", "query"),
+    3L -> Seq("hash", "zebra"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats come from the compiled tokenStats kernel (one
     // JVM pass per row) rather than Catalyst HOF lambdas, which evaluate
@@ -418,6 +513,26 @@ object TextAnalysis {
       bm25Indexed(s, path, Seq("dup", "vector", "spark"))
     }),
 
+    // BM25 served for a BATCH of queries from the persisted index —
+    // the distributed query side under the driver's hash gate (the
+    // v11b/v12c progression applied to the search family): the fixed
+    // deterministic 4-query batch [[T16Batch]] flows through
+    // [[bm25Batch]]'s (q_id, ti, term) relation, one Spark job for the
+    // whole batch. Matched docs score through t14's exact expression
+    // tree (the +0.0 padding identity makes the fixed-width fold equal
+    // each query's written-order sum bit for bit); the oracle mirrors
+    // the batch as one WITH block per query over the same corpus
+    // statistics, matched-only, UNION ALL'd. Suite sessions reuse the
+    // t15-shared index build.
+    "t16_bm25_batch" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25_idx", dir) {
+        val p = Similarity.scratchPath("bm25", dir)
+        buildBm25Index(s, dir, p)
+        p
+      }
+      bm25Batch(s, path, T16Batch, k = 10)
+    }),
+
     "t14_bm25_search" -> ((s, dir) => {
       val qterms = Seq("dup", "vector", "spark")
       // r11: dl + all three tf's from ONE QueryTf kernel pass — the
@@ -502,6 +617,47 @@ object TextAnalysis {
 
   /** Datasketches-HLL relative standard deviation at lgConfigK=12. */
   private[graft] val HllRsd: Double = 1.04 / math.sqrt((1 << 12).toDouble)
+
+  /** t16's oracle, GENERATED from [[T16Batch]] so the gate's query set
+    * is single-sourced: one WITH block per query computing t14's exact
+    * per-doc score over the full corpus statistics (every arithmetic
+    * step mirrors the Spark tree node for node — the t14/t15
+    * IEEE-identity contract), ranked over MATCHED docs only (any
+    * tf > 0 — bm25Batch's production contract), UNION ALL'd.
+    */
+  private def t16OracleSql(k: Int): String = {
+    val blocks = T16Batch.map { case (qid, terms) =>
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len([t for t in tk if t = '$t']) AS INT) AS tf$i" }.mkString(",\n  ")
+      val dfDefs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+        .mkString(",\n  ")
+      val score = terms.indices.map(i =>
+        s"""(CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)
+           |    * (CAST(tf$i AS DOUBLE) * 2.2)
+           |    / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"""
+          .stripMargin).mkString("\n  + ")
+      val matched = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""b$qid AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
+         |  $tfDefs FROM d),
+         |st$qid AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  $dfDefs FROM b$qid),
+         |j$qid AS (SELECT b$qid.*, st$qid.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl
+         |  FROM b$qid, st$qid),
+         |s$qid AS (SELECT doc_id, $score
+         |  AS score FROM j$qid WHERE $matched),
+         |r$qid AS (SELECT CAST($qid AS BIGINT) AS q_id,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, score FROM s$qid)""".stripMargin
+    }
+    val union = T16Batch.map { case (qid, _) => s"SELECT * FROM r$qid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |${blocks.mkString(",\n")}
+       |SELECT q_id, rank, doc_id, score FROM (
+       |  $union
+       |) WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
 
   /** x05 raw estimates: per-source (exact distinct, HLL estimate) rows
     * plus the 'ALL' row whose estimate comes from MERGING the per-source
@@ -707,6 +863,8 @@ object TextAnalysis {
          |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
          |  AS score
          |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t16_bm25_batch" -> t16OracleSql(k = 10),
 
     "t14_bm25_search" ->
       s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),

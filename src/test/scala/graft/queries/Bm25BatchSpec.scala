@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Distributed batch BM25 serving (r16 — the search family's v11b:
+  * the query side as a relation): every query in a batch must score
+  * its matched docs BIT-IDENTICALLY to the single-query driver path
+  * [[TextAnalysis.bm25Indexed]] (the +0.0 padding identity makes the
+  * fixed-width fold equal each query's written-order sum exactly), in
+  * the same rank order; and the plan must be one distributed job —
+  * the query relation broadcast, the posting fetch partition-pruned —
+  * never a driver loop.
+  */
+class Bm25BatchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("batch == per-query indexed serving on matched docs, bit for bit") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batch").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    val k = 1 << 20
+    val byQ = TextAnalysis.bm25Batch(spark, path, TextAnalysis.T16Batch, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+
+    for ((qid, terms) <- TextAnalysis.T16Batch) {
+      // the single-query path ranks zero-score docs too (t14 parity);
+      // restricted to MATCHED docs (any tf > 0) its order and scores
+      // are the batch contract
+      val single = TextAnalysis.bm25Indexed(spark, path, terms, k).collect()
+        .filter(r => terms.indices.exists(i => r.getInt(1 + i) > 0))
+        .map(r => (r.getLong(0), r.getDouble(1 + terms.size))).toSeq
+      val batch = byQ(qid).sortBy(_._2).map(t => (t._3, t._4)).toSeq
+      assert(batch === single,
+        s"q_id=$qid (${terms.mkString(",")}): batch diverged from the driver path")
+    }
+  }
+
+  test("one distributed job: query relation broadcast, posting fetch pruned") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batchplan").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    val plan = TextAnalysis.bm25Batch(spark, path, TextAnalysis.T16Batch, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"the (q_id, ti, term) relation should broadcast:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("pbkt"),
+      s"the posting fetch should keep the static bucket prune:\n$plan")
+  }
+}
