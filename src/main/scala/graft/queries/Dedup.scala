@@ -565,6 +565,33 @@ object Dedup {
       jaccardPairsIndexed(s, table).orderBy("a_id", "b_id")
     }),
 
+    // the APPEND path itself under the driver's hash (r16, verdict ask
+    // #4 — completing the build/append/serve triangle the way v12c
+    // completed build/serve/distribute): build the PpIndex on a
+    // deterministic 75% doc_id prefix, append the remaining 25% under
+    // the build-frozen order (appendToPpIndex), and serve
+    // jaccardPairsIndexed from the appended index. d02's oracle applies
+    // VERBATIM because the fixtures sit far below the df cap (max fp
+    // df 25 at sf0.1, cap 50 — verified per SF), so no fingerprint
+    // crosses MaxDf between the 75% build and the full corpus: the
+    // kept-fp universe is identical, and below the cap PPJoin's output
+    // is exact under ANY consistent frozen total order (the
+    // PpAppendSpec contract — append == rebuild). The post-append plan
+    // keeps the zero-exchange candidate self-join (bucket membership
+    // is a function of s alone; PpAppendSpec pins it).
+    "d02c_jaccard_appended" -> ((s, dir) => {
+      val table = graft.SharedProjections.reuseArtifact("pp_idx_app", dir) {
+        val t = "ppjoin_idxa_" + java.lang.Integer.toHexString(dir.hashCode)
+        val docs = shingleDocs(s, dir)
+        val cut = docs.agg(expr("percentile(doc_id, 0.75)"))
+          .head().getDouble(0).toLong
+        buildPpIndexOver(s, docs.filter(col("doc_id") <= cut), t)
+        appendToPpIndex(s, t, docs.filter(col("doc_id") > cut))
+        t
+      }
+      jaccardPairsIndexed(s, table).orderBy("a_id", "b_id")
+    }),
+
     // scalar-exploded shape (doc_id, perm_index, sig_value): the driver's
     // pandas oracle can't sort/hash an array<bigint> column (round-1 err),
     // so the gate row is one row per permutation; the array-valued
@@ -925,6 +952,13 @@ object Dedup {
     // the indexed path serves the same base relation through the same
     // exact verify — d02's oracle verbatim
     "d02b_jaccard_indexed" ->
+      s"""WITH $JACCARD_PAIRS_CAPPED
+         |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
+
+    // build-75% + append-25% == rebuild below the df cap (the
+    // PpAppendSpec contract; fixtures verified far below it per SF) —
+    // d02's oracle verbatim
+    "d02c_jaccard_appended" ->
       s"""WITH $JACCARD_PAIRS_CAPPED
          |SELECT a_id, b_id, jaccard FROM jp WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin,
 
