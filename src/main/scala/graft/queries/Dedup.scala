@@ -402,6 +402,29 @@ object Dedup {
     graft.sources.PpIndex.append(ppRank(exNew, dfEff), s, table)
   }
 
+  /** Staleness probe for a persisted PPJoin index's frozen order (r16,
+    * verdict ask #6): one row `(n_fps, n_crossed, crossed_frac,
+    * max_df_now)` a maintenance job can threshold. A fingerprint that
+    * was rare at build keeps its rare rank forever, so as appends push
+    * its CURRENT df past MaxDf two costs accrue: its posting list keeps
+    * growing inside prefixes (candidate growth — filter-power decay,
+    * results still exact), and a REBUILD would now drop it (the
+    * documented divergence boundary — crossed fps are exactly where
+    * append != rebuild). crossed_frac is therefore both the decay dial
+    * and the divergence budget. Reads only the index base (count per
+    * fp), never the corpus.
+    */
+  def ppIndexDrift(s: SparkSession, table: String): DataFrame = {
+    graft.sources.PpIndex.read(s, table)
+      .groupBy("s").agg(count(lit(1)).as("df_now"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("df_now") > MaxDf, 1L).otherwise(0L)).as("n_crossed"),
+        max(col("df_now")).as("max_df_now"))
+      .select(col("n_fps"), col("n_crossed"),
+        (col("n_crossed").cast("double") / col("n_fps")).as("crossed_frac"),
+        col("max_df_now"))
+  }
+
   /** The exact-Jaccard counting verify over (base, candidate ids) —
     * shared by the in-query and persisted-index paths.
     */

@@ -77,9 +77,21 @@ object TextAnalysis {
     * [[graft.sources.BmIndex.postingsFor]]); the scorer joins the
     * narrow doclens relation left so zero-score docs rank exactly as
     * t14 ranks them.
+    *
+    * `matchedOnly` (r16, verdict ask #5 — the production dial): rank
+    * only docs sharing ≥ 1 term with the query. The doclens LEFT join
+    * from the full corpus exists solely for t14's zero-score-parity
+    * contract — it makes the indexed path pay a corpus-sized ranking
+    * input even when the postings touch 3 of 64 directories, which is
+    * why in-query t14 wins at the fixture's 15-token docs. With the
+    * dial the ranking input shrinks to the matched set (the docs any
+    * real search would serve; [[bm25Batch]] has the same contract).
+    * The ONE documented divergence: zero-score docs are unranked.
+    * Matched docs' scores are bit-identical — same expression tree
+    * over the same loaded relations (Bm25IndexSpec pins it).
     */
   def bm25Indexed(s: SparkSession, path: String, qterms: Seq[String],
-      k: Int = 20): DataFrame = {
+      k: Int = 20, matchedOnly: Boolean = false): DataFrame = {
     require(qterms.nonEmpty, "bm25Indexed: no query terms")
     val post = graft.sources.BmIndex.postingsFor(s, path, qterms)
     // max, NOT sum (r16, ADVICE): a crash inside BmIndex.append's
@@ -103,9 +115,10 @@ object TextAnalysis {
       idf(i) * (col(s"tf$i").cast("double") * lit(2.2)) /
         (col(s"tf$i").cast("double") +
           lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
-    val joined = qterms.indices.foldLeft(
-        graft.sources.BmIndex.doclens(s, path)
-          .join(tfs, Seq("doc_id"), "left")) { (df, i) =>
+    val ranked =
+      if (matchedOnly) tfs.join(graft.sources.BmIndex.doclens(s, path), Seq("doc_id"))
+      else graft.sources.BmIndex.doclens(s, path).join(tfs, Seq("doc_id"), "left")
+    val joined = qterms.indices.foldLeft(ranked) { (df, i) =>
         df.withColumn(s"tf$i", coalesce(col(s"tf$i"), lit(0L)))
       }
       .crossJoin(broadcast(graft.sources.BmIndex.stats(s, path)))

@@ -120,6 +120,32 @@ object BmIndex {
       .write.mode("append").parquet(path + "_doclens")
   }
 
+  /** Staleness probe for the frozen ranking statistics (r16, verdict
+    * ask #6): one row `(n_docs_frozen, n_docs_now, appended_frac,
+    * avgdl_frozen, avgdl_now, avgdl_drift)` a maintenance job can
+    * threshold to decide WHEN "rebuild when it drifts past budget"
+    * fires. BM25's global stats (idf's N, length-normalization's
+    * avgdl) are frozen at build, so appended volume skews scores two
+    * ways: every idf is computed against a smaller N than reality, and
+    * dl/avgdl normalizes against the build-time average length. The
+    * probe reads ONLY the narrow doclens relation + the one-row stats
+    * sibling — never the postings, never the corpus text.
+    */
+  def driftProbe(spark: SparkSession, path: String): DataFrame = {
+    val cur = doclens(spark, path)
+      .agg(count(lit(1)).as("n_docs_now"), sum(col("dl")).as("sum_dl_now"))
+    stats(spark, path).crossJoin(cur)
+      .select(
+        col("n_docs").as("n_docs_frozen"), col("n_docs_now"),
+        ((col("n_docs_now") - col("n_docs")).cast("double") / col("n_docs_now"))
+          .as("appended_frac"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl_frozen"),
+        (col("sum_dl_now").cast("double") / col("n_docs_now")).as("avgdl_now"),
+        abs((col("sum_dl_now").cast("double") / col("n_docs_now")) /
+          (col("sum_dl").cast("double") / col("n_docs")) - lit(1.0))
+          .as("avgdl_drift"))
+  }
+
   /** Rewrite postings back to one file per bucket directory and the
     * doclens relation to `doclensFiles` files (r16, verdict ask #2 —
     * the maintenance companion to [[append]] behind [[graft.streaming

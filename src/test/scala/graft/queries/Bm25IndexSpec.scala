@@ -74,6 +74,28 @@ class Bm25IndexSpec extends SparkSpec {
       TextAnalysis.appendToBm25Index(spark, path, docs.limit(1))
     }
     assert(e.getMessage.contains("already indexed"))
+
+    // drift probe: ~25% of the served corpus post-dates the frozen
+    // stats (the rebuild-scheduling signal); avgdl drift is the other
+    // threshold and is tiny on the homogeneous fixture
+    val drift = BmIndex.driftProbe(spark, path).head()
+    val frac = drift.getAs[Double]("appended_frac")
+    assert(frac > 0.2 && frac < 0.3, s"appended_frac: $drift")
+    assert(drift.getAs[Double]("avgdl_drift") >= 0.0)
+  }
+
+  test("matchedOnly dial: matched docs score bit-identically; zero-score docs unranked") {
+    val path = java.nio.file.Files.createTempDirectory("bm25matched").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    val k = 1 << 20
+    val full = rows(TextAnalysis.bm25Indexed(spark, path, qterms, k))
+    val dialed = rows(TextAnalysis.bm25Indexed(spark, path, qterms, k,
+      matchedOnly = true))
+    val matched = full.filter(r => r._2 > 0 || r._3 > 0 || r._4 > 0)
+    assert(matched.nonEmpty && matched.size < full.size,
+      "fixture should have both matched and unmatched docs")
+    assert(dialed === matched,
+      "matchedOnly must equal the full ranking restricted to matched docs")
   }
 
   test("compact collapses appended files; rows and serving identical") {

@@ -48,6 +48,12 @@ class PpAppendSpec extends SparkSpec {
     assert(appended === rebuilt,
       "appended index diverged from a full rebuild below the cap boundary")
 
+    // drift probe agrees this index is inside its budget: nothing
+    // crossed the cap → append == rebuild (exactly what was asserted)
+    val drift = Dedup.ppIndexDrift(spark, table).head()
+    assert(drift.getAs[Long]("n_crossed") === 0L)
+    assert(drift.getAs[Long]("max_df_now") <= 50L)
+
     // 4. candidate join over the multi-file-bucket base: still no shuffle
     val cands = Dedup.prefixCands(
       graft.sources.PpIndex.read(spark, table), 0.5,
@@ -125,5 +131,13 @@ class PpAppendSpec extends SparkSpec {
     val rebuilt = pmap(Dedup.jaccardPairs(buildDocs.unionByName(newDocs)))
     assert(rebuilt.isEmpty,
       s"rebuild should re-cap 'hot' and drop the boundary pair, got $rebuilt")
+
+    // the drift probe flags EXACTLY this state: one live fp ('hot',
+    // df_now = 51) past the frozen cap — the signal a maintenance job
+    // thresholds to schedule the rebuild that re-caps it
+    val drift = Dedup.ppIndexDrift(spark, table).head()
+    assert(drift.getAs[Long]("n_crossed") === 1L,
+      s"probe should flag the crossed fp: $drift")
+    assert(drift.getAs[Long]("max_df_now") === 51L)
   }
 }
