@@ -54,6 +54,28 @@ object Bench {
       names.foreach { n =>
         try run(SparkEntry.queries(n), warmDir) catch { case _: Throwable => () }
       }
+    // Calibration probe (r16, verdict ask #3): a pinned, cheap,
+    // plan-stable reading — one full lineitem scan-agg at the measured
+    // SF, min of 2 — taken immediately before the timed passes and
+    // reported beside the total. Suite totals on this box have read
+    // ~1.5x inflated for days at a time while per-query A/Bs stayed
+    // sane; dividing totals by the probe lets cross-day suite readings
+    // be NORMALIZED instead of discarded. The probe deliberately uses
+    // no graft operator (two column sums + a count over the biggest
+    // fixture table) so it drifts only with the box, never the code.
+    val probe = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Tables(spark, sfDir, "lineitem")
+          .agg(org.apache.spark.sql.functions.sum("l_quantity"),
+            org.apache.spark.sql.functions.sum("l_extendedprice"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
     // min of `passes` timed passes (default 3): the first pass at full SF
     // still pays JIT compilation of the per-query codegen classes
     // (profiled 4-30x first-run inflation on expression-heavy queries),
@@ -98,7 +120,7 @@ object Bench {
       val omitted =
         (if (shown.size < results.size) s""","queries_omitted":${results.size - shown.size}""" else "") +
           (if (eShown.size < errs.size) s""","errors_omitted":${errs.size - eShown.size}""" else "")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","failed":${errs.size},"errors":$es$omitted,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","failed":${errs.size},"probe":${fmt(3, probe)},"errors":$es$omitted,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The line MUST fit the driver's ~2000-char stdout tail window or the
     // whole round's bench parses to null (the r8 artifact's parsed:null

@@ -73,9 +73,14 @@ object PpIndex {
     * can't recover the dropped fps, and appends must keep dropping
     * them). Frozen: appends never rewrite it.
     */
-  def writeDf(dfAll: DataFrame, table: String): Unit =
+  def writeDf(dfAll: DataFrame, table: String): Unit = {
+    // same fresh-JVM reset as [[write]] (r16): a leftover warehouse dir
+    // with no entry in this session's in-memory catalog fails even an
+    // overwrite saveAsTable with LOCATION_ALREADY_EXISTS
+    resetTable(dfAll.sparkSession, table + "_df")
     dfAll.select("s", "df").write.mode("overwrite")
       .format("parquet").saveAsTable(table + "_df")
+  }
 
   def readDf(spark: SparkSession, table: String): DataFrame =
     spark.table(table + "_df")
