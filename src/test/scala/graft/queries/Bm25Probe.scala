@@ -36,6 +36,10 @@ object Bm25Probe {
       graft.SparkEntry.queries("t14_bm25_search")(spark, dir))
     bench("indexed serve")(
       TextAnalysis.bm25Indexed(spark, path, qterms))
+    // r16: the production dial — rank matched docs only, dropping the
+    // corpus-sized doclens left join that exists for t14 parity
+    bench("indexed serve, matchedOnly dial")(
+      TextAnalysis.bm25Indexed(spark, path, qterms, matchedOnly = true))
     spark.stop()
   }
 }
