@@ -172,7 +172,6 @@ object TextAnalysis {
     require(queries.map(_._1).distinct.size == queries.size,
       "bm25Batch: duplicate q_id")
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val m = queries.map(_._2.size).max
     val qrel = queries
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
@@ -209,10 +208,24 @@ object TextAnalysis {
       .join(dfq, Seq("q_id"))
       .select(col("q_id"), col("doc_id"),
         (0 until m).map(tscore).reduce(_ + _).as("score"))
-    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "doc_id", "score")
+    // top-k per query through the v04 bounded-heap Aggregator, NOT a
+    // rank window: a window partitioned by q_id shuffles and sorts
+    // every scored (q_id, doc) row — n_q × matched-docs rows (measured
+    // 292 s at n_q=1000 × corpus-common terms on the 100× replica,
+    // Bm25BatchProbe r16) — where the algebraic aggregate reduces each
+    // map partition to k rows per query before the exchange (k × n_q ×
+    // partitions rows cross, no sort). Same (score desc, doc_id asc)
+    // total order, so the output — and the driver hash — is identical.
+    val typed = scored.select(col("q_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .mapValues { case (_, id, sc) => graft.functions.ScoredNeighbor(id, sc) }
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, tops) =>
+        tops.zipWithIndex.map { case (t, i) =>
+          (qid, (i + 1).toLong, t.neighbor_id, t.score) }
+      }
+      .toDF("q_id", "rank", "doc_id", "score")
       .orderBy("q_id", "rank")
   }
 

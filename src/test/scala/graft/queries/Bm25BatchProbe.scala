@@ -60,6 +60,18 @@ object Bm25BatchProbe {
       println(f"[bm25batchprobe] batch serve: n_q=$n in $t%.1fs " +
         f"(${t / n * 1000}%.1fms/query)")
     }
+    // the SELECTIVE regime (real search workloads): every fixture term
+    // except 'dup' is corpus-common (~90% of docs), so the sweep above
+    // is the worst case — every query scores ~the whole corpus, the
+    // irreducible exact-BM25 work. 'dup' matches ~5%; this prices the
+    // matched-set-proportional path. (Synthetic: the fixture vocabulary
+    // has exactly one rare term, so all queries here share it.)
+    val sel = (0 until 1000).map(q => q.toLong -> Seq("dup"))
+    val tSel = Seq.fill(2)(time(
+      TextAnalysis.bm25Batch(spark, path, sel, k = 10)
+        .write.format("noop").mode("overwrite").save())).min
+    println(f"[bm25batchprobe] batch serve, selective (rare-term) workload: " +
+      f"n_q=1000 in $tSel%.1fs (${tSel}%.1fms/query)")
     spark.stop()
   }
 }

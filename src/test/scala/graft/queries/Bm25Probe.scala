@@ -40,6 +40,14 @@ object Bm25Probe {
     // corpus-sized doclens left join that exists for t14 parity
     bench("indexed serve, matchedOnly dial")(
       TextAnalysis.bm25Indexed(spark, path, qterms, matchedOnly = true))
+    // the dial's regime is SELECTIVE queries (t14's fixture terms are
+    // corpus-common, so matched ≈ corpus and the dial is neutral):
+    // 'dup' matches ~5% of docs
+    val rare = Seq("dup")
+    bench("indexed serve, rare term, full ranking")(
+      TextAnalysis.bm25Indexed(spark, path, rare))
+    bench("indexed serve, rare term, matchedOnly dial")(
+      TextAnalysis.bm25Indexed(spark, path, rare, matchedOnly = true))
     spark.stop()
   }
 }
