@@ -107,6 +107,21 @@ object Similarity {
     */
   private[queries] val V12bFloor = 12L
 
+  /** v12d's gated recall floor — IVFADC assembled by the STREAMING
+    * ingest (bootstrap on the lower vec_id half freezes the seed
+    * codebook + coarse book there; the upper half arrives through
+    * VecIngest's foreachBatch appends). V12dProbe measured 19/22/20
+    * of 30 across the SFs through the exact gate path — matching the
+    * full-build seed book's 19/22/18 (identical at the small SFs, +2
+    * at sf0.1): the book saw half the corpus, but the near-isotropic
+    * fixtures make PQ books sample-insensitive, and appends are
+    * placement-deterministic. Floored at 9 (~50% under the smallest
+    * measured 19 — the V11Floor margin convention, same floor as
+    * v12); the build is deterministic given the corpus (seed book +
+    * deterministic appends), so the flag cannot flake.
+    */
+  private[queries] val V12dFloor = 9L
+
   /** v10d's gated w=2 match-fraction floor for the TRAINED-fine
     * sharded path — measured with trained fine book + trained router
     * on the gate fixtures (TwoLevelProbe trained mode, BENCHNOTES
@@ -1673,6 +1688,24 @@ object Similarity {
       val pq3 = ivfAdcServeDist(s, dir, v12SeedIndex(s, dir),
         nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
       pqContract(s, dir, pq3, 300, 310, V12Floor)
+    }),
+
+    // IVFADC served from a STREAM-ASSEMBLED index (r16 — the t17
+    // progression for the vector family, closing the streaming-
+    // maintenance gate pair): [[v12dStreamIndex]] bootstraps on the
+    // lower vec_id half and ingests the upper half through VecIngest's
+    // foreachBatch appends under a real streaming query; serving is
+    // ivfAdcServe, the production path, against the full query set.
+    // Same within_bound contract as v12 (the exact ground-truth half
+    // is index-independent — v12's oracle verbatim); the recall floor
+    // is v12d's own because the frozen codebook saw only half the
+    // corpus (measured 19/22/20 of 30 — matching the full-build seed
+    // book's 19/22/18 band; V12dProbe).
+    "v12d_ivfadc_streamed" -> ((s, dir) => {
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 310
+      val pq3 = ivfAdcServe(s, dir, v12dStreamIndex(s, dir),
+        nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
+      pqContract(s, dir, pq3, 300, 310, V12dFloor)
     })
   )
 
@@ -1689,6 +1722,52 @@ object Similarity {
     graft.SharedProjections.reuseArtifact("ivfadc_seed_idx", dir) {
       val p = scratchPath("v12", dir)
       buildIvfAdcIndex(s, dir, p, m = 16, k = 16, nlist = 16)
+      p
+    }
+
+  /** The STREAM-ASSEMBLED IVFADC index v12d serves from (r16 — t17's
+    * streaming-gate symmetry for the vector family): bootstrap the
+    * seed-book index on the deterministic lower half of vec_ids (the
+    * codebook, coarse book, and ranking artifacts freeze there — the
+    * stale-index contract), then ingest the upper half through a REAL
+    * Structured Streaming query (file source, one file per
+    * micro-batch, [[graft.streaming.VecIngest]]'s foreachBatch append
+    * with anti-join replay absorption). Index CONTENT is
+    * batch-boundary-independent: appends are placement-deterministic
+    * against the persisted artifacts (IvfAdcAppendSpec) and ids are
+    * disjoint, so any file→batch split converges to the same rows —
+    * which is what lets a driver hash sit on top of a streaming
+    * assembly. The bootstrap build is deterministic given the corpus
+    * (seed centroids + hash-stratified sample), so reuseArtifact
+    * sharing is safe (unlike v12b's Lloyd-trained book).
+    */
+  private[queries] def v12dStreamIndex(s: SparkSession, dir: String): String =
+    graft.SharedProjections.reuseArtifact("ivfadc_stream_idx", dir) {
+      val p = scratchPath("v12d", dir)
+      val halfDir = scratchPath("v12d-half", dir)
+      val stage = scratchPath("v12d-stage", dir)
+      val ck = scratchPath("v12d-ck", dir)
+      // mutable scratch → wipe first: a leftover checkpoint would mark
+      // the staged files already-processed and skip the ingest
+      for (d <- Seq(stage, ck)) {
+        val hp = new org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val e = graft.Tables(s, dir, "embeddings")
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId / 2
+      e.filter(col("vec_id") <= cut).write.mode("overwrite")
+        .parquet(s"$halfDir/embeddings.parquet")
+      buildIvfAdcIndex(s, halfDir, p)
+      val rest = e.filter(col("vec_id") > cut)
+        .select("vec_id", "label", "embedding")
+      rest.repartition(3).write.mode("overwrite").parquet(stage)
+      val q = graft.streaming.VecIngest.start(
+        s.readStream.schema(rest.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage),
+        p, checkpointDir = Some(ck))
+      q.processAllAvailable()
+      q.stop()
       p
     }
 
@@ -2014,6 +2093,29 @@ object Similarity {
     // the distributed serving path is row-identical to the driver
     // path (PqDistServeSpec), so the oracle is v12's verbatim too
     "v12c_ivfadc_dist" ->
+      s"""WITH e AS ($EMB),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 310),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
+
+    // the stream-assembled index changes only WHICH artifacts the
+    // approximate side serves from — the exact ground-truth half (and
+    // so the oracle) is v12's verbatim, with v12d's own floor living
+    // Spark-side in the recall_ok derivation
+    "v12d_ivfadc_streamed" ->
       s"""WITH e AS ($EMB),
          |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
          |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
