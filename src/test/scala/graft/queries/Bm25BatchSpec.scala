@@ -48,5 +48,13 @@ class Bm25BatchSpec extends SparkSpec {
       s"the (q_id, ti, term) relation should broadcast:\n$plan")
     assert(plan.contains("PartitionFilters") && plan.contains("pbkt"),
       s"the posting fetch should keep the static bucket prune:\n$plan")
+    // top-k per query is the algebraic bounded-heap aggregate (map-side
+    // partial: k rows per query per partition cross the exchange), NOT
+    // a rank window that would shuffle+sort every scored row (measured
+    // 292 s at n_q=1000 on the 100x replica before the swap)
+    assert(plan.contains("ObjectHashAggregate"),
+      s"per-query top-k should run through the bounded-heap aggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no rank window may rank the scored relation:\n$plan")
   }
 }
