@@ -666,6 +666,40 @@ object Dedup {
         .select(col("id").as("doc_id"), col("lbl").as("comp_id")).orderBy("doc_id")
     }),
 
+    // cluster CANONICALIZATION by quality (r16 — the step real dedup
+    // pipelines run after components: keep the BEST copy per near-dup
+    // cluster, not the smallest-id one; Lee et al. 2022 keep one
+    // member per cluster, and production stacks pick it by a quality
+    // signal so boilerplate-ridden variants lose to the clean copy).
+    // Composes three already-gated pieces: the shared LSH-verified
+    // edge relation (d04/d06/d07's pair definition), min-label
+    // components (d06's code), and t03's quality kernel — the keeper
+    // per component is argmax (quality DESC, doc_id ASC), a rank
+    // window over components (tiny partitions — near-dup clusters are
+    // shallow). Output carries floor-micros of the winning quality,
+    // never a raw double (the t03 hash rule); the quality double
+    // itself is IEEE-identical in both engines (t03's contract), so
+    // ranking by it agrees. Scale: edges/components are
+    // candidate-proportional (banded LSH, never all-pairs); the
+    // quality join touches only docs IN components.
+    "d11_cluster_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val comps = minLabelComponents(cp(sharedEdges(s, dir)))
+      val q = Tables(s, dir, "documents")
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      val j = comps.join(q, comps("id") === q("doc_id"))
+        .select(col("lbl").as("comp_id"), col("doc_id"), col("q"))
+      val byComp = Window.partitionBy("comp_id")
+      j.withColumn("rn", row_number().over(
+          byComp.orderBy(col("q").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(byComp))
+        .filter(col("rn") === 1)
+        .select(col("comp_id"), col("doc_id").as("keep_id"),
+          col("n_members"),
+          floor(col("q") * lit(1000000.0)).cast("long").as("best_q_micros"))
+        .orderBy("comp_id")
+    }),
+
     // edit-distance near-dup join over a fixed-width document key (the
     // 40-char text prefix — the "title" of the fixtures), with PassJoin
     // segment blocking (functions/Segments): candidate generation is an
@@ -1000,6 +1034,31 @@ object Dedup {
     "d06_dedup_components" -> COMPONENTS_SQL,
 
     "d07_dedup_components_star" -> COMPONENTS_SQL,
+
+    // d06's recursive components + t03's exact score expression; the
+    // keeper rank mirrors Spark's window verbatim (q DESC, doc_id) —
+    // the quality doubles are bit-identical in both engines (t03's
+    // contract), so the argmax agrees, and the output carries only
+    // floor-micros, never a raw double
+    "d11_cluster_best" ->
+      s"""WITH RECURSIVE $LSH_EDGES,
+         |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+         |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |       UNION SELECT b_id, a_id FROM edges),
+         |comp(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src),
+         |c AS (SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1),
+         |t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |qs AS (SELECT doc_id, ${TextAnalysis.SCORE} AS q FROM t),
+         |j AS (SELECT c.comp_id, c.doc_id, qs.q FROM c JOIN qs USING (doc_id)),
+         |r AS (SELECT comp_id, doc_id, q,
+         |    row_number() OVER (PARTITION BY comp_id ORDER BY q DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY comp_id) AS n_members FROM j)
+         |SELECT comp_id, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+         |  CAST(floor(q * 1000000.0) AS BIGINT) AS best_q_micros
+         |FROM r WHERE rn = 1 ORDER BY comp_id""".stripMargin,
 
     // the participation cap is mirrored with one rank window over the
     // segment-0 block (substr(k, 1, len//3) — segment 0 is ⌊l/3⌋ long
