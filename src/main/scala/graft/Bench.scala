@@ -63,7 +63,11 @@ object Bench {
     // be NORMALIZED instead of discarded. The probe deliberately uses
     // no graft operator (two column sums + a count over the biggest
     // fixture table) so it drifts only with the box, never the code.
-    val probe = {
+    // Guarded like every other bench execution (r17, ADVICE): a
+    // transient probe failure (or a fixture dir lacking lineitem) must
+    // not abort the run before the JSON line prints — report the -1
+    // sentinel and keep the round's readings.
+    val probe = try {
       def once(): Double = {
         val t0 = System.nanoTime()
         Tables(spark, sfDir, "lineitem")
@@ -75,6 +79,9 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] probe failed: ${e.getMessage}")
+      -1.0
     }
     // min of `passes` timed passes (default 3): the first pass at full SF
     // still pays JIT compilation of the per-query codegen classes

@@ -421,7 +421,12 @@ object Dedup {
         sum(when(col("df_now") > MaxDf, 1L).otherwise(0L)).as("n_crossed"),
         max(col("df_now")).as("max_df_now"))
       .select(col("n_fps"), col("n_crossed"),
-        (col("n_crossed").cast("double") / col("n_fps")).as("crossed_frac"),
+        // empty-base guard (r17, ADVICE): 0/0 yields NULL, and a
+        // maintenance job thresholding crossed_frac would then
+        // silently never fire — an empty index has crossed nothing
+        when(col("n_fps") > 0,
+          col("n_crossed").cast("double") / col("n_fps"))
+          .otherwise(lit(0.0)).as("crossed_frac"),
         col("max_df_now"))
   }
 

@@ -177,7 +177,88 @@ object TextAnalysis {
       .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
       .toDF("q_id", "ti", "term")
     val allTerms = queries.flatMap(_._2).distinct
-    val post = graft.sources.BmIndex.postingsFor(s, path, allTerms)
+    bm25BatchCore(s, path, qrel, m, Some(allTerms), k)
+  }
+
+  /** RELATION-NATIVE batch BM25 (r17, verdict ask #1 — the last driver
+    * surface in any serving path removed): the query set arrives as a
+    * DataFrame `(q_id, ti, term)` — a persisted query TABLE at
+    * production scale — instead of a driver `Seq`. The fixed pivot
+    * width `m` and the batch's bucket prune are derived by BOUNDED
+    * driver syncs that never grow with the batch:
+    *
+    *  - `m` = max(ti)+1 and the duplicate-cell guard come from ONE
+    *    one-row aggregation over the query relation (the codebook-sync
+    *    class of collect — one row, loud failure on malformed input).
+    *  - The posting scan's static partition prune needs the terms'
+    *    BUCKETS, not the terms: ≤ [[graft.sources.BmIndex.Buckets]]
+    *    distinct values at ANY batch size, collected from the charFp
+    *    kernel over the term relation (a broadcast join on the
+    *    partition column would NOT produce PartitionFilters — the
+    *    pushed `isin` is how directory pruning happens, so the bucket
+    *    list is the one driver sync the prune fundamentally needs).
+    *  - The per-TERM pushed filter (`term isin (...)`) is only worth a
+    *    literal list when the batch's distinct-term count is small:
+    *    below `isinTermCap` the terms are collected and pushed exactly
+    *    as the Seq path pushes them; above it the scan reads the
+    *    pruned buckets wholesale and the broadcast query-relation join
+    *    restricts terms at runtime (documented trade: bucket
+    *    directories are read fully, which is what a 10⁶-query batch
+    *    touching most of the vocabulary would force anyway).
+    *
+    * Output is bit-identical to [[bm25Batch]] over the same query set
+    * (Bm25BatchSpec pins Seq-path == relation-path per row, scores
+    * compared at raw-bits granularity): both paths run the SAME core —
+    * same pivot, same expression tree, same bounded-heap top-k.
+    * Queries whose ti positions are sparse (gaps below max(ti)) are
+    * harmless by the padding identity: a missing position carries
+    * tf=0, df=0, contributing exactly +0.0 to the score fold.
+    */
+  def bm25BatchRel(s: SparkSession, path: String, queriesDf: DataFrame,
+      k: Int = 20, isinTermCap: Int = 64): DataFrame = {
+    val qrel = queriesDf.select(col("q_id").cast("long").as("q_id"),
+      col("ti").cast("int").as("ti"), col("term").cast("string").as("term"))
+    // ONE one-row derivation job: pivot width + malformed-input guards
+    val d = qrel.groupBy("q_id", "ti").agg(count(lit(1)).as("n"))
+      .agg(max(col("ti")).as("mi"), min(col("ti")).as("ti0"),
+        max(col("n")).as("dup"), count(lit(1)).as("cells"))
+      .head()
+    require(!d.isNullAt(0), "bm25BatchRel: empty query relation")
+    require(d.getLong(2) == 1L,
+      "bm25BatchRel: duplicate (q_id, ti) cell in the query relation")
+    require(d.getInt(1) >= 0, "bm25BatchRel: negative term position ti")
+    val m = d.getInt(0) + 1
+    // the term-isin push only when the batch is provably small: the
+    // cell count bounds the distinct-term count from above, and the
+    // limit-collect below keeps the sync bounded even near the cap
+    val isinTerms =
+      if (d.getLong(3) <= isinTermCap * 4L) {
+        val ts = qrel.select("term").distinct().limit(isinTermCap + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (ts.size <= isinTermCap) Some(ts) else None
+      } else None
+    bm25BatchCore(s, path, qrel, m, isinTerms, k)
+  }
+
+  /** The shared batch-BM25 plan both query-side representations feed —
+    * factored so the Seq and relation paths are bit-identical by
+    * construction. `isinTerms` = the per-term pushed filter when the
+    * batch's term list is bounded (None → bucket-prune only, term
+    * restriction via the query-relation join).
+    */
+  private def bm25BatchCore(s: SparkSession, path: String, qrel: DataFrame,
+      m: Int, isinTerms: Option[Seq[String]], k: Int): DataFrame = {
+    import s.implicits._
+    val bkts: Seq[Int] = isinTerms match {
+      case Some(ts) => ts.map(t => graft.sources.BmIndex.bucketOf(t).toInt).distinct
+      case None => qrel
+        .select(pmod(Text.charFp(col("term")),
+          lit(graft.sources.BmIndex.Buckets.toLong)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq // ≤ Buckets rows, always
+    }
+    val post0 = graft.sources.BmIndex.postingsForBuckets(s, path, bkts)
+    val post = isinTerms.map(ts => post0.filter(col("term").isin(ts: _*)))
+      .getOrElse(post0)
     // pivot to fixed-width per-position columns; max() both collapses
     // replayed duplicate postings AND is the pivot aggregate (a clean
     // index has exactly one (term, doc) row per position)
@@ -188,9 +269,11 @@ object TextAnalysis {
     // per-query frozen dfs, pivoted the same way — n_q rows, broadcast
     val dfAggs = (0 until m).map(i =>
       coalesce(max(when(col("ti") === i, col("df"))), lit(0L)).as(s"df$i"))
+    val dfRel0 = graft.sources.BmIndex.dfRel(s, path)
+    val dfRel = isinTerms.map(ts => dfRel0.filter(col("term").isin(ts: _*)))
+      .getOrElse(dfRel0)
     val dfq = broadcast(qrel
-      .join(graft.sources.BmIndex.dfRel(s, path)
-        .filter(col("term").isin(allTerms: _*)), Seq("term"), "left")
+      .join(dfRel, Seq("term"), "left")
       .select(col("q_id"), col("ti"), coalesce(col("df"), lit(0L)).as("df"))
       .groupBy("q_id").agg(dfAggs.head, dfAggs.tail: _*))
     // t14's expression tree, verbatim — the IEEE-identity contract
@@ -557,6 +640,29 @@ object TextAnalysis {
         p
       }
       bm25Batch(s, path, T16Batch, k = 10)
+    }),
+
+    // batch BM25 with the query set as a TABLE (r17, verdict ask #1 —
+    // the relation-native form under the driver's hash): the fixed
+    // batch is WRITTEN to a parquet query table first and served
+    // through [[bm25BatchRel]], which derives the pivot width and the
+    // bucket prune from the relation itself — nothing about the batch
+    // ever lives in a driver Seq on the serving path. Same core as
+    // t16 (Bm25BatchSpec pins Seq == relation bit-for-bit), so t16's
+    // generated oracle applies verbatim.
+    "t18_bm25_batch_rel" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25_idx", dir) {
+        val p = Similarity.scratchPath("bm25", dir)
+        buildBm25Index(s, dir, p)
+        p
+      }
+      val qp = Similarity.scratchPath("t18q", dir)
+      import s.implicits._
+      T16Batch
+        .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t) } }
+        .toDF("q_id", "ti", "term")
+        .repartition(1).write.mode("overwrite").parquet(qp)
+      bm25BatchRel(s, path, s.read.parquet(qp), k = 10)
     }),
 
     // BM25 served from a STREAMING-BUILT index (r16, verdict stretch
@@ -938,6 +1044,11 @@ object TextAnalysis {
          |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "t16_bm25_batch" -> t16OracleSql(k = 10),
+
+    // the relation path runs t16's core over the same batch (the gate
+    // just persists the query set as a table first) — t16's generated
+    // oracle verbatim
+    "t18_bm25_batch_rel" -> t16OracleSql(k = 10),
 
     // the frozen-stats serving contract, mirrored exactly: tf/dl over
     // the FULL corpus (every indexed doc is scorable), df/n_docs/avgdl

@@ -32,6 +32,17 @@ object AtomicSwap {
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Hadoop's FileSystem.rename signals failure by RETURNING FALSE
+    * (destination exists after a failed delete, cross-FS move, …), not
+    * by throwing (r17, ADVICE) — an unchecked rename lets a swap
+    * "succeed" half-done and serve the stale layout silently. Every
+    * rename in this file goes through here so a failed one fails loudly
+    * at the swap, not as a wrong answer downstream.
+    */
+  private def renameOrDie(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst),
+      s"AtomicSwap: rename($src, $dst) returned false — swap aborted")
+
   /** Heal an interrupted [[swapIn]], if one is detected: the live path
     * absent with a `.compact`/`.old` sibling on disk. Idempotent and
     * cheap (one exists() when healthy) — call before reading a
@@ -44,10 +55,10 @@ object AtomicSwap {
       val tmp = new Path(path + ".compact")
       val old = new Path(path + ".old")
       if (fs.exists(new Path(tmp, "_SUCCESS"))) {
-        fs.rename(tmp, p)
+        renameOrDie(fs, tmp, p)
         fs.delete(old, true)
       } else if (fs.exists(old)) {
-        fs.rename(old, p)
+        renameOrDie(fs, old, p)
         fs.delete(tmp, true)
       }
     }
@@ -68,8 +79,8 @@ object AtomicSwap {
     fs.delete(tmp, true) // stale tmp from an abandoned attempt
     write(tmp.toString)
     fs.delete(old, true)
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    renameOrDie(fs, p, old)
+    renameOrDie(fs, tmp, p)
     fs.delete(old, true)
   }
 }

@@ -72,14 +72,26 @@ object BmIndex {
     * inside them.
     */
   def postingsFor(spark: SparkSession, path: String,
-      qterms: Seq[String]): DataFrame = {
+      qterms: Seq[String]): DataFrame =
+    postingsForBuckets(spark, path, qterms.map(t => bucketOf(t).toInt).distinct)
+      .filter(col("term").isin(qterms: _*))
+
+  /** The postings restricted to a BUCKET list only — the static
+    * partition prune without the per-term pushed filter (r17): the
+    * relation-native batch path ([[graft.queries.TextAnalysis
+    * .bm25BatchRel]]) knows its terms' buckets (≤ [[Buckets]] values,
+    * a bounded collect at ANY batch size) but may carry more distinct
+    * terms than an `isin` literal list should hold — there the
+    * query-relation join does the term restriction at runtime.
+    */
+  def postingsForBuckets(spark: SparkSession, path: String,
+      bkts: Seq[Int]): DataFrame = {
     AtomicSwap.recover(spark, path)
     // INT literals to match the inferred partition-directory type —
     // a cast between the column and the isin list would sit between
     // the filter and PartitionFilters
-    val bkts = qterms.map(t => bucketOf(t).toInt).distinct
     spark.read.parquet(path)
-      .filter(col("pbkt").isin(bkts: _*) && col("term").isin(qterms: _*))
+      .filter(col("pbkt").isin(bkts: _*))
       .select("term", "doc_id", "tf")
   }
 

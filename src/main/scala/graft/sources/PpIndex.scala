@@ -60,8 +60,19 @@ object PpIndex {
     */
   private def recoverSwap(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(table + "_c"))
+        spark.catalog.tableExists(table + "_c")) {
+      // [[compact]]'s resetTable(live) is a DROP then a directory
+      // delete — a crash BETWEEN them leaves the live warehouse dir on
+      // disk with no catalog entry, and the managed-table rename below
+      // must move `_c`'s directory onto that leftover (which nests or
+      // fails depending on FS semantics — r17, ADVICE). Clear it first:
+      // the catalog says the live table does not exist, so the
+      // directory is provably orphaned.
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
       spark.sql(s"ALTER TABLE ${table}_c RENAME TO $table")
+    }
 
   def read(spark: SparkSession, table: String): DataFrame = {
     recoverSwap(spark, table)

@@ -39,6 +39,52 @@ class Bm25BatchSpec extends SparkSpec {
     }
   }
 
+  test("relation path == Seq path bit for bit, on BOTH prune branches") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batchrel").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    import spark.implicits._
+    val qdf = TextAnalysis.T16Batch
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t) } }
+      .toDF("q_id", "ti", "term")
+    def bits(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSeq
+    val seqSide = bits(TextAnalysis.bm25Batch(spark, path, TextAnalysis.T16Batch, 10))
+    // isin branch (12 distinct terms < cap): terms pushed as literals
+    assert(bits(TextAnalysis.bm25BatchRel(spark, path, qdf, 10)) === seqSide,
+      "relation path (term-isin branch) diverged from the Seq path")
+    // runtime-prune branch (cap 0): bucket prune only, the query-
+    // relation join restricts terms — scores must still be bit-equal
+    assert(bits(TextAnalysis.bm25BatchRel(spark, path, qdf, 10, isinTermCap = 0)) === seqSide,
+      "relation path (runtime-prune branch) diverged from the Seq path")
+  }
+
+  test("relation path keeps the static bucket prune without a term list") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batchrelplan").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    import spark.implicits._
+    val qdf = TextAnalysis.T16Batch
+      .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t) } }
+      .toDF("q_id", "ti", "term")
+    val plan = TextAnalysis.bm25BatchRel(spark, path, qdf, 10, isinTermCap = 0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pbkt"),
+      s"bucket pruning must survive the runtime-prune branch:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      s"the bounded-heap top-k must survive the relation path:\n$plan")
+  }
+
+  test("relation path rejects a duplicate (q_id, ti) cell loudly") {
+    val path = java.nio.file.Files.createTempDirectory("bm25batchreldup").toString + "/idx"
+    TextAnalysis.buildBm25Index(spark, dir, path)
+    import spark.implicits._
+    val bad = Seq((0L, 0, "dup"), (0L, 0, "vector")).toDF("q_id", "ti", "term")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25BatchRel(spark, path, bad, 10)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("one distributed job: query relation broadcast, posting fetch pruned") {
     val path = java.nio.file.Files.createTempDirectory("bm25batchplan").toString + "/idx"
     TextAnalysis.buildBm25Index(spark, dir, path)
