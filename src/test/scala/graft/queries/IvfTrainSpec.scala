@@ -29,6 +29,25 @@ class IvfTrainSpec extends SparkSpec {
     assert(e3.count() === 16L, "cluster count must be preserved (empty keeps prior)")
   }
 
+  test("training is bit-stable across repartitionings (r17: decimal-sum Lloyd)") {
+    // the one add-order-dependent step in distributed Lloyd was the
+    // per-(centroid, dim) float mean; the decimal-sum form is exact
+    // integer arithmetic, so ANY partitioning must produce the same
+    // centroids to the last bit — the property that makes trained
+    // books reuseArtifact-shareable (v10d/v12b) and rebuilds reproduce
+    val e = Similarity.emb(spark, dir)
+    def book(parts: Int): Seq[(Long, Seq[Long], Long)] =
+      Similarity.ivfTrainOver(spark, e.repartition(parts), nlist = 16, iters = 3)
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Double](1).map(java.lang.Double.doubleToRawLongBits).toSeq,
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2))))
+        .sortBy(_._1).toSeq
+    val a = book(3)
+    val b = book(29)
+    assert(a === b, "trained centroids changed under a different partitioning")
+  }
+
   test("trained centroids keep every vector assigned and clusters non-degenerate") {
     val cents = Similarity.ivfTrain(spark, dir, nlist = 16, iters = 2)
     val assign = Similarity.ivfAssignWith(spark, dir, cents)
