@@ -148,7 +148,7 @@ object Dedup {
     * truncates after that first action (the iterative-loop guarantee
     * d06/d07 need).
     */
-  private def cp(df: DataFrame): DataFrame =
+  private[queries] def cp(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = false)
     else df.localCheckpoint(eager = false)
 

@@ -62,6 +62,50 @@ object Pipeline {
         .orderBy("source")
     }),
 
+    // The CLEANED-CORPUS materialization (r17, verdict ask #5 — the
+    // artifact a training run actually consumes, with d11's
+    // quality-canonical keeper composed into the end-to-end pipeline):
+    // per-doc verdicts (doc_id, kept, comp_id) where kept survivors
+    // are exact-dup winners (min doc_id per digest — identical text ⇒
+    // identical quality, so the quality-argmax and the id-argmin agree
+    // at this stage) that are either in no near-dup component or are
+    // their component's argmax-(quality DESC, doc_id) keeper — the
+    // Lee-et-al keep-best step d11 gates standalone, here run inside
+    // the composition. Components come from the suite-shared
+    // survivor-restricted LSH edge relation (p01's provably-identical
+    // restriction argument); p01's own min-id keeper remains the
+    // id-deterministic variant for its token-accounting contract.
+    // Scale: every stage is the same candidate-proportional shape its
+    // standalone gate pins (digest groupBy, banded edges, min-label
+    // rounds, tiny per-component rank windows); the final verdict join
+    // is two narrow left joins against the corpus spine.
+    "d12_cleaned_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val surv = keep.select("doc_id")
+      val edges = Dedup.sharedEdges(s, dir)
+        .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .select("a_id", "b_id")
+      val comps = Dedup.minLabelComponents(Dedup.cp(edges))
+      val q = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      val ranked = comps.join(q, comps("id") === q("doc_id"))
+        .select(col("lbl").as("comp_id"), col("doc_id"), col("q"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("comp_id").orderBy(col("q").desc, col("doc_id"))))
+      docs.select("doc_id")
+        .join(keep.select(col("doc_id"), lit(1L).as("w")), Seq("doc_id"), "left")
+        .join(ranked.select("doc_id", "comp_id", "rn"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("w").isNull, lit(0L))
+            .when(col("rn").isNotNull && col("rn") > 1, lit(0L))
+            .otherwise(lit(1L)).as("kept"),
+          coalesce(col("comp_id"), lit(-1L)).as("comp_id"))
+        .orderBy("doc_id")
+    }),
+
     // The INCREMENTAL pipeline, driver-gated: replay `documents` as
     // three deterministic micro-batches (fixed doc_id range thirds —
     // in-order, as DocPipeline enforces) through the exact per-batch
@@ -161,6 +205,38 @@ object Pipeline {
          |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |  ${sumMicros("q", "sum_q_micros")}
          |FROM st WHERE q >= 0.3 AND h100 < 80 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // DEDUP_CTES' survivor tier + the recursive components + t03's
+    // exact quality expression; the keeper rank mirrors Spark's window
+    // verbatim (q DESC, doc_id — the quality doubles are bit-identical
+    // in both engines, d11's contract), and the verdict spine is two
+    // left joins against the full corpus
+    "d12_cleaned_corpus" ->
+      s"""WITH RECURSIVE $DEDUP_CTES,
+         |edges AS (SELECT cand.a_id, cand.b_id FROM cand
+         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id
+         |  WHERE jp.jaccard >= 0.5),
+         |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+         |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |       UNION SELECT b_id, a_id FROM edges),
+         |comp(id, lbl) AS (
+         |  SELECT id, id FROM verts
+         |  UNION
+         |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src),
+         |c AS (SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1),
+         |t AS (SELECT doc_id, $TOKS AS tk FROM d1),
+         |qs AS (SELECT doc_id, ${TextAnalysis.SCORE} AS q FROM t),
+         |r AS (SELECT c.comp_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.comp_id ORDER BY qs.q DESC, c.doc_id) AS rn
+         |  FROM c JOIN qs USING (doc_id))
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN k.doc_id IS NULL THEN 0
+         |            WHEN r.rn > 1 THEN 0 ELSE 1 END AS BIGINT) AS kept,
+         |  CAST(coalesce(r.comp_id, -1) AS BIGINT) AS comp_id
+         |FROM documents d
+         |LEFT JOIN keep k ON d.doc_id = k.doc_id
+         |LEFT JOIN r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the incremental replay's final verdict store equals the order-free
     // batch formulation — the boundary-invariance contract the streaming
