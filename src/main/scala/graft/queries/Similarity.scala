@@ -328,7 +328,10 @@ object Similarity {
     assignTo(e, graft.sources.IvfIndex.codebook(s, path))
       .select("vec_id", "c_id", "v", "nrm")
       .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(path)
+      .write.mode("append").partitionBy("c_id")
+      .parquet(graft.sources.AtomicSwap.dataDir(s, path))
+    // manifest bump last — the durable record that the append committed
+    graft.sources.AtomicSwap.commitAppend(s, path)
   }
 
   /** TWO-LEVEL IVF assignment (r12 — the tier above the single
@@ -939,7 +942,10 @@ object Similarity {
         pqEncodeResidual(col("v"), col("nrm"), col("c_idx"),
           cb, centsFlat, m, k).as("pq"))
       .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id").parquet(path)
+      .write.mode("append").partitionBy("c_id")
+      .parquet(graft.sources.AtomicSwap.dataDir(s, path))
+    // manifest bump last — the durable record that the append committed
+    graft.sources.AtomicSwap.commitAppend(s, path)
   }
 
   /** The build half of [[ivfAdcTop3]]: coarse book collect, residual
@@ -1149,8 +1155,14 @@ object Similarity {
     exactTopKWhere(s, dir, col("vec_id") >= lo && col("vec_id") < hi, k)
 
   private[queries] def exactTopKWhere(s: SparkSession, dir: String,
-      qPred: Column, k: Int): DataFrame = {
-    val e = emb(s, dir)
+      qPred: Column, k: Int): DataFrame =
+    exactTopKOver(emb(s, dir), qPred, k)
+
+  /** [[exactTopKWhere]] over an explicit (vec_id, v, nrm) relation —
+    * the clustered-mixture gate computes ground truth over its own
+    * planted relation through this hook (r17).
+    */
+  private[queries] def exactTopKOver(e: DataFrame, qPred: Column, k: Int): DataFrame = {
     val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
@@ -1739,8 +1751,64 @@ object Similarity {
       val pq3 = ivfAdcServe(s, dir, v12dStreamIndex(s, dir),
         nprobe = V12Nprobe, frontier = V12Frontier, qPred = qPred)
       pqContract(s, dir, pq3, 300, 310, V12dFloor)
+    }),
+
+    // The trained book's VALUE claim, hash-pinned (r17, verdict
+    // stretch #8): on the near-isotropic fixtures seed-vs-trained
+    // recall deltas are routing noise (v12d's half-corpus book matched
+    // the full build), so the claim "training the routing book buys
+    // recall" lived in probe notes. [[clusteredEmb]] plants the regime
+    // where it's TRUE and decidable: 16 near-orthogonal cosine
+    // clusters whose quasi-random id gives the first-nlist seed
+    // convention collisions and gaps by construction — measured
+    // (ClusterMixProbe, nprobe=2 of nlist=16, 30 queries × top-3):
+    // seed 74/69/78 of 90 across the three SFs, Lloyd-trained 90/90/90.
+    // The gate serves BOTH books through the same v02-shaped probe
+    // path over the planted relation and pins: the exact ground-truth
+    // half (SQL-computable — the planting is integer mods + one IEEE
+    // add per element, so the oracle builds the identical mixture),
+    // recall_ok (trained ≥ V13Floor = 45, ~50% under measured),
+    // trained_beats_seed STRICT (the win itself — deterministic
+    // because training is, r17 ask #3), and never_better (exact
+    // re-rank can't beat the exact optimum).
+    "v13_trained_clustered" -> ((s, dir) => {
+      val e = clusteredEmb(s, dir)
+      val qPred = col("vec_id") >= 300 && col("vec_id") < 330
+      val gt = exactTopKOver(e, qPred, 3)
+      val seedBook = centroids(e, 16)
+      val seed3 = knnIvfOver(e, seedBook,
+        assignTo(e, seedBook).select("vec_id", "c_id", "v", "nrm"), qPred, 2)
+      val trainedBook = ivfTrainOver(s, e, 16, 3)
+      val trained3 = knnIvfOver(e, trainedBook,
+        assignTo(e, trainedBook).select("vec_id", "c_id", "v", "nrm"), qPred, 2)
+      def nHits(ap: DataFrame) = gt.select("q_id", "neighbor_id")
+        .join(ap.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+      val gtAgg = gt.agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("gt_sum_micros"))
+      val best = gt.filter(col("rank") === 1)
+        .select(col("q_id"), col("cosine").as("opt_cos"))
+        .join(trained3.filter(col("rank") === 1)
+          .select(col("q_id"), col("cosine").as("tr_cos")), "q_id")
+        .agg(sum(when(col("tr_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
+      gtAgg.crossJoin(nHits(trained3).select(col("nh").as("nh_t")))
+        .crossJoin(nHits(seed3).select(col("nh").as("nh_s")))
+        .crossJoin(best)
+        .select(col("n_queries"), col("gt_sum_micros"),
+          when(col("nh_t") >= lit(V13Floor), 1L).otherwise(0L).as("recall_ok"),
+          when(col("nh_t") > col("nh_s"), 1L).otherwise(0L).as("trained_beats_seed"),
+          when(col("nb_viol") === 0L, 1L).otherwise(0L).as("never_better"))
     })
   )
+
+  /** v13's gated recall floor — trained-book hits over the 30
+    * queries' exact top-3 on the planted mixture (measured 90/90/90 of
+    * 90 across the SFs; ClusterMixProbe), floored ~50% under, the
+    * house margin convention.
+    */
+  private[queries] val V13Floor = 45L
 
   /** The deterministic SEED-book IVFADC index both v12 (driver-path
     * serving) and v12c (distributed serving) consume: a suite session
@@ -1751,6 +1819,33 @@ object Similarity {
     * hash-stratified sample), so first-builder order cannot change
     * either gate's output.
     */
+  /** Deterministic planted-cluster mixture over the embeddings table
+    * (r17, verdict stretch #8). The fixture embeddings are
+    * near-isotropic unit vectors, so seed-vs-trained recall deltas
+    * there are routing noise — this relation is the regime where a
+    * TRAINED book has something to find: vector `vec_id` gets a
+    * constant bump of [[ClusterAmp]] in dimension
+    * `((vec_id * 37) % 97) % ClusterCount` (a fixed quasi-random
+    * cluster id), planting [[ClusterCount]] mutually-near-orthogonal
+    * cosine clusters whose within-cluster spread (the original unit
+    * noise) is comparable to the planted offset. Every operation is
+    * exact-arithmetic-reproducible in SQL (integer mods + one IEEE
+    * double add per element), so the oracle computes the SAME mixture
+    * and the exact ground-truth half stays hash-pinned. The first-
+    * nlist seed convention covers the planted clusters unevenly
+    * (collisions + gaps by construction of the quasi-random id), which
+    * is precisely the init regime Lloyd training repairs.
+    */
+  private[queries] val ClusterCount = 16
+  private[queries] val ClusterAmp = 1.0
+  private[queries] def clusteredEmb(s: SparkSession, dir: String): DataFrame = {
+    val c = pmod(pmod(col("vec_id") * lit(37L), lit(97L)), lit(ClusterCount.toLong))
+    emb(s, dir)
+      .withColumn("v", transform(col("v"),
+        (x, i) => x + when(i.cast("long") === c, lit(ClusterAmp)).otherwise(lit(0.0))))
+      .withColumn("nrm", norm(col("v")))
+  }
+
   private def v12SeedIndex(s: SparkSession, dir: String): String =
     graft.SharedProjections.reuseArtifact("ivfadc_seed_idx", dir) {
       val p = scratchPath("v12", dir)
@@ -2186,6 +2281,36 @@ object Similarity {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
          |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM g""".stripMargin,
+
+    // the planted clustered mixture is exact-arithmetic-reproducible
+    // in SQL: integer-mod cluster id, one IEEE double add per element
+    // (x + 0.0 elsewhere — both engines run the identical add), so the
+    // oracle builds the SAME mixture and pins the exact ground-truth
+    // half; the seed/trained comparison lives in the flags
+    "v13_trained_clustered" ->
+      s"""WITH e0 AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v0
+         |  FROM embeddings),
+         |e AS (SELECT vec_id,
+         |    [v0[i] + CASE WHEN i - 1 = ((vec_id * 37) % 97) % 16
+         |       THEN 1.0 ELSE 0.0 END for i in range(1, len(v0) + 1)] AS v
+         |  FROM e0),
+         |n AS (SELECT vec_id, v, sqrt(${OracleDialect.dot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |  WHERE vec_id >= 300 AND vec_id < 330),
+         |p AS (SELECT q.q_id, n.vec_id AS neighbor_id,
+         |    ${OracleDialect.dot("q.qv", "n.v")} / (q.qn * n.nrm) AS cosine
+         |  FROM q, n WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM p),
+         |g AS (SELECT q_id,
+         |    sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS gt_micros
+         |  FROM r WHERE rank <= 3 GROUP BY q_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(gt_micros) AS BIGINT) AS gt_sum_micros,
+         |  CAST(1 AS BIGINT) AS recall_ok,
+         |  CAST(1 AS BIGINT) AS trained_beats_seed,
          |  CAST(1 AS BIGINT) AS never_better
          |FROM g""".stripMargin
   )

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
@@ -68,7 +70,11 @@ object AtomicSwap {
     * the `.compact` sibling, atomically at rename granularity. `write`
     * receives the tmp path and must commit a complete parquet dir there
     * (including `_SUCCESS` — the recovery discriminator). Run between
-    * appends, not concurrently with a reader.
+    * appends, not concurrently with a reader — the rename moves the
+    * files an open reader's scan has already resolved. This is the
+    * LEGACY swap; the parquet index artifacts now go through the
+    * manifest-pinned generation layout below, which removes that
+    * restriction.
     */
   def swapIn(spark: SparkSession, path: String)(write: String => Unit): Unit = {
     recover(spark, path)
@@ -82,5 +88,173 @@ object AtomicSwap {
     renameOrDie(fs, p, old)
     renameOrDie(fs, tmp, p)
     fs.delete(old, true)
+  }
+
+  // -------------------------------------------------------------------
+  // Manifest-pinned generation layout (r17, verdict ask #4).
+  //
+  // The rename swap above is crash-safe but NOT reader-safe: a Spark
+  // scan resolves its concrete file list when the DataFrame is planned,
+  // and the swap's rename moves those very files out from under it —
+  // hence the old "run between appends, not concurrently with a reader"
+  // restriction. The generation layout removes it:
+  //
+  //   root/
+  //     g0/ g1/ …       full data directories (partitionBy layout and
+  //                     `_SUCCESS` inside each), written whole by
+  //                     build/compact; appends add files to the CURRENT
+  //                     generation and never remove any
+  //     mf-1 mf-2 …     tiny numbered manifests; the newest one's
+  //                     content is the name of the current generation.
+  //                     Written tmp-then-rename, so a manifest either
+  //                     exists complete or not at all — the manifest IS
+  //                     the commit: a generation with no manifest
+  //                     naming it is invisible
+  //
+  // Readers resolve the current data directory through the newest
+  // manifest ([[dataDir]]) instead of trusting the artifact path
+  // itself. Compact ([[writeGen]]) writes generation N+1 beside the
+  // live N, publishes a manifest naming it, and prunes only
+  // generations OLDER than N — so a reader that resolved N before the
+  // swap keeps a complete, untouched directory until the NEXT compact.
+  // The concurrency contract is therefore "a plan survives one
+  // compaction cycle" (the Iceberg/Delta snapshot-expiry shape), not
+  // "no reader during compact".
+  //
+  // Crash windows: data written but manifest not published → readers
+  // stay on the old generation, the stray directory is pruned by the
+  // next writeGen; crash mid-manifest-write → only a dot-prefixed tmp
+  // file, never resolved. There is no window in which a reader can
+  // observe a half-written generation.
+  // -------------------------------------------------------------------
+
+  private val MfPrefix = "mf-"
+
+  private def numsOf(fs: FileSystem, root: Path, prefix: String,
+      dirs: Boolean): Seq[Int] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory == dirs && s.getPath.getName.startsWith(prefix))
+      .flatMap(s => s.getPath.getName.stripPrefix(prefix).toIntOption)
+
+  /** The name ("gN") of the current committed generation, if the
+    * artifact uses the manifest layout: the content of the
+    * newest-numbered manifest file.
+    */
+  private def currentGen(fs: FileSystem, root: Path): Option[String] = {
+    val ns = numsOf(fs, root, MfPrefix, dirs = false)
+    if (ns.isEmpty) None
+    else {
+      val in = fs.open(new Path(root, MfPrefix + ns.max))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  /** Publish `gen` as the current generation: write the next-numbered
+    * manifest via tmp-write + rename (the commit point), then thin old
+    * manifests to the newest two (audit trail without unbounded
+    * accretion under long append streams).
+    */
+  private def publish(fs: FileSystem, root: Path, gen: String): Unit = {
+    val n = (numsOf(fs, root, MfPrefix, dirs = false) :+ 0).max + 1
+    val tmp = new Path(root, s".$MfPrefix$n.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    renameOrDie(fs, tmp, new Path(root, MfPrefix + n))
+    numsOf(fs, root, MfPrefix, dirs = false).sorted.dropRight(2)
+      .foreach(k => fs.delete(new Path(root, MfPrefix + k), false))
+  }
+
+  /** Heal the artifact at `root` into a consistent manifest state.
+    * Covers, in order: an interrupted LEGACY rename swap (pre-r17
+    * `.compact`/`.old` siblings); an interrupted legacy→manifest
+    * migration (the `.mig` sibling); a legacy FLAT artifact (data at
+    * `root` itself, no manifest) — migrated whole into generation `g0`
+    * by renames, never a copy, never a delete; and a migrated
+    * generation missing its manifest (crash before publish) — the
+    * newest `_SUCCESS`-committed generation is published. Idempotent;
+    * a few exists() calls when healthy.
+    */
+  private def heal(spark: SparkSession, root: String): Unit = {
+    recover(spark, root)
+    val fs = fsOf(spark, root)
+    val rp = new Path(root)
+    val mig = new Path(root + ".mig")
+    if (fs.exists(mig)) { // resume an interrupted migration
+      if (!fs.exists(rp)) fs.mkdirs(rp)
+      renameOrDie(fs, mig, new Path(rp, "g0"))
+    }
+    if (currentGen(fs, rp).isEmpty && fs.exists(rp)) {
+      val entries = fs.listStatus(rp).toSeq
+      val isGenOrMf = (n: String) => n.startsWith(MfPrefix) ||
+        (n.startsWith("g") && n.stripPrefix("g").toIntOption.isDefined)
+      if (entries.nonEmpty && !entries.exists(e => isGenOrMf(e.getPath.getName))) {
+        // legacy flat data: rename the whole dir out, back in as g0
+        renameOrDie(fs, rp, mig)
+        fs.mkdirs(rp)
+        renameOrDie(fs, mig, new Path(rp, "g0"))
+      }
+      // publish the newest COMMITTED generation (migration lands here
+      // too); a half-written crash generation has no _SUCCESS and
+      // stays invisible
+      numsOf(fs, rp, "g", dirs = true).sorted.reverse
+        .find(k => fs.exists(new Path(rp, s"g$k/_SUCCESS")))
+        .foreach(k => publish(fs, rp, s"g$k"))
+    }
+  }
+
+  /** Resolve the artifact at `root` to its current committed data
+    * directory: heal (including migrating a pre-r17 flat artifact into
+    * the generation layout), then follow the newest manifest. A root
+    * with no data at all resolves to itself — the downstream read
+    * fails as loudly as it always did.
+    */
+  def dataDir(spark: SparkSession, root: String): String = {
+    heal(spark, root)
+    val fs = fsOf(spark, root)
+    val rp = new Path(root)
+    currentGen(fs, rp) match {
+      case Some(g) => new Path(rp, g).toString
+      case None => root
+    }
+  }
+
+  /** Write a NEW GENERATION of the artifact at `root` and make it
+    * current. `write` receives `root/g<next>` and must commit a
+    * complete data directory there; the manifest publish afterwards is
+    * the commit point. Generations older than the one being replaced
+    * are pruned — the replaced generation itself survives until the
+    * next writeGen, keeping any reader that resolved it before the
+    * publish on complete, untouched files. Serves build (first
+    * generation), compact and rebuild (next generation) alike.
+    */
+  def writeGen(spark: SparkSession, root: String)(write: String => Unit): Unit = {
+    heal(spark, root)
+    val fs = fsOf(spark, root)
+    val rp = new Path(root)
+    val cur = currentGen(fs, rp)
+    val next = (numsOf(fs, rp, "g", dirs = true)
+      ++ cur.flatMap(_.stripPrefix("g").toIntOption) :+ -1).max + 1
+    write(new Path(rp, s"g$next").toString)
+    publish(fs, rp, s"g$next")
+    val keep = Set(next) ++ cur.flatMap(_.stripPrefix("g").toIntOption)
+    numsOf(fs, rp, "g", dirs = true).filterNot(keep)
+      .foreach(k => fs.delete(new Path(rp, s"g$k"), true))
+  }
+
+  /** Record an append into the current generation — a manifest bump
+    * naming the SAME generation, written as the append's last step.
+    * Appends only ever ADD files (a reader's resolved snapshot stays
+    * correct), so the bump is the durable record that the append
+    * committed, not a visibility gate. No-op on a legacy flat artifact.
+    */
+  def commitAppend(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val rp = new Path(root)
+    currentGen(fs, rp).foreach(g => publish(fs, rp, g))
   }
 }

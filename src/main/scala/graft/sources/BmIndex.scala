@@ -51,14 +51,22 @@ object BmIndex {
   }
 
   def write(postings: DataFrame, doclens: DataFrame, path: String): Unit = {
+    val spark = postings.sparkSession
     // repartition on the partition column first — partitionBy alone
-    // fans every task into every directory (the PqIndex 5120-file trap)
-    postings.select(col("term"), col("doc_id"), col("tf"),
-        pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
-      .repartition(col("pbkt"))
-      .write.mode("overwrite").partitionBy("pbkt").parquet(path)
-    doclens.select("doc_id", "dl")
-      .write.mode("overwrite").parquet(path + "_doclens")
+    // fans every task into every directory (the PqIndex 5120-file trap).
+    // Generation-manifest layout (r17): the postings and doclens land
+    // as generation g0 under their roots and the manifest publish is
+    // the commit — see [[AtomicSwap.writeGen]].
+    AtomicSwap.writeGen(spark, path) { gen =>
+      postings.select(col("term"), col("doc_id"), col("tf"),
+          pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
+        .repartition(col("pbkt"))
+        .write.mode("overwrite").partitionBy("pbkt").parquet(gen)
+    }
+    AtomicSwap.writeGen(spark, path + "_doclens") { gen =>
+      doclens.select("doc_id", "dl")
+        .write.mode("overwrite").parquet(gen)
+    }
     postings.groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(path + "_df")
     doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -86,19 +94,18 @@ object BmIndex {
     */
   def postingsForBuckets(spark: SparkSession, path: String,
       bkts: Seq[Int]): DataFrame = {
-    AtomicSwap.recover(spark, path)
     // INT literals to match the inferred partition-directory type —
     // a cast between the column and the isin list would sit between
-    // the filter and PartitionFilters
-    spark.read.parquet(path)
+    // the filter and PartitionFilters. dataDir resolves the current
+    // generation through the manifest (r17) — the scan's file snapshot
+    // survives a concurrent compact.
+    spark.read.parquet(AtomicSwap.dataDir(spark, path))
       .filter(col("pbkt").isin(bkts: _*))
       .select("term", "doc_id", "tf")
   }
 
-  def doclens(spark: SparkSession, path: String): DataFrame = {
-    AtomicSwap.recover(spark, path + "_doclens")
-    spark.read.parquet(path + "_doclens")
-  }
+  def doclens(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_doclens"))
 
   def dfRel(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path + "_df")
@@ -124,12 +131,18 @@ object BmIndex {
     */
   def append(postingsNew: DataFrame, doclensNew: DataFrame,
       path: String): Unit = {
+    val spark = postingsNew.sparkSession
     postingsNew.select(col("term"), col("doc_id"), col("tf"),
         pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
       .repartition(col("pbkt"))
-      .write.mode("append").partitionBy("pbkt").parquet(path)
+      .write.mode("append").partitionBy("pbkt")
+      .parquet(AtomicSwap.dataDir(spark, path))
     doclensNew.select("doc_id", "dl")
-      .write.mode("append").parquet(path + "_doclens")
+      .write.mode("append").parquet(AtomicSwap.dataDir(spark, path + "_doclens"))
+    // manifest bump last (r17): the durable record that BOTH halves of
+    // the append committed
+    AtomicSwap.commitAppend(spark, path)
+    AtomicSwap.commitAppend(spark, path + "_doclens")
   }
 
   /** Staleness probe for the frozen ranking statistics (r16, verdict
@@ -166,22 +179,24 @@ object BmIndex {
     * tiny files and the per-query posting fetch opens batches × files.
     * Rows and the frozen `_df`/`_stats` siblings are untouched
     * (Bm25IndexSpec pins row identity and the file-count collapse).
-    * Swap-based ([[AtomicSwap]]): the rewrite reads straight from the
-    * durable source into a sibling and renames in — never an
-    * overwrite-in-place through executor-memory state. Run between
-    * appends, not concurrently with a reader.
+    * Generation-based ([[AtomicSwap.writeGen]], r17): the rewrite
+    * reads the current generation straight from the durable source
+    * into the NEXT generation and publishes a manifest naming it —
+    * never an overwrite-in-place, and safe to run concurrently with
+    * readers (a reader that resolved the old generation keeps complete
+    * files until the compact after this one).
     */
   def compact(spark: SparkSession, path: String, doclensFiles: Int = 8): Unit = {
-    AtomicSwap.swapIn(spark, path) { tmp =>
-      spark.read.parquet(path)
-        .select("term", "doc_id", "tf", "pbkt")
+    val src = spark.read.parquet(AtomicSwap.dataDir(spark, path))
+    AtomicSwap.writeGen(spark, path) { gen =>
+      src.select("term", "doc_id", "tf", "pbkt")
         .repartition(col("pbkt"))
-        .write.mode("overwrite").partitionBy("pbkt").parquet(tmp)
+        .write.mode("overwrite").partitionBy("pbkt").parquet(gen)
     }
-    AtomicSwap.swapIn(spark, path + "_doclens") { tmp =>
-      spark.read.parquet(path + "_doclens")
-        .repartition(doclensFiles)
-        .write.mode("overwrite").parquet(tmp)
+    val srcDl = spark.read.parquet(AtomicSwap.dataDir(spark, path + "_doclens"))
+    AtomicSwap.writeGen(spark, path + "_doclens") { gen =>
+      srcDl.repartition(doclensFiles)
+        .write.mode("overwrite").parquet(gen)
     }
   }
 }

@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Persist an assignment relation (must carry a `c_id` column). */
+  /** Persist an assignment relation (must carry a `c_id` column).
+    * Generation-manifest layout (r17, [[AtomicSwap.writeGen]]): the
+    * data lands as a generation under `path` and the manifest publish
+    * is the commit, so readers resolve through [[AtomicSwap.dataDir]]
+    * and survive concurrent compaction.
+    */
   def write(assign: DataFrame, path: String): Unit =
-    assign.write.mode("overwrite").partitionBy("c_id").parquet(path)
+    AtomicSwap.writeGen(assign.sparkSession, path) { gen =>
+      assign.write.mode("overwrite").partitionBy("c_id").parquet(gen)
+    }
 
   /** Persist an assignment relation TOGETHER with the codebook that
     * produced it (r12): the codebook lands as an nlist-row parquet at
@@ -53,10 +60,9 @@ object IvfIndex {
     * inference parses `c_id=N` as INT; cast back to the relation's
     * BIGINT so readers see the written schema.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    AtomicSwap.recover(spark, path)
-    spark.read.parquet(path).withColumn("c_id", col("c_id").cast("long"))
-  }
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(AtomicSwap.dataDir(spark, path))
+      .withColumn("c_id", col("c_id").cast("long"))
 
   /** Read only the probed centroids' partitions. */
   def probe(spark: SparkSession, path: String, centroidIds: Seq[Long]): DataFrame =
@@ -94,16 +100,19 @@ object IvfIndex {
     * file into each touched list directory, so after many deltas a
     * probe opens nprobe × appends files instead of nprobe). Rows and
     * the codebook sibling are untouched (IvfPersistSpec pins row
-    * identity and the file-count collapse). Swap-based
-    * ([[AtomicSwap]]): the rewrite reads straight from the durable
-    * source into a sibling and renames in — never an
-    * overwrite-in-place through executor-memory state. Run between
-    * appends, not concurrently with a reader.
+    * identity and the file-count collapse). Generation-based
+    * ([[AtomicSwap.writeGen]], r17): the rewrite reads the current
+    * generation straight from the durable source into the NEXT
+    * generation and publishes a manifest naming it — never an
+    * overwrite-in-place, and safe to run concurrently with readers
+    * (a reader that resolved the old generation keeps complete files
+    * until the compact after this one).
     */
-  def compact(spark: SparkSession, path: String): Unit =
-    AtomicSwap.swapIn(spark, path) { tmp =>
-      spark.read.parquet(path)
-        .repartition(col("c_id"))
-        .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
+  def compact(spark: SparkSession, path: String): Unit = {
+    val src = spark.read.parquet(AtomicSwap.dataDir(spark, path))
+    AtomicSwap.writeGen(spark, path) { gen =>
+      src.repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(gen)
     }
+  }
 }

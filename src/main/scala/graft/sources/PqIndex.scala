@@ -49,10 +49,15 @@ object PqIndex {
     // list); repartitioning on the partition column first costs one
     // build-time shuffle and leaves ONE well-formed file per list, so
     // a probe opens nprobe files instead of nprobe × tasks
-    if (codes.columns.contains("c_id"))
-      codes.repartition(col("c_id")).write.mode("overwrite")
-        .partitionBy("c_id").parquet(path)
-    else codes.write.mode("overwrite").parquet(path)
+    // generation-manifest layout (r17, [[AtomicSwap.writeGen]]): data
+    // lands as a generation under `path`, the manifest publish is the
+    // commit, readers resolve through [[AtomicSwap.dataDir]]
+    AtomicSwap.writeGen(spark, path) { gen =>
+      if (codes.columns.contains("c_id"))
+        codes.repartition(col("c_id")).write.mode("overwrite")
+          .partitionBy("c_id").parquet(gen)
+      else codes.write.mode("overwrite").parquet(gen)
+    }
     import spark.implicits._
     Seq((m, k, cb.toSeq, cents.toSeq, cids.toSeq))
       .toDF("m", "k", "cb", "cents", "cids")
@@ -63,8 +68,7 @@ object PqIndex {
     * parses `c_id=N` as INT; cast back to the relation's BIGINT.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    AtomicSwap.recover(spark, path)
-    val df = spark.read.parquet(path)
+    val df = spark.read.parquet(AtomicSwap.dataDir(spark, path))
     if (df.columns.contains("c_id")) df.withColumn("c_id", col("c_id").cast("long"))
     else df
   }
@@ -82,20 +86,22 @@ object PqIndex {
     * story for the partitioned tier): every append adds a file into
     * each touched `c_id=` directory, so after many deltas a probe
     * opens nprobe × appends files instead of nprobe. Rows and the
-    * codebook sibling are untouched. r16 (ADVICE): the rewrite lands in
-    * a `.compact` sibling read STRAIGHT FROM THE DURABLE SOURCE and
-    * swaps in by rename ([[AtomicSwap]]) — the old eager-localCheckpoint
-    * +overwrite-in-place form held the only copy of the index in
-    * unreplicated executor state while its source was being deleted.
-    * Run between appends, not concurrently with a reader.
+    * codebook sibling are untouched. r17: generation-based
+    * ([[AtomicSwap.writeGen]]) — the rewrite reads the current
+    * generation straight from the durable source into the NEXT
+    * generation and publishes a manifest naming it, never an
+    * overwrite-in-place, and safe to run concurrently with readers
+    * (a reader that resolved the old generation keeps complete files
+    * until the compact after this one).
     */
-  def compact(spark: SparkSession, path: String): Unit =
-    AtomicSwap.swapIn(spark, path) { tmp =>
-      val snap = spark.read.parquet(path)
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = spark.read.parquet(AtomicSwap.dataDir(spark, path))
+    AtomicSwap.writeGen(spark, path) { gen =>
       if (snap.columns.contains("c_id"))
         snap.withColumn("c_id", col("c_id").cast("long"))
           .repartition(col("c_id")).write.mode("overwrite")
-          .partitionBy("c_id").parquet(tmp)
-      else snap.write.mode("overwrite").parquet(tmp)
+          .partitionBy("c_id").parquet(gen)
+      else snap.write.mode("overwrite").parquet(gen)
     }
+  }
 }

@@ -121,15 +121,19 @@ class Bm25IndexSpec extends SparkSpec {
         .map(d => d.getName ->
           d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
 
+    // inspect the CURRENT generation (r17 manifest layout) — the root
+    // keeps the pre-compact generation for open readers
+    def cur = graft.sources.AtomicSwap.dataDir(spark, path)
     val (beforeServe, beforePost) = (serve, postings)
-    assert(filesPerDir(path, "pbkt=").values.exists(_ > 1),
+    assert(filesPerDir(cur, "pbkt=").values.exists(_ > 1),
       "appends should leave multiple files per bucket directory")
     BmIndex.compact(spark, path)
     assert(postings === beforePost, "compact must not change posting rows")
     assert(serve === beforeServe, "compact must not change serving")
-    assert(filesPerDir(path, "pbkt=").values.forall(_ == 1),
+    assert(filesPerDir(cur, "pbkt=").values.forall(_ == 1),
       "compact should leave one file per bucket directory")
-    val dlFiles = new java.io.File(path + "_doclens").listFiles()
+    val dlFiles = new java.io.File(
+        graft.sources.AtomicSwap.dataDir(spark, path + "_doclens")).listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(dlFiles <= 8, s"doclens should collapse to <= 8 files, got $dlFiles")
   }

@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The planted clustered mixture and the trained book's gated WIN
+  * (r17, verdict stretch #8). The v13 gate pins flags against floors;
+  * this spec pins the MARGIN behind them at the small fixture: Lloyd
+  * training from the (deliberately collision-and-gap-ridden) first-
+  * nlist seed recovers ALL planted neighbors, while the seed book
+  * measurably misses — so a regression in training, assignment, or
+  * the planting itself moves a number, not just a flag.
+  */
+class ClusterMixSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def hits(gt: DataFrame, ap: DataFrame): Long =
+    gt.select("q_id", "neighbor_id")
+      .join(ap.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_semi")
+      .count()
+
+  test("trained book recovers all planted neighbors; seed book misses") {
+    val e = Similarity.clusteredEmb(spark, dir).localCheckpoint()
+    val qPred = col("vec_id") >= 300 && col("vec_id") < 330
+    val gt = Similarity.exactTopKOver(e, qPred, 3).localCheckpoint()
+
+    val seedBook = Similarity.centroids(e, 16)
+    val seed = Similarity.knnIvfOver(e, seedBook,
+      Similarity.assignTo(e, seedBook).select("vec_id", "c_id", "v", "nrm"),
+      qPred, 2)
+    val trainedBook = Similarity.ivfTrainOver(spark, e, 16, 3)
+    val trained = Similarity.knnIvfOver(e, trainedBook,
+      Similarity.assignTo(e, trainedBook).select("vec_id", "c_id", "v", "nrm"),
+      qPred, 2)
+
+    val (hs, ht) = (hits(gt, seed), hits(gt, trained))
+    assert(ht === 90L, s"trained book should recover all 90 (got $ht)")
+    assert(hs === 74L, s"seed book's measured miss pattern moved (got $hs)")
+  }
+
+  test("the planting is the exact per-element transform the oracle runs") {
+    // cluster id = ((vec_id * 37) % 97) % 16; +1.0 in that dim only —
+    // spot-check one vector end to end against a driver-side recompute
+    val raw = Similarity.emb(spark, dir).filter(col("vec_id") === 300)
+      .select("v").head().getSeq[Double](0)
+    val planted = Similarity.clusteredEmb(spark, dir)
+      .filter(col("vec_id") === 300).select("v").head().getSeq[Double](0)
+    val c = ((300L * 37L) % 97L % 16L).toInt
+    raw.indices.foreach { i =>
+      val want = if (i == c) raw(i) + 1.0 else raw(i)
+      assert(planted(i) === want, s"dim $i")
+    }
+  }
+}

@@ -27,10 +27,11 @@ object CompactProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def countFiles(p: String): Int = {
+      // count inside the CURRENT generation (r17 manifest layout)
       def walk(f: java.io.File): Int =
         if (f.isDirectory) f.listFiles().map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1 else 0
-      walk(new java.io.File(p))
+      walk(new java.io.File(graft.sources.AtomicSwap.dataDir(spark, p)))
     }
 
     val path = Similarity.scratchPath("bm25compactbench", dir)

@@ -77,9 +77,12 @@ class IvfAdcAppendSpec extends SparkSpec {
     // 4. compact merges the appended files back to one per list;
     // rows, codebook, and serving are untouched (r15)
     def parquetFiles: Int = {
-      val fs = new org.apache.hadoop.fs.Path(idx)
+      // count inside the CURRENT generation (r17 manifest layout) —
+      // the root keeps the pre-compact generation for open readers
+      val cur = graft.sources.AtomicSwap.dataDir(spark, idx)
+      val fs = new org.apache.hadoop.fs.Path(cur)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx), true)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(cur), true)
       var n = 0
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n

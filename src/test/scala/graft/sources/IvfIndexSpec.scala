@@ -50,12 +50,14 @@ class IvfIndexSpec extends SparkSpec {
     for (m <- Seq(1, 2))
       assign.filter(col("vec_id") % 3 === m)
         .repartition(col("c_id"))
-        .write.mode("append").partitionBy("c_id").parquet(path)
+        .write.mode("append").partitionBy("c_id")
+        .parquet(AtomicSwap.dataDir(spark, path))
 
     def rows: Seq[(Long, Long)] = IvfIndex.read(spark, path)
       .select("vec_id", "c_id").as[(Long, Long)].collect().sorted.toSeq
     def filesPerDir: Map[String, Int] = {
-      val root = new java.io.File(path)
+      // inspect the CURRENT generation (r17 manifest layout)
+      val root = new java.io.File(AtomicSwap.dataDir(spark, path))
       root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("c_id="))
         .map(d => d.getName ->
           d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap

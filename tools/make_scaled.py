@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Synthesize a perf-only scaled replica of a driver fixture directory.
 
-Usage: python3 tools/make_scaled.py <srcDir> <dstDir> <copies> [salt]
+Usage: python3 tools/make_scaled.py <srcDir> <dstDir> <copies> \
+           [salt[:MOD] | long[:MIN-MAX]] [onlyTable,...]
 
 Replicates every table <copies> times with key columns shifted by a
 large per-copy offset so join integrity is preserved (facts reference
@@ -83,6 +84,47 @@ def salt_documents(t, c):
     return t.set_column(idx, t.field("text"), pa.array(out, type=t.field("text").type))
 
 
+LONG_MIN, LONG_MAX = 200, 1000  # long-doc token range (long:MIN-MAX dial)
+LONG_VOCAB = 30_000             # synthetic tail vocabulary size
+LONG_ZIPF_S = 1.07              # Zipf exponent -> realistic df skew
+
+
+def long_documents(t, c):
+    """Long-doc mode (r17, verdict ask #2): extend every doc's text to
+    a target length drawn uniformly from [LONG_MIN, LONG_MAX] tokens by
+    APPENDING a Zipf-sampled synthetic tail (vocab `zl0..zlN`, p ~
+    1/rank^s) — the regime the BM25 index exists for (the r16-measured
+    indexed/in-query crossover is TEXT LENGTH). Appending, not
+    replacing, keeps the source vocabulary intact: probe terms keep
+    their original document frequencies ('dup' stays rare, 'spark'
+    stays corpus-common), while the tail adds realistic df skew (head
+    tail-terms land in nearly every doc, deep-tail terms in a handful).
+    Deterministic per copy (seeded rng; doc order within a copy is the
+    source order). Applies to EVERY copy including copy 0 — the point
+    is a uniformly long corpus, unlike salt's copy-0-identical rule."""
+    rng = np.random.default_rng(7_000_003 * c + 13)
+    texts = t.column("text").to_pylist()
+    ranks = np.arange(1, LONG_VOCAB + 1, dtype=np.float64)
+    p = ranks ** -LONG_ZIPF_S
+    p /= p.sum()
+    targets = rng.integers(LONG_MIN, LONG_MAX + 1, size=len(texts))
+    out = []
+    for i, s in enumerate(texts):
+        if s is None:
+            out.append(None)
+            continue
+        n0 = s.count(" ") + 1
+        extra = int(targets[i]) - n0
+        if extra <= 0:
+            out.append(s)
+            continue
+        tail = rng.choice(LONG_VOCAB, size=extra, p=p)
+        out.append(s + " " + " ".join(f"zl{k}" for k in tail))
+    idx = t.schema.get_field_index("text")
+    return t.set_column(idx, t.field("text"),
+                        pa.array(out, type=t.field("text").type))
+
+
 def salt_embeddings(t, c):
     """Jitter vectors per copy: keep-set gets 2%-relative noise (cosine
     ~0.9998, stays over every gate); the rest 10x-relative noise
@@ -114,9 +156,13 @@ def salt_embeddings(t, c):
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
     salt = len(sys.argv) > 4 and sys.argv[4].startswith("salt")
+    long_mode = len(sys.argv) > 4 and sys.argv[4].startswith("long")
     if salt and ":" in sys.argv[4]:
         global NEARDUP_MOD
         NEARDUP_MOD = int(sys.argv[4].split(":", 1)[1])
+    if long_mode and ":" in sys.argv[4]:
+        global LONG_MIN, LONG_MAX
+        LONG_MIN, LONG_MAX = map(int, sys.argv[4].split(":", 1)[1].split("-"))
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     import os
     os.makedirs(dst, exist_ok=True)
@@ -159,6 +205,8 @@ def main():
                 shifted = salt_documents(shifted, c)
             if salt and c > 0 and table == "embeddings":
                 shifted = salt_embeddings(shifted, c)
+            if long_mode and table == "documents":
+                shifted = long_documents(shifted, c)
             parts.append(shifted)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rg)
