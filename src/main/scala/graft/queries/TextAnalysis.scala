@@ -228,15 +228,19 @@ object TextAnalysis {
       "bm25BatchRel: duplicate (q_id, ti) cell in the query relation")
     require(d.getInt(1) >= 0, "bm25BatchRel: negative term position ti")
     val m = d.getInt(0) + 1
-    // the term-isin push only when the batch is provably small: the
-    // cell count bounds the distinct-term count from above, and the
-    // limit-collect below keeps the sync bounded even near the cap
-    val isinTerms =
-      if (d.getLong(3) <= isinTermCap * 4L) {
-        val ts = qrel.select("term").distinct().limit(isinTermCap + 1)
-          .collect().map(_.getString(0)).toSeq
-        if (ts.size <= isinTermCap) Some(ts) else None
-      } else None
+    // the term-isin push whenever the batch's DISTINCT-term set fits
+    // the cap: the limit-collect is bounded (≤ cap+1 rows back) at ANY
+    // batch size — r17 first shipped this gated on a cell-count
+    // precondition, which silently dropped the per-term pushed filter
+    // on large batches over small vocabularies (measured 322 vs 217 s
+    // at n_q=1000 × 30 distinct terms on the 100× replica — the scan
+    // read every term in the probed buckets and discarded the rest at
+    // the join). One small distinct-aggregate job is the price.
+    val isinTerms = {
+      val ts = qrel.select("term").distinct().limit(isinTermCap + 1)
+        .collect().map(_.getString(0)).toSeq
+      if (ts.size <= isinTermCap && ts.nonEmpty) Some(ts) else None
+    }
     bm25BatchCore(s, path, qrel, m, isinTerms, k)
   }
 

@@ -31,7 +31,7 @@ import org.apache.spark.sql.SparkSession
   */
 object AtomicSwap {
 
-  private def fsOf(spark: SparkSession, path: String): FileSystem =
+  private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Hadoop's FileSystem.rename signals failure by RETURNING FALSE
@@ -139,9 +139,11 @@ object AtomicSwap {
 
   /** The name ("gN") of the current committed generation, if the
     * artifact uses the manifest layout: the content of the
-    * newest-numbered manifest file.
+    * newest-numbered manifest file. `private[sources]` so
+    * [[PpIndex]] reuses the same pointer mechanics for its bucketed
+    * TABLE generations (the manifest value there is a table name).
     */
-  private def currentGen(fs: FileSystem, root: Path): Option[String] = {
+  private[sources] def currentGen(fs: FileSystem, root: Path): Option[String] = {
     val ns = numsOf(fs, root, MfPrefix, dirs = false)
     if (ns.isEmpty) None
     else {
@@ -159,7 +161,7 @@ object AtomicSwap {
     * manifests to the newest two (audit trail without unbounded
     * accretion under long append streams).
     */
-  private def publish(fs: FileSystem, root: Path, gen: String): Unit = {
+  private[sources] def publish(fs: FileSystem, root: Path, gen: String): Unit = {
     val n = (numsOf(fs, root, MfPrefix, dirs = false) :+ 0).max + 1
     val tmp = new Path(root, s".$MfPrefix$n.tmp")
     val out = fs.create(tmp, true)

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Persisted, BUCKETED layout for the PPJoin base relation
@@ -24,21 +25,98 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sibling freezes the build-time document frequencies so appended
   * docs rank under the build's prefix order (the correctness of that
   * contract lives in [[graft.queries.Dedup.appendToPpIndex]]).
+  *
+  * r17: reader-safe maintenance — the [[AtomicSwap]] generation-
+  * manifest pattern applied to a CATALOG artifact. The live data is a
+  * generation TABLE `<table>_gN`; a tiny rename-committed pointer
+  * (`<warehouse>/<table>_ptr/mf-K`, content = the live table name) is
+  * the commit. Compact builds `_g(N+1)` beside the live table,
+  * publishes the pointer, and drops only generations OLDER than N —
+  * so a reader that resolved the pre-compact table keeps complete,
+  * untouched files for one full compaction cycle (the same
+  * snapshot-expiry contract as the parquet index families), instead
+  * of the old drop-and-rename swap moving its files mid-scan.
+  * Pre-r17 flat tables (`<table>` with no pointer) read as before and
+  * migrate on the first write/compact.
   */
 object PpIndex {
 
+  private def ptrRoot(spark: SparkSession, table: String): Path =
+    new Path(spark.conf.get("spark.sql.warehouse.dir"), table + "_ptr")
+
+  /** The live generation table's name, if the pointer layout is in
+    * use (the newest committed pointer file's content).
+    */
+  private def currentTable(spark: SparkSession, table: String): Option[String] = {
+    val root = ptrRoot(spark, table)
+    AtomicSwap.currentGen(AtomicSwap.fsOf(spark, root.toString), root)
+  }
+
+  private def genNum(table: String, name: String): Option[Int] =
+    if (name.startsWith(table + "_g"))
+      name.stripPrefix(table + "_g").toIntOption
+    else None
+
+  /** Next free generation number: one past everything visible in the
+    * warehouse directory (strays from crashed builds included — a
+    * fresh JVM's in-memory catalog forgets tables, their dirs don't)
+    * and the pointer.
+    */
+  private def nextGen(spark: SparkSession, table: String): Int = {
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirNums =
+      if (fs.exists(wh)) fs.listStatus(wh).toSeq.filter(_.isDirectory)
+        .flatMap(s => genNum(table, s.getPath.getName))
+      else Seq.empty
+    (dirNums ++ currentTable(spark, table).flatMap(genNum(table, _))
+      :+ -1).max + 1
+  }
+
+  /** Publish `liveName` as the pointer's target — the commit point of
+    * build/append/compact (tmp-write + rename, via the AtomicSwap
+    * manifest mechanics).
+    */
+  private def publish(spark: SparkSession, table: String, liveName: String): Unit = {
+    val root = ptrRoot(spark, table)
+    val fs = AtomicSwap.fsOf(spark, root.toString)
+    fs.mkdirs(root)
+    AtomicSwap.publish(fs, root, liveName)
+  }
+
+  /** Drop every generation table of `table` whose number is not in
+    * `keep` (catalog entry AND warehouse dir — strays may have either
+    * without the other).
+    */
+  private def pruneGens(spark: SparkSession, table: String, keep: Set[Int]): Unit = {
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirNums =
+      if (fs.exists(wh)) fs.listStatus(wh).toSeq.filter(_.isDirectory)
+        .flatMap(s => genNum(table, s.getPath.getName))
+      else Seq.empty
+    dirNums.filterNot(keep).distinct
+      .foreach(k => resetTable(spark, s"${table}_g$k"))
+  }
+
   /** Persist a PPJoin base relation bucketed + sorted on the
-    * fingerprint join key. Resets the target first (drop + warehouse-
-    * dir delete — the BmIndex.write convention): an in-query build
-    * must survive a fresh JVM whose in-memory catalog has no entry for
-    * a leftover warehouse directory (saveAsTable would otherwise fail
-    * LOCATION_ALREADY_EXISTS).
+    * fingerprint join key, as a NEW generation: the pointer publish is
+    * the commit, the previous generation (if any) survives one cycle
+    * for open readers, older ones are dropped. A leftover pre-r17
+    * flat table is dropped after the publish (rebuild-over-legacy had
+    * no reader contract).
     */
   def write(base: DataFrame, table: String, buckets: Int = 8): Unit = {
     val spark = base.sparkSession
-    resetTable(spark, table)
+    val prev = currentTable(spark, table)
+    val k = nextGen(spark, table)
+    val gt = s"${table}_g$k"
+    resetTable(spark, gt) // stray from a crashed build
     Bucketing.writeBucketed(base.select("doc_id", "s", "rk", "n"),
-      table, "s", buckets)
+      gt, "s", buckets)
+    publish(spark, table, gt)
+    pruneGens(spark, table, Set(k) ++ prev.flatMap(genNum(table, _)))
+    resetTable(spark, table) // leftover pre-r17 flat table, if any
   }
 
   /** Drop `table` AND delete its leftover warehouse directory — an
@@ -53,36 +131,36 @@ object PpIndex {
     wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
   }
 
-  /** Finish an interrupted [[compact]] swap, if one is detected: the
-    * live table absent with the compacted `_c` sibling present (the
-    * only crash window — see compact) → rename the sibling in.
-    * Idempotent, one catalog lookup when healthy.
+  /** Finish an interrupted PRE-R17 [[compact]] swap, if one is
+    * detected: the live table absent with the compacted `_c` sibling
+    * present → rename the sibling in. Kept for legacy flat artifacts
+    * only; pointer-layout generations never rename.
     */
   private def recoverSwap(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(table + "_c")) {
-      // [[compact]]'s resetTable(live) is a DROP then a directory
-      // delete — a crash BETWEEN them leaves the live warehouse dir on
-      // disk with no catalog entry, and the managed-table rename below
-      // must move `_c`'s directory onto that leftover (which nests or
-      // fails depending on FS semantics — r17, ADVICE). Clear it first:
-      // the catalog says the live table does not exist, so the
-      // directory is provably orphaned.
+      // the old compact's resetTable(live) was a DROP then a directory
+      // delete — a crash BETWEEN them left the live warehouse dir on
+      // disk with no catalog entry; clear it before the rename (the
+      // catalog says the live table does not exist, so the directory
+      // is provably orphaned)
       val wh = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table)
       wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
       spark.sql(s"ALTER TABLE ${table}_c RENAME TO $table")
     }
 
-  def read(spark: SparkSession, table: String): DataFrame = {
-    recoverSwap(spark, table)
-    spark.table(table)
-  }
+  def read(spark: SparkSession, table: String): DataFrame =
+    currentTable(spark, table) match {
+      case Some(live) => spark.table(live)
+      case None => recoverSwap(spark, table); spark.table(table)
+    }
 
   /** Persist the BUILD-time per-fingerprint document frequency —
     * every fp seen at build, capped and uncapped alike (the base alone
     * can't recover the dropped fps, and appends must keep dropping
-    * them). Frozen: appends never rewrite it.
+    * them). Frozen: appends never rewrite it (so it needs no
+    * generation treatment — only rebuilds touch it).
     */
   def writeDf(dfAll: DataFrame, table: String): Unit = {
     // same fresh-JVM reset as [[write]] (r16): a leftover warehouse dir
@@ -96,23 +174,27 @@ object PpIndex {
   def readDf(spark: SparkSession, table: String): DataFrame =
     spark.table(table + "_df")
 
-  /** Append pre-ranked base rows into the bucketed layout with the
+  /** Append pre-ranked base rows into the live generation with the
     * SAME bucket spec as [[write]] — each append adds one file per
-    * touched bucket. Bucket pruning and the exchange-free candidate
-    * self-join survive appends (bucket membership is a function of
-    * `s` alone); per-bucket SORTEDNESS does not (Spark only claims
-    * sort order for single-file buckets), so post-append plans carry
-    * in-partition Sorts — still zero shuffle (PpAppendSpec).
+    * touched bucket, then bumps the pointer (the durable record that
+    * the append committed). Bucket pruning and the exchange-free
+    * candidate self-join survive appends (bucket membership is a
+    * function of `s` alone); per-bucket SORTEDNESS does not (Spark
+    * only claims sort order for single-file buckets), so post-append
+    * plans carry in-partition Sorts — still zero shuffle
+    * (PpAppendSpec).
     */
   def append(rows: DataFrame, spark: SparkSession, table: String,
-      buckets: Int = 8): Unit =
+      buckets: Int = 8): Unit = {
+    val live = currentTable(spark, table).getOrElse(table)
     rows.select("doc_id", "s", "rk", "n").write.mode("append")
       .format("parquet").bucketBy(buckets, "s").sortBy("s")
-      .saveAsTable(table)
+      .saveAsTable(live)
+    currentTable(spark, table).foreach(publish(spark, table, _))
+  }
 
-  /** Rewrite the table back to one sorted file per bucket — the
-    * maintenance companion to [[append]] (the DocPipeline.compact
-    * story for the bucketed tier): every append adds a file per
+  /** Rewrite the index back to one sorted file per bucket — the
+    * maintenance companion to [[append]]: every append adds a file per
     * touched bucket, which keeps the join exchange-free but forfeits
     * the scan's claimed sort order (Spark only claims it for
     * single-file buckets), so post-append plans re-sort in-partition.
@@ -120,26 +202,27 @@ object PpIndex {
     * same data, same bucket spec (PpAppendSpec pins row identity and
     * the Sort nodes' disappearance).
     *
-    * r16 (ADVICE): swap-based, not overwrite-in-place. The old form
-    * eagerly localCheckpoint'ed the table and overwrote its own source
-    * — holding the ONLY copy of the index in unreplicated executor
-    * state while the source was deleted; an executor loss in that
-    * window lost the index irrecoverably. Now the compacted rows land
-    * in a sibling `_c` TABLE read straight from the durable source,
-    * and the swap is two catalog ops (drop live, rename sibling in —
-    * a managed-table rename moves the warehouse directory with it).
-    * Crash before the drop leaves the live table untouched (the stray
-    * `_c` is reset on the next compact); crash between drop and rename
-    * is healed by [[recoverSwap]] at the head of every read. Run
-    * between appends, not concurrently with a reader.
+    * r17: generation-based and READER-SAFE — the compacted rows land
+    * in table `_g(N+1)` read straight from the live generation, the
+    * pointer publish is the commit, and the superseded generation
+    * survives until the compact after this one (see the class note).
+    * A legacy flat artifact is migrated: it serves as the "previous
+    * generation" for one cycle and is dropped by the next write or
+    * compact.
     */
   def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
-    recoverSwap(spark, table)
-    resetTable(spark, table + "_c")
+    val prev = currentTable(spark, table)
+    val srcName = prev.getOrElse { recoverSwap(spark, table); table }
+    val k = nextGen(spark, table)
+    val gt = s"${table}_g$k"
+    resetTable(spark, gt) // stray from a crashed compact
     Bucketing.writeBucketed(
-      spark.table(table).select("doc_id", "s", "rk", "n"),
-      table + "_c", "s", buckets)
-    resetTable(spark, table)
-    spark.sql(s"ALTER TABLE ${table}_c RENAME TO $table")
+      spark.table(srcName).select("doc_id", "s", "rk", "n"),
+      gt, "s", buckets)
+    publish(spark, table, gt)
+    pruneGens(spark, table, Set(k) ++ prev.flatMap(genNum(table, _)))
+    // a legacy flat table that is no longer the source is 2+ cycles
+    // old — drop it (prev nonEmpty means the source was a generation)
+    if (prev.nonEmpty && spark.catalog.tableExists(table)) resetTable(spark, table)
   }
 }

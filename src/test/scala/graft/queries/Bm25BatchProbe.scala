@@ -72,6 +72,10 @@ object Bm25BatchProbe {
         .write.format("noop").mode("overwrite").save())).min
     println(f"[bm25batchprobe] batch serve, selective (rare-term) workload: " +
       f"n_q=1000 in $tSel%.1fs (${tSel}%.1fms/query)")
+
+    // the RELATION-path readings live in Bm25RelProbe (reuses this
+    // probe's scratch index, so the two can run back to back without
+    // a second 100x build)
     spark.stop()
   }
 }

@@ -46,25 +46,66 @@ class PpIndexSpec extends SparkSpec {
       s"candidate self-join against the bucketed base must not shuffle:\n$plan")
   }
 
-  test("interrupted compact swap (live dropped, _c present) heals on read") {
+  private def wipe(table: String, extra: String*): Unit = {
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    // generation tables + the pointer dir from prior JVM runs
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    if (fs.exists(whPath))
+      fs.listStatus(whPath).map(_.getPath.getName)
+        .filter(n => n == table || n.startsWith(table + "_"))
+        .foreach { n =>
+          spark.sql(s"DROP TABLE IF EXISTS $n")
+          fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
+        }
+    extra.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      fs.delete(new org.apache.hadoop.fs.Path(wh, n), true)
+    }
+  }
+
+  test("legacy flat artifact: interrupted pre-r17 swap (_c present) heals on read") {
     import spark.implicits._
     val table = "ppjoin_swap_spec"
-    for (t <- Seq(table, table + "_df", table + "_c")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), t)
-      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
-    }
+    wipe(table)
     val base = Seq((1L, 10L, 1, 2), (1L, 11L, 2, 2), (2L, 10L, 1, 1))
       .toDF("doc_id", "s", "rk", "n")
-    graft.sources.PpIndex.write(base, table)
-    // simulate the crash window between compact's drop and rename: the
-    // compacted sibling exists, the live table does not
+    // a PRE-R17 artifact: flat bucketed table, no pointer
+    graft.sources.Bucketing.writeBucketed(base, table, "s")
+    // simulate the old compact's crash window between its drop and
+    // rename: the compacted sibling exists, the live table does not
     spark.sql(s"ALTER TABLE $table RENAME TO ${table}_c")
     val rows = graft.sources.PpIndex.read(spark, table)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(rows === Seq((1L, 10L), (1L, 11L), (2L, 10L)))
     assert(spark.catalog.tableExists(table) &&
       !spark.catalog.tableExists(table + "_c"))
+  }
+
+  test("a reader pinned pre-compact survives the swap; fresh reads see the new generation") {
+    import spark.implicits._
+    val table = "ppjoin_reader_spec"
+    wipe(table)
+    val base = Seq((1L, 10L, 1, 2), (1L, 11L, 2, 2), (2L, 10L, 1, 1))
+      .toDF("doc_id", "s", "rk", "n")
+    graft.sources.PpIndex.write(base, table)
+    // append so the compact has something to merge
+    graft.sources.PpIndex.append(
+      Seq((3L, 11L, 1, 1)).toDF("doc_id", "s", "rk", "n"), spark, table)
+
+    def rowset(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "s").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val all = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 11L))
+
+    // reader A resolves the LIVE generation's files now
+    val pinned = graft.sources.PpIndex.read(spark, table)
+    assert(rowset(pinned) === all)
+    graft.sources.PpIndex.compact(spark, table)
+    // A's already-resolved scan survives the swap; a fresh resolve
+    // reads the compacted generation — same rows either way
+    assert(rowset(pinned) === all, "pre-compact reader must survive the swap")
+    assert(rowset(graft.sources.PpIndex.read(spark, table)) === all)
   }
 }
