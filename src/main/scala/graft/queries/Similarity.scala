@@ -898,9 +898,11 @@ object Similarity {
     // LUTs need) rides a sibling so INCREMENTAL ADDS can reproduce the
     // build's assignment argmax bit-for-bit (same IEEE sequence as the
     // build: dot(v, cv)/(nrm·cn), the IvfIndex.writeWithCodebook story)
-    coarse.getOrElse(centroids(emb(s, dir), nlist))
-      .select("c_id", "cv", "cn").repartition(1)
-      .write.mode("overwrite").parquet(path + "_coarse")
+    graft.sources.AtomicSwap.writeGen(s, path + "_coarse") { gen =>
+      coarse.getOrElse(centroids(emb(s, dir), nlist))
+        .select("c_id", "cv", "cn").repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** INCREMENTAL index maintenance (r14): encode `newVecs` — rows of
@@ -930,7 +932,8 @@ object Similarity {
     require(dup.isEmpty, s"appendToIvfAdcIndex: vec_id ${dup.head.get(0)} " +
       s"is already indexed at $path — appended ids must be disjoint " +
       "(a duplicate would serve twice; rebuild instead)")
-    val rawBook = s.read.parquet(path + "_coarse")
+    val rawBook = s.read.parquet(
+      graft.sources.AtomicSwap.dataDir(s, path + "_coarse"))
     val e = newVecs
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -5,29 +5,28 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Crash-safe replace-in-place for a persisted parquet directory (r16,
-  * ADVICE) — the [[graft.streaming.DocPipeline]] compact-swap pattern
-  * factored out for the index artifacts.
+/** Crash-safe AND reader-safe lifecycle for persisted index artifacts:
+  * the manifest-pinned GENERATION layout (r17 — see the block comment
+  * below) plus healing for its two predecessors.
   *
-  * The hazard it replaces: `read → localCheckpoint(eager) → overwrite
-  * own source`. A localCheckpoint block is UNREPLICATED executor
-  * memory/disk state with truncated lineage — on a real cluster, any
-  * executor loss (or dynamic-allocation reclaim) after the source
-  * directory is deleted but before the rewrite commits loses the only
-  * copy of the index irrecoverably. Here the rewrite lands in a
-  * `.compact` sibling FIRST (reading straight from the durable source —
-  * no checkpoint needed at all), and only then swaps in with renames:
+  * Lineage of the mechanism, because each step closed a real hazard:
   *
-  *   write tmp → delete stale old → rename(live, old) →
-  *   rename(tmp, live) → delete old
-  *
-  * Every crash window leaves a durable copy: before the first rename
-  * the source is untouched; between the renames the live path is
-  * absent but `.compact` (with its `_SUCCESS` marker proving the job
-  * committed) or `.old` holds the data — [[recover]], called at the
-  * head of every reader, heals that window by preferring the committed
-  * `.compact` and falling back to `.old`. Same data either way, so
-  * recovery never picks a half-written state.
+  *  - r15 compacts did `read → localCheckpoint(eager) → overwrite own
+  *    source` — unreplicated executor state holding the ONLY copy
+  *    while the durable one was deleted; an executor loss in that
+  *    window lost the index irrecoverably (r15 ADVICE).
+  *  - r16 replaced that with a rename swap (write a committed
+  *    `.compact` sibling from the durable source, rename live away,
+  *    rename the sibling in, [[recover]] healing the one crash
+  *    window). Crash-safe — but NOT reader-safe: a Spark scan resolves
+  *    its concrete file list at plan time, and the renames moved those
+  *    files out from under any open reader, forcing "never compact
+  *    concurrently with a reader".
+  *  - r17 (verdict ask #4): generations + a tiny rename-committed
+  *    manifest. Nothing a reader has resolved is ever moved or
+  *    deleted until a full compaction cycle later. [[recover]] and the
+  *    legacy branches of [[heal]] remain only so pre-r17 artifacts in
+  *    any interrupted state migrate losslessly on first touch.
   */
 object AtomicSwap {
 
@@ -66,29 +65,11 @@ object AtomicSwap {
     }
   }
 
-  /** Replace the directory at `path` with whatever `write` produces at
-    * the `.compact` sibling, atomically at rename granularity. `write`
-    * receives the tmp path and must commit a complete parquet dir there
-    * (including `_SUCCESS` — the recovery discriminator). Run between
-    * appends, not concurrently with a reader — the rename moves the
-    * files an open reader's scan has already resolved. This is the
-    * LEGACY swap; the parquet index artifacts now go through the
-    * manifest-pinned generation layout below, which removes that
-    * restriction.
-    */
-  def swapIn(spark: SparkSession, path: String)(write: String => Unit): Unit = {
-    recover(spark, path)
-    val fs = fsOf(spark, path)
-    val p = new Path(path)
-    val tmp = new Path(path + ".compact")
-    val old = new Path(path + ".old")
-    fs.delete(tmp, true) // stale tmp from an abandoned attempt
-    write(tmp.toString)
-    fs.delete(old, true)
-    renameOrDie(fs, p, old)
-    renameOrDie(fs, tmp, p)
-    fs.delete(old, true)
-  }
+  // (The r16 `swapIn` rename swap — write a `.compact` sibling, rename
+  // live away, rename the sibling in — is GONE: every artifact now
+  // writes through the generation layout below, and [[recover]] remains
+  // only to heal pre-r17 artifacts interrupted mid-swap before they
+  // migrate.)
 
   // -------------------------------------------------------------------
   // Manifest-pinned generation layout (r17, verdict ask #4).

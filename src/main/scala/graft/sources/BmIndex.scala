@@ -67,11 +67,19 @@ object BmIndex {
       doclens.select("doc_id", "dl")
         .write.mode("overwrite").parquet(gen)
     }
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(path + "_df")
-    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .repartition(1)
-      .write.mode("overwrite").parquet(path + "_stats")
+    // the frozen ranking stats go through the generation layer too
+    // (r17): a REBUILD-over-live would otherwise overwrite them in
+    // place under an open reader — with generations, rebuild is as
+    // reader-safe as compact
+    AtomicSwap.writeGen(spark, path + "_df") { gen =>
+      postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(gen)
+    }
+    AtomicSwap.writeGen(spark, path + "_stats") { gen =>
+      doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** The postings restricted to `qterms` — the terms' buckets pushed
@@ -108,10 +116,10 @@ object BmIndex {
     spark.read.parquet(AtomicSwap.dataDir(spark, path + "_doclens"))
 
   def dfRel(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "_df")
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_df"))
 
   def stats(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "_stats")
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_stats"))
 
   /** Append new docs' postings + lengths into the partitioned layout;
     * `_df`/`_stats` stay FROZEN (see the class note). One narrow pass

@@ -45,8 +45,12 @@ object IvfIndex {
     */
   def writeWithCodebook(assign: DataFrame, cents: DataFrame, path: String): Unit = {
     write(assign, path)
-    cents.select("c_id", "cv", "cn").repartition(1)
-      .write.mode("overwrite").parquet(path + "_codebook")
+    // generation layer for the codebook too (r17): rebuild-over-live
+    // must not overwrite it under an open reader
+    AtomicSwap.writeGen(assign.sparkSession, path + "_codebook") { gen =>
+      cents.select("c_id", "cv", "cn").repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** The persisted codebook `(c_id, cv, cn)` — parquet doubles
@@ -54,7 +58,7 @@ object IvfIndex {
     * reproduces the build's assignment (IvfPersistSpec).
     */
   def codebook(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "_codebook")
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_codebook"))
 
   /** The full persisted assignment relation. Partition-directory type
     * inference parses `c_id=N` as INT; cast back to the relation's
@@ -78,21 +82,27 @@ object IvfIndex {
     * child would break partition discovery.
     */
   def writeTwoLevel(fine: DataFrame, supers: DataFrame, path: String): Unit = {
-    fine.select("c_id", "cv", "cn", "s_id").write.mode("overwrite")
-      .partitionBy("s_id").parquet(path + "_fine")
-    supers.select("s_id", "sv", "sn").repartition(1)
-      .write.mode("overwrite").parquet(path + "_supers")
+    val spark = fine.sparkSession
+    AtomicSwap.writeGen(spark, path + "_fine") { gen =>
+      fine.select("c_id", "cv", "cn", "s_id").write.mode("overwrite")
+        .partitionBy("s_id").parquet(gen)
+    }
+    AtomicSwap.writeGen(spark, path + "_supers") { gen =>
+      supers.select("s_id", "sv", "sn").repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** The persisted super layer `(s_id, sv, sn)` — √nlist rows. */
   def supers(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "_supers")
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_supers"))
 
   /** The persisted sharded fine codebook `(c_id, cv, cn, s_id)`;
     * partition-directory inference parses `s_id=N` as INT — cast back.
     */
   def fineShards(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path + "_fine").withColumn("s_id", col("s_id").cast("long"))
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_fine"))
+      .withColumn("s_id", col("s_id").cast("long"))
 
   /** Rewrite the assignment relation back to one file per `c_id=`
     * directory (r16, verdict ask #2 — the missing half of the

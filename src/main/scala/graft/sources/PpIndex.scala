@@ -159,20 +159,29 @@ object PpIndex {
   /** Persist the BUILD-time per-fingerprint document frequency —
     * every fp seen at build, capped and uncapped alike (the base alone
     * can't recover the dropped fps, and appends must keep dropping
-    * them). Frozen: appends never rewrite it (so it needs no
-    * generation treatment — only rebuilds touch it).
+    * them). Frozen across appends; REBUILDS replace it — so it rides
+    * the same pointer-generation mechanics as the base (r17): a
+    * rebuild-over-live must not drop the table under an open reader.
     */
   def writeDf(dfAll: DataFrame, table: String): Unit = {
-    // same fresh-JVM reset as [[write]] (r16): a leftover warehouse dir
-    // with no entry in this session's in-memory catalog fails even an
-    // overwrite saveAsTable with LOCATION_ALREADY_EXISTS
-    resetTable(dfAll.sparkSession, table + "_df")
+    val spark = dfAll.sparkSession
+    val logical = table + "_df"
+    val prev = currentTable(spark, logical)
+    val k = nextGen(spark, logical)
+    val gt = s"${logical}_g$k"
+    resetTable(spark, gt) // stray from a crashed build
     dfAll.select("s", "df").write.mode("overwrite")
-      .format("parquet").saveAsTable(table + "_df")
+      .format("parquet").saveAsTable(gt)
+    publish(spark, logical, gt)
+    pruneGens(spark, logical, Set(k) ++ prev.flatMap(genNum(logical, _)))
+    resetTable(spark, logical) // leftover pre-r17 flat table, if any
   }
 
   def readDf(spark: SparkSession, table: String): DataFrame =
-    spark.table(table + "_df")
+    currentTable(spark, table + "_df") match {
+      case Some(live) => spark.table(live)
+      case None => spark.table(table + "_df")
+    }
 
   /** Append pre-ranked base rows into the live generation with the
     * SAME bucket spec as [[write]] — each append adds one file per

@@ -59,9 +59,13 @@ object PqIndex {
       else codes.write.mode("overwrite").parquet(gen)
     }
     import spark.implicits._
-    Seq((m, k, cb.toSeq, cents.toSeq, cids.toSeq))
-      .toDF("m", "k", "cb", "cents", "cids")
-      .repartition(1).write.mode("overwrite").parquet(path + "_codebook")
+    // codebook through the generation layer too (r17): rebuild-over-
+    // live must not overwrite it under an open reader
+    AtomicSwap.writeGen(spark, path + "_codebook") { gen =>
+      Seq((m, k, cb.toSeq, cents.toSeq, cids.toSeq))
+        .toDF("m", "k", "cb", "cents", "cids")
+        .repartition(1).write.mode("overwrite").parquet(gen)
+    }
   }
 
   /** The persisted code relation. Partition-directory type inference
@@ -76,7 +80,7 @@ object PqIndex {
   /** The persisted codebook: (cb, m, k, cents, cids). */
   def codebook(spark: SparkSession, path: String)
       : (Array[Double], Int, Int, Array[Double], Array[Long]) = {
-    val r = spark.read.parquet(path + "_codebook").head()
+    val r = spark.read.parquet(AtomicSwap.dataDir(spark, path + "_codebook")).head()
     (r.getAs[Seq[Double]]("cb").toArray, r.getAs[Int]("m"), r.getAs[Int]("k"),
       r.getAs[Seq[Double]]("cents").toArray, r.getAs[Seq[Long]]("cids").toArray)
   }

@@ -49,7 +49,8 @@ class IvfAdcAppendSpec extends SparkSpec {
     // codebook + raw coarse book (the same API pieces the append uses,
     // recomputed independently here from the persisted artifacts)
     val (cb, m, k, centsFlat, cids) = PqIndex.codebook(spark, idx)
-    val rawBook = spark.read.parquet(idx + "_coarse")
+    val rawBook = spark.read.parquet(
+      graft.sources.AtomicSwap.dataDir(spark, idx + "_coarse"))
     val e2 = Similarity.emb(spark, dir).filter(col("vec_id") > cut)
     import spark.implicits._
     val cIdxDf = broadcast(cids.zipWithIndex.toSeq.toDF("c_id", "c_idx"))

@@ -47,7 +47,8 @@ class TwoLevelShardedSpec extends SparkSpec {
 
     // layout: one s_id= directory per shard, supers as a sibling; the
     // fine scan never touches the super files
-    val shardDirs = new java.io.File(path + "_fine").listFiles()
+    val shardDirs = new java.io.File(
+        graft.sources.AtomicSwap.dataDir(spark, path + "_fine")).listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("s_id=")).toSeq
     assert(shardDirs.size === 8, s"expected 8 shard dirs, got $shardDirs")
     assert(!IvfIndex.fineShards(spark, path).inputFiles.exists(_.contains("_supers")),

@@ -6,11 +6,11 @@ import org.apache.hadoop.fs.Path
 
 import graft.SparkSpec
 
-/** The crash-safe compact swap (r16, ADVICE — replaces the
-  * localCheckpoint+overwrite-in-place form that held the only copy of
-  * an index in unreplicated executor state): a completed swap replaces
-  * the directory with no stray siblings, and BOTH mid-swap crash
-  * windows recover to a complete copy on the next read.
+/** Healing of PRE-R17 artifacts interrupted mid-rename-swap (the r16
+  * compact mechanism, since replaced by the generation layout —
+  * ManifestSpec): BOTH legacy crash windows recover to a complete copy
+  * on the next read, which is what lets `heal` migrate any pre-r17
+  * artifact state safely.
   */
 class AtomicSwapSpec extends SparkSpec {
 
@@ -21,17 +21,6 @@ class AtomicSwapSpec extends SparkSpec {
 
   private def fs = new Path("/").getFileSystem(
     spark.sparkContext.hadoopConfiguration)
-
-  test("completed swap replaces contents and leaves no siblings") {
-    val path = Files.createTempDirectory("swap").toString + "/rel"
-    Seq(1L, 2L, 3L).toDF("x").write.parquet(path)
-    AtomicSwap.swapIn(spark, path) { tmp =>
-      Seq(4L, 5L).toDF("x").write.parquet(tmp)
-    }
-    assert(vals(path) === Seq(4L, 5L))
-    assert(!fs.exists(new Path(path + ".compact")))
-    assert(!fs.exists(new Path(path + ".old")))
-  }
 
   test("crash after rename(live, old): committed .compact wins on recover") {
     val path = Files.createTempDirectory("swapw1").toString + "/rel"
