@@ -51,6 +51,40 @@ object IvfIndex {
       cents.select("c_id", "cv", "cn").repartition(1)
         .write.mode("overwrite").parquet(gen)
     }
+    // one-row FROZEN corpus count (r17) — the [[driftProbe]] baseline;
+    // appends never rewrite it (the BmIndex `_stats` convention)
+    AtomicSwap.writeGen(assign.sparkSession, path + "_stats") { gen =>
+      assign.agg(count(lit(1)).as("n_vecs")).repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** Staleness probe for a maintained IVF index (r17 — the
+    * [[BmIndex.driftProbe]] companion for the vector family): one row
+    * `(n_frozen, n_now, appended_frac, n_lists, max_list, mean_list,
+    * list_skew)` a maintenance job can threshold for WHEN "rebuild
+    * when routing decays" fires. Appended vectors route under the
+    * BUILD-frozen codebook, so as appended volume grows the frozen
+    * centroids drift off the true cluster means two ways a rebuild
+    * would fix: probes read ever-larger lists (mean_list grows with
+    * appended_frac — nprobe/nlist of MORE rows per query), and
+    * placement skews toward the lists the frozen book happens to favor
+    * for the new data (list_skew = max/mean rises). Reads only the
+    * partition column of the assignment relation plus the one-row
+    * frozen count — never the vectors.
+    */
+  def driftProbe(spark: SparkSession, path: String): DataFrame = {
+    val lists = read(spark, path).groupBy("c_id").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("n_now"), count(lit(1)).as("n_lists"),
+        max(col("n")).as("max_list"),
+        (sum(col("n")).cast("double") / count(lit(1))).as("mean_list"))
+    spark.read.parquet(AtomicSwap.dataDir(spark, path + "_stats"))
+      .crossJoin(lists)
+      .select(col("n_vecs").as("n_frozen"), col("n_now"),
+        ((col("n_now") - col("n_vecs")).cast("double") / col("n_now"))
+          .as("appended_frac"),
+        col("n_lists"), col("max_list"), col("mean_list"),
+        (col("max_list").cast("double") / col("mean_list")).as("list_skew"))
   }
 
   /** The persisted codebook `(c_id, cv, cn)` — parquet doubles

@@ -66,6 +66,45 @@ object PqIndex {
         .toDF("m", "k", "cb", "cents", "cids")
         .repartition(1).write.mode("overwrite").parquet(gen)
     }
+    // one-row FROZEN code count (r17) — the [[driftProbe]] baseline;
+    // appends never rewrite it (the BmIndex `_stats` convention)
+    AtomicSwap.writeGen(spark, path + "_stats") { gen =>
+      codes.agg(count(lit(1)).as("n_codes")).repartition(1)
+        .write.mode("overwrite").parquet(gen)
+    }
+  }
+
+  /** Staleness probe for a maintained PQ/IVFADC index (r17 —
+    * [[IvfIndex.driftProbe]] at code granularity): one row
+    * `(n_frozen, n_now, appended_frac[, n_lists, max_list, mean_list,
+    * list_skew])` — the list metrics only for the partitioned IVFADC
+    * form. The PQ codebook AND the coarse routing book are frozen at
+    * build, so appended volume decays BOTH quantization fit (codes of
+    * new vectors quantize against sub-codebooks trained on the build
+    * corpus) and routing balance; appended_frac is the budget for
+    * each. Reads only (a constant column of) the narrow code relation
+    * plus the one-row frozen count — never the embeddings.
+    */
+  def driftProbe(spark: SparkSession, path: String): DataFrame = {
+    val codes = read(spark, path)
+    val frozen = spark.read.parquet(AtomicSwap.dataDir(spark, path + "_stats"))
+    if (codes.columns.contains("c_id")) {
+      val lists = codes.groupBy("c_id").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).as("n_now"), count(lit(1)).as("n_lists"),
+          max(col("n")).as("max_list"),
+          (sum(col("n")).cast("double") / count(lit(1))).as("mean_list"))
+      frozen.crossJoin(lists)
+        .select(col("n_codes").as("n_frozen"), col("n_now"),
+          ((col("n_now") - col("n_codes")).cast("double") / col("n_now"))
+            .as("appended_frac"),
+          col("n_lists"), col("max_list"), col("mean_list"),
+          (col("max_list").cast("double") / col("mean_list")).as("list_skew"))
+    } else {
+      frozen.crossJoin(codes.agg(count(lit(1)).as("n_now")))
+        .select(col("n_codes").as("n_frozen"), col("n_now"),
+          ((col("n_now") - col("n_codes")).cast("double") / col("n_now"))
+            .as("appended_frac"))
+    }
   }
 
   /** The persisted code relation. Partition-directory type inference
