@@ -325,13 +325,16 @@ object Similarity {
     val e = newVecs
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    // generation resolved ONCE; commitAppend fails loudly if a compact
+    // raced the append (r18, ADVICE: writers serialized, readers safe)
+    val intoDir = graft.sources.AtomicSwap.dataDir(s, path)
     assignTo(e, graft.sources.IvfIndex.codebook(s, path))
       .select("vec_id", "c_id", "v", "nrm")
       .repartition(col("c_id"))
       .write.mode("append").partitionBy("c_id")
-      .parquet(graft.sources.AtomicSwap.dataDir(s, path))
+      .parquet(intoDir)
     // manifest bump last — the durable record that the append committed
-    graft.sources.AtomicSwap.commitAppend(s, path)
+    graft.sources.AtomicSwap.commitAppend(s, path, intoDir)
   }
 
   /** TWO-LEVEL IVF assignment (r12 — the tier above the single
@@ -940,15 +943,18 @@ object Similarity {
     val assign = assignTo(e, rawBook).select("vec_id", "c_id", "v", "nrm")
     import s.implicits._
     val cIdxDf = broadcast(cids.zipWithIndex.toSeq.toDF("c_id", "c_idx"))
+    // generation resolved ONCE; commitAppend fails loudly if a compact
+    // raced the append (r18, ADVICE: writers serialized, readers safe)
+    val intoDir = graft.sources.AtomicSwap.dataDir(s, path)
     assign.join(cIdxDf, "c_id")
       .select(col("vec_id"), col("c_id"),
         pqEncodeResidual(col("v"), col("nrm"), col("c_idx"),
           cb, centsFlat, m, k).as("pq"))
       .repartition(col("c_id"))
       .write.mode("append").partitionBy("c_id")
-      .parquet(graft.sources.AtomicSwap.dataDir(s, path))
+      .parquet(intoDir)
     // manifest bump last — the durable record that the append committed
-    graft.sources.AtomicSwap.commitAppend(s, path)
+    graft.sources.AtomicSwap.commitAppend(s, path, intoDir)
   }
 
   /** The build half of [[ivfAdcTop3]]: coarse book collect, residual

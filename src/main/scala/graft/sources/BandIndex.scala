@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * dedup pipeline (4 rows per doc); re-shuffling it on every
   * re-cluster or micro-batch is the dominant recurring cost that this
   * layout converts into a one-time write.
+  *
+  * WRITE-ONCE BY CONTRACT (r18, verdict ask #7): this index has no
+  * append path and writes directly as a flat bucketed table, OUTSIDE
+  * the [[AtomicSwap]]/[[PpIndex]] generation layout — safe only
+  * because nothing ever mutates it after build. Any future
+  * append/compact path MUST first adopt the PpIndex pointer-generation
+  * mechanics (see the fence note in AtomicSwap's header).
   */
 object BandIndex {
 

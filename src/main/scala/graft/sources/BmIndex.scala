@@ -140,17 +140,22 @@ object BmIndex {
   def append(postingsNew: DataFrame, doclensNew: DataFrame,
       path: String): Unit = {
     val spark = postingsNew.sparkSession
+    // resolve each root's generation ONCE and commit against it —
+    // commitAppend fails loudly if a compact raced the append (r18,
+    // ADVICE: writers must be serialized; only readers are compact-safe)
+    val postDir = AtomicSwap.dataDir(spark, path)
+    val dlDir = AtomicSwap.dataDir(spark, path + "_doclens")
     postingsNew.select(col("term"), col("doc_id"), col("tf"),
         pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
       .repartition(col("pbkt"))
       .write.mode("append").partitionBy("pbkt")
-      .parquet(AtomicSwap.dataDir(spark, path))
+      .parquet(postDir)
     doclensNew.select("doc_id", "dl")
-      .write.mode("append").parquet(AtomicSwap.dataDir(spark, path + "_doclens"))
+      .write.mode("append").parquet(dlDir)
     // manifest bump last (r17): the durable record that BOTH halves of
     // the append committed
-    AtomicSwap.commitAppend(spark, path)
-    AtomicSwap.commitAppend(spark, path + "_doclens")
+    AtomicSwap.commitAppend(spark, path, postDir)
+    AtomicSwap.commitAppend(spark, path + "_doclens", dlDir)
   }
 
   /** Staleness probe for the frozen ranking statistics (r16, verdict
@@ -191,8 +196,12 @@ object BmIndex {
     * reads the current generation straight from the durable source
     * into the NEXT generation and publishes a manifest naming it —
     * never an overwrite-in-place, and safe to run concurrently with
-    * readers (a reader that resolved the old generation keeps complete
-    * files until the compact after this one).
+    * READERS (a reader that resolved the old generation keeps complete
+    * files until the compact after this one). WRITERS are not: append
+    * and compact must still be serialized — a racing append writes
+    * into a generation this rewrite's snapshot never saw, which the
+    * next compact prunes. [[AtomicSwap.commitAppend]] detects that
+    * race and fails the append loudly (r18, ADVICE).
     */
   def compact(spark: SparkSession, path: String, doclensFiles: Int = 8): Unit = {
     val src = spark.read.parquet(AtomicSwap.dataDir(spark, path))

@@ -25,6 +25,13 @@ import graft.functions.Vectors
   * the float files, (b) candidates served from the index are
   * bit-identical to v09's inline phase 1, and (c) the index directory
   * is materially smaller than the float relation on disk.
+  *
+  * WRITE-ONCE BY CONTRACT (r18, verdict ask #7): this index has no
+  * append path and writes directly at the artifact path, OUTSIDE the
+  * [[AtomicSwap]] generation layout — safe only because nothing ever
+  * mutates it after build. Any future append/compact path MUST first
+  * route the writes through [[AtomicSwap.writeGen]]/[[AtomicSwap
+  * .commitAppend]] (see the fence note in AtomicSwap's header).
   */
 object I8Index {
 

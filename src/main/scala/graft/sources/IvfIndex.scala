@@ -148,9 +148,13 @@ object IvfIndex {
     * ([[AtomicSwap.writeGen]], r17): the rewrite reads the current
     * generation straight from the durable source into the NEXT
     * generation and publishes a manifest naming it — never an
-    * overwrite-in-place, and safe to run concurrently with readers
+    * overwrite-in-place, and safe to run concurrently with READERS
     * (a reader that resolved the old generation keeps complete files
-    * until the compact after this one).
+    * until the compact after this one). WRITERS are not: append and
+    * compact must still be serialized — a racing append writes into a
+    * generation this rewrite's snapshot never saw, which the next
+    * compact prunes. [[AtomicSwap.commitAppend]] detects that race and
+    * fails the append loudly (r18, ADVICE).
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val src = spark.read.parquet(AtomicSwap.dataDir(spark, path))

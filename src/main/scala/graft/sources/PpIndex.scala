@@ -103,8 +103,12 @@ object PpIndex {
     * fingerprint join key, as a NEW generation: the pointer publish is
     * the commit, the previous generation (if any) survives one cycle
     * for open readers, older ones are dropped. A leftover pre-r17
-    * flat table is dropped after the publish (rebuild-over-legacy had
-    * no reader contract).
+    * flat table gets the SAME one-cycle grace as a superseded
+    * generation (r18, ADVICE — rebuild-over-legacy previously dropped
+    * it in the same call, deleting a pinned reader's files mid-scan
+    * where compact-over-legacy didn't): it survives this write and is
+    * dropped by the NEXT write/compact, so migration has a uniform
+    * reader contract.
     */
   def write(base: DataFrame, table: String, buckets: Int = 8): Unit = {
     val spark = base.sparkSession
@@ -116,7 +120,10 @@ object PpIndex {
       gt, "s", buckets)
     publish(spark, table, gt)
     pruneGens(spark, table, Set(k) ++ prev.flatMap(genNum(table, _)))
-    resetTable(spark, table) // leftover pre-r17 flat table, if any
+    // a legacy flat table is only dropped once it is 2+ cycles old
+    // (prev nonEmpty means this write superseded a generation, not the
+    // legacy table) — the compact() contract, applied uniformly
+    if (prev.nonEmpty && spark.catalog.tableExists(table)) resetTable(spark, table)
   }
 
   /** Drop `table` AND delete its leftover warehouse directory — an
@@ -174,7 +181,8 @@ object PpIndex {
       .format("parquet").saveAsTable(gt)
     publish(spark, logical, gt)
     pruneGens(spark, logical, Set(k) ++ prev.flatMap(genNum(logical, _)))
-    resetTable(spark, logical) // leftover pre-r17 flat table, if any
+    // one-cycle grace for a legacy flat table, as in [[write]] (r18)
+    if (prev.nonEmpty && spark.catalog.tableExists(logical)) resetTable(spark, logical)
   }
 
   def readDf(spark: SparkSession, table: String): DataFrame =
@@ -199,7 +207,20 @@ object PpIndex {
     rows.select("doc_id", "s", "rk", "n").write.mode("append")
       .format("parquet").bucketBy(buckets, "s").sortBy("s")
       .saveAsTable(live)
-    currentTable(spark, table).foreach(publish(spark, table, _))
+    // the pointer bump commits against the generation the append wrote
+    // into — a compact that raced this append would have snapshotted
+    // the pre-append table and the NEXT compact drops it, losing the
+    // appended rows silently; writers (append vs compact) must be
+    // serialized, and a violation fails loudly here (r18, ADVICE —
+    // the BmIndex/commitAppend contract applied to the catalog tier)
+    currentTable(spark, table).foreach { cur =>
+      require(cur == live,
+        s"PpIndex.append($table): appended into $live but the live " +
+          s"generation is now $cur — a compact/rebuild ran concurrently " +
+          "(writers must be serialized; only readers are compact-safe). " +
+          "Re-run the append against the current generation.")
+      publish(spark, table, cur)
+    }
   }
 
   /** Rewrite the index back to one sorted file per bucket — the

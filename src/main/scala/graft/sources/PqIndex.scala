@@ -133,9 +133,11 @@ object PqIndex {
     * ([[AtomicSwap.writeGen]]) — the rewrite reads the current
     * generation straight from the durable source into the NEXT
     * generation and publishes a manifest naming it, never an
-    * overwrite-in-place, and safe to run concurrently with readers
+    * overwrite-in-place, and safe to run concurrently with READERS
     * (a reader that resolved the old generation keeps complete files
-    * until the compact after this one).
+    * until the compact after this one). WRITERS are not: append and
+    * compact must still be serialized — [[AtomicSwap.commitAppend]]
+    * fails a racing append loudly (r18, ADVICE).
     */
   def compact(spark: SparkSession, path: String): Unit = {
     val snap = spark.read.parquet(AtomicSwap.dataDir(spark, path))

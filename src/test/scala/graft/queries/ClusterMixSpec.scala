@@ -39,7 +39,11 @@ class ClusterMixSpec extends SparkSpec {
 
     val (hs, ht) = (hits(gt, seed), hits(gt, trained))
     assert(ht === 90L, s"trained book should recover all 90 (got $ht)")
-    assert(hs === 74L, s"seed book's measured miss pattern moved (got $hs)")
+    // the CLAIM is only that the seed book measurably misses while the
+    // trained book recovers all 90 — pinning the incidental measurement
+    // (74 at this fixture) would fail on any benign fixture/seed/tie
+    // change with no real regression (r18, ADVICE). Measured 74 here.
+    assert(hs < 90L, s"seed book should measurably miss (got $hs of 90)")
   }
 
   test("the planting is the exact per-element transform the oracle runs") {

@@ -113,7 +113,7 @@ class ManifestSpec extends SparkSpec {
     }
     val before = AtomicSwap.dataDir(spark, root)
     Seq(2L).toDF("x").write.mode("append").parquet(before)
-    AtomicSwap.commitAppend(spark, root)
+    AtomicSwap.commitAppend(spark, root, before)
     assert(AtomicSwap.dataDir(spark, root) === before,
       "append must not move the current generation")
     assert(spark.read.parquet(AtomicSwap.dataDir(spark, root))
@@ -122,5 +122,68 @@ class ManifestSpec extends SparkSpec {
     val mfs = fs.listStatus(new Path(root))
       .map(_.getPath.getName).filter(_.startsWith("mf-"))
     assert(mfs.length <= 2, s"manifests should be thinned: ${mfs.toSeq}")
+  }
+
+  test("commitAppend fails loudly when a compact raced the append") {
+    // r18, ADVICE (medium): an append that resolved generation N while
+    // a compact published N+1 would have its rows pruned by the NEXT
+    // compact — the manifest bump must refuse to make that look
+    // committed.
+    val root = tmp("mfrace")
+    AtomicSwap.writeGen(spark, root) { gen =>
+      Seq(1L).toDF("x").write.parquet(gen)
+    }
+    val appendTarget = AtomicSwap.dataDir(spark, root) // resolves g0
+    // a compact publishes g1 before the append's commit step
+    val src = spark.read.parquet(appendTarget)
+    AtomicSwap.writeGen(spark, root) { gen => src.write.parquet(gen) }
+    Seq(2L).toDF("x").write.mode("append").parquet(appendTarget)
+    val e = intercept[IllegalArgumentException] {
+      AtomicSwap.commitAppend(spark, root, appendTarget)
+    }
+    assert(e.getMessage.contains("compact/rebuild ran concurrently"))
+    // …and a correctly-sequenced re-append against the new generation
+    // commits cleanly
+    val cur = AtomicSwap.dataDir(spark, root)
+    Seq(2L).toDF("x").write.mode("append").parquet(cur)
+    AtomicSwap.commitAppend(spark, root, cur)
+    assert(spark.read.parquet(AtomicSwap.dataDir(spark, root))
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("retention dial: retain=2 keeps a reader alive across two " +
+      "compacts; past the horizon it fails LOUDLY, never wrongly") {
+    // r18, verdict stretch #8 — the snapshot-expiry trade, dialable.
+    val root = tmp("mfretain")
+    AtomicSwap.writeGen(spark, root, retain = 2) { gen =>
+      Seq(1L, 2L).toDF("x").write.parquet(gen)
+    }
+    val pinned = spark.read.parquet(AtomicSwap.dataDir(spark, root)) // g0
+    def compactOnce(): Unit = {
+      val src = spark.read.parquet(AtomicSwap.dataDir(spark, root))
+      AtomicSwap.writeGen(spark, root, retain = 2) { gen =>
+        src.repartition(1).write.parquet(gen)
+      }
+    }
+    compactOnce() // g1 live; keep {g1, g0}
+    compactOnce() // g2 live; keep {g2, g1, g0} — retain=2 superseded
+    assert(fs.exists(new Path(root, "g0")),
+      "retain=2 must keep the generation two compacts back")
+    assert(pinned.as[Long].collect().sorted.toSeq === Seq(1L, 2L),
+      "a reader pinned two compacts back must still be correct at retain=2")
+    compactOnce() // g3 live; g0 crosses the horizon and is pruned
+    assert(!fs.exists(new Path(root, "g0")),
+      "a generation past the retention horizon must be pruned")
+    // the still-pinned reader now fails LOUDLY — its resolved files
+    // are gone whole-directory, so a wrong (partial) answer is
+    // unobservable; the failure mode is an exception, not silence
+    val e = intercept[Exception] { pinned.as[Long].collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain(e).exists(c =>
+        c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("FileNotFound") ||
+        String.valueOf(c.getMessage).toLowerCase.contains("does not exist")),
+      s"expected a loud missing-files failure, got: $e")
   }
 }
