@@ -1781,13 +1781,20 @@ object Similarity {
     // because training is, r17 ask #3), and never_better (exact
     // re-rank can't beat the exact optimum).
     "v13_trained_clustered" -> ((s, dir) => {
-      val e = clusteredEmb(s, dir)
+      // planted relation + both books come from the shared tier (r18,
+      // verdict ask #3): r17's decimal-sum Lloyd made the trained book
+      // deterministic given the corpus, so the isolation argument for
+      // rebuilding in-gate no longer applies — the v12b/v10d sharing
+      // pattern, and within one gate run the persisted planted
+      // relation collapses the ~8 corpus passes (gt + 2 books + 2
+      // assignment/serving passes + 3 Lloyd iterations) to one.
+      val e = v13Emb(s, dir)
       val qPred = col("vec_id") >= 300 && col("vec_id") < 330
       val gt = exactTopKOver(e, qPred, 3)
-      val seedBook = centroids(e, 16)
+      val seedBook = v13SeedBook(s, dir)
       val seed3 = knnIvfOver(e, seedBook,
         assignTo(e, seedBook).select("vec_id", "c_id", "v", "nrm"), qPred, 2)
-      val trainedBook = ivfTrainOver(s, e, 16, 3)
+      val trainedBook = v13TrainedBook(s, dir)
       val trained3 = knnIvfOver(e, trainedBook,
         assignTo(e, trainedBook).select("vec_id", "c_id", "v", "nrm"), qPred, 2)
       def nHits(ap: DataFrame) = gt.select("q_id", "neighbor_id")
@@ -1854,6 +1861,24 @@ object Similarity {
         (x, i) => x + when(i.cast("long") === c, lit(ClusterAmp)).otherwise(lit(0.0))))
       .withColumn("nrm", norm(col("v")))
   }
+
+  /** The v13 fixture pieces, shared once per (suite session, dir) —
+    * r18, verdict ask #3. All three are deterministic given the
+    * corpus: the planting is pure arithmetic, the seed book is the
+    * first-nlist convention, and the trained book is the decimal-sum
+    * Lloyd (bit-stable across partitionings since r17) — so
+    * first-builder order cannot change any consumer's output.
+    * Standalone (reuse off) they just build inline, the gate's
+    * pre-r18 shape.
+    */
+  private[queries] def v13Emb(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("v13_clustered_emb", dir)(clusteredEmb(s, dir))
+  private[queries] def v13SeedBook(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("v13_seed_book", dir)(
+      centroids(v13Emb(s, dir), ClusterCount))
+  private[queries] def v13TrainedBook(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("v13_trained_book", dir)(
+      ivfTrainOver(s, v13Emb(s, dir), ClusterCount, 3))
 
   private def v12SeedIndex(s: SparkSession, dir: String): String =
     graft.SharedProjections.reuseArtifact("ivfadc_seed_idx", dir) {

@@ -24,15 +24,19 @@ class ClusterMixSpec extends SparkSpec {
       .count()
 
   test("trained book recovers all planted neighbors; seed book misses") {
-    val e = Similarity.clusteredEmb(spark, dir).localCheckpoint()
+    // the gate's SHARED artifact helpers (r18, verdict ask #3) — with
+    // reuse off (spec default) they build inline, so this pins the
+    // same construction the gate serves; localCheckpoint is spec-local
+    // caching only
+    val e = Similarity.v13Emb(spark, dir).localCheckpoint()
     val qPred = col("vec_id") >= 300 && col("vec_id") < 330
     val gt = Similarity.exactTopKOver(e, qPred, 3).localCheckpoint()
 
-    val seedBook = Similarity.centroids(e, 16)
+    val seedBook = Similarity.v13SeedBook(spark, dir)
     val seed = Similarity.knnIvfOver(e, seedBook,
       Similarity.assignTo(e, seedBook).select("vec_id", "c_id", "v", "nrm"),
       qPred, 2)
-    val trainedBook = Similarity.ivfTrainOver(spark, e, 16, 3)
+    val trainedBook = Similarity.v13TrainedBook(spark, dir)
     val trained = Similarity.knnIvfOver(e, trainedBook,
       Similarity.assignTo(e, trainedBook).select("vec_id", "c_id", "v", "nrm"),
       qPred, 2)
@@ -51,7 +55,7 @@ class ClusterMixSpec extends SparkSpec {
     // spot-check one vector end to end against a driver-side recompute
     val raw = Similarity.emb(spark, dir).filter(col("vec_id") === 300)
       .select("v").head().getSeq[Double](0)
-    val planted = Similarity.clusteredEmb(spark, dir)
+    val planted = Similarity.v13Emb(spark, dir)
       .filter(col("vec_id") === 300).select("v").head().getSeq[Double](0)
     val c = ((300L * 37L) % 97L % 16L).toInt
     raw.indices.foreach { i =>
