@@ -79,30 +79,59 @@ object Pipeline {
     // standalone gate pins (digest groupBy, banded edges, min-label
     // rounds, tiny per-component rank windows); the final verdict join
     // is two narrow left joins against the corpus spine.
-    "d12_cleaned_corpus" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables(s, dir, "documents")
-      val keep = docs.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val surv = keep.select("doc_id")
-      val edges = Dedup.sharedEdges(s, dir)
-        .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id")
-        .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
-        .select("a_id", "b_id")
-      val comps = Dedup.minLabelComponents(Dedup.cp(edges))
-      val q = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
-      val ranked = comps.join(q, comps("id") === q("doc_id"))
-        .select(col("lbl").as("comp_id"), col("doc_id"), col("q"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("comp_id").orderBy(col("q").desc, col("doc_id"))))
-      docs.select("doc_id")
-        .join(keep.select(col("doc_id"), lit(1L).as("w")), Seq("doc_id"), "left")
-        .join(ranked.select("doc_id", "comp_id", "rn"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("w").isNull, lit(0L))
-            .when(col("rn").isNotNull && col("rn") > 1, lit(0L))
-            .otherwise(lit(1L)).as("kept"),
-          coalesce(col("comp_id"), lit(-1L)).as("comp_id"))
+    "d12_cleaned_corpus" -> ((s, dir) => d12Verdicts(s, dir).orderBy("doc_id")),
+
+    // The cleaned corpus AS AN ARTIFACT (r18, verdict ask #5a): d12
+    // emits verdicts; a training run mounts TEXT. This gate
+    // materializes d12's survivors — exact-dup winners +
+    // quality-canonical component keepers, the same verdict relation —
+    // into a generation-layout parquet table ([[graft.sources
+    // .AtomicSwap.writeGen]]: manifest-committed, reader-safe across
+    // rebuilds, exactly the lifecycle the index artifacts ride), then
+    // gates a READ-BACK of that artifact: (doc_id, source, text_fp)
+    // where text_fp is the portable content hash of the text AS READ
+    // FROM THE ARTIFACT — so the gate pins the written corpus's
+    // content, not the in-plan survivors. The oracle recomputes the
+    // survivor set and fp(text) from the raw corpus.
+    "d13_corpus_artifact" -> ((s, dir) => {
+      val root = graft.SharedProjections.reuseArtifact("d13_corpus", dir) {
+        val p = Similarity.scratchPath("d13-corpus", dir)
+        val survivors = d12Verdicts(s, dir).filter(col("kept") === 1L)
+          .select("doc_id")
+          .join(Tables(s, dir, "documents")
+            .select("doc_id", "text", "lang", "source"), "doc_id")
+        graft.sources.AtomicSwap.writeGen(s, p) { gen =>
+          survivors.write.mode("overwrite").parquet(gen)
+        }
+        p
+      }
+      s.read.parquet(graft.sources.AtomicSwap.dataDir(s, root))
+        .select(col("doc_id"), col("source"),
+          Text.charFp(col("text")).as("text_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // The INCREMENTAL route to the quality-canonical corpus (r18,
+    // verdict ask #5b): the DocPipeline store arrives keep-first (the
+    // in-order contract at DocPipeline.processBatch makes every
+    // arrival-time verdict final), and quality-argmax canonicalization
+    // runs as a RETRO pass over the completed store — d11's keeper
+    // rank over components derived from the store's own state (shingle
+    // sets → verified edges, the survivor-restriction identity p01
+    // documents), never from the raw corpus. Gated under d12's oracle
+    // verbatim: equality proves keep-first arrival + post-hoc
+    // canonicalization ≡ the batch quality-canonical verdicts. The
+    // in-order contract is UNAFFECTED: canonicalization is post-hoc
+    // (a pure read of the finished store), not arrival-order logic.
+    "d13b_incremental_canonical" -> ((s, dir) => {
+      val store = graft.streaming.DocPipeline
+        .docsStore(s, replayedState(s, dir, "p06-state"))
+        .select("doc_id", "text", "sh")
+      val edges = Dedup.lshVerifiedPairs(store.select("doc_id", "sh"))
+      val q = store.select(col("doc_id"),
+        Text.qualityScore(col("text")).as("q"))
+      canonicalVerdicts(Tables(s, dir, "documents").select("doc_id"),
+        store.select("doc_id"), edges, q)
         .orderBy("doc_id")
     }),
 
@@ -153,6 +182,52 @@ object Pipeline {
     * must start empty, unlike the overwrite-idempotent index
     * scratches), so repeated runs leak no temp dirs.
     */
+  /** d12's verdict relation, unordered — the (doc_id, kept, comp_id)
+    * core the d12 gate orders and the d13 artifact filters. Shared
+    * once per suite session (the components + keeper window are the
+    * expensive half beyond the already-shared edge relation);
+    * standalone it builds inline, d12's pre-r18 plan.
+    */
+  private[queries] def d12Verdicts(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("d12_verdicts", dir) {
+      val docs = Tables(s, dir, "documents")
+      val keep = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val surv = keep.select("doc_id")
+      val edges = Dedup.sharedEdges(s, dir)
+        .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .select("a_id", "b_id")
+      val q = docs.select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      canonicalVerdicts(docs.select("doc_id"), surv, edges, q)
+    }
+
+  /** The quality-canonical verdict shape d12 and d13b share: connected
+    * components over the verified edge relation, d11's
+    * argmax-(quality DESC, doc_id) keeper rank per component, and the
+    * per-doc (doc_id, kept, comp_id) verdict joined onto the corpus
+    * spine — kept = exact-dup winner that is either componentless or
+    * its component's keeper. The callers differ only in WHERE the
+    * pieces come from (raw corpus vs the incremental store's state).
+    */
+  private def canonicalVerdicts(spine: DataFrame, keep: DataFrame,
+      edges: DataFrame, q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = Dedup.minLabelComponents(Dedup.cp(edges))
+    val ranked = comps.join(q, comps("id") === q("doc_id"))
+      .select(col("lbl").as("comp_id"), col("doc_id"), col("q"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("comp_id").orderBy(col("q").desc, col("doc_id"))))
+    spine.select("doc_id")
+      .join(keep.select(col("doc_id"), lit(1L).as("w")), Seq("doc_id"), "left")
+      .join(ranked.select("doc_id", "comp_id", "rn"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("w").isNull, lit(0L))
+          .when(col("rn").isNotNull && col("rn") > 1, lit(0L))
+          .otherwise(lit(1L)).as("kept"),
+        coalesce(col("comp_id"), lit(-1L)).as("comp_id"))
+  }
+
   private def replayedState(s: SparkSession, dir: String, purpose: String): String =
     graft.SharedProjections.reuseArtifact("docpipe_replay", dir) {
       val stateDir = Similarity.scratchPath(purpose, dir)
@@ -194,6 +269,45 @@ object Pipeline {
        |dups AS (SELECT DISTINCT cand.b_id AS doc_id FROM cand
        |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id WHERE jp.jaccard >= 0.5)""".stripMargin
 
+  /** The canonicalization CTE tier d12/d13 share on the oracle side:
+    * DEDUP_CTES' survivor tier + the recursive components + t03's
+    * exact quality expression; the keeper rank mirrors Spark's window
+    * verbatim (q DESC, doc_id — the quality doubles are bit-identical
+    * in both engines, d11's contract).
+    */
+  private val CANON_CTES =
+    s"""$DEDUP_CTES,
+       |edges AS (SELECT cand.a_id, cand.b_id FROM cand
+       |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id
+       |  WHERE jp.jaccard >= 0.5),
+       |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
+       |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
+       |       UNION SELECT b_id, a_id FROM edges),
+       |comp(id, lbl) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src),
+       |c AS (SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1),
+       |t AS (SELECT doc_id, $TOKS AS tk FROM d1),
+       |qs AS (SELECT doc_id, ${TextAnalysis.SCORE} AS q FROM t),
+       |r AS (SELECT c.comp_id, c.doc_id,
+       |    row_number() OVER (PARTITION BY c.comp_id ORDER BY qs.q DESC, c.doc_id) AS rn
+       |  FROM c JOIN qs USING (doc_id))""".stripMargin
+
+  /** d12's verdict SQL — also d13b's gate verbatim (the incremental
+    * route must reproduce the batch verdicts exactly).
+    */
+  private val D12_SQL =
+    s"""WITH RECURSIVE $CANON_CTES
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN k.doc_id IS NULL THEN 0
+       |            WHEN r.rn > 1 THEN 0 ELSE 1 END AS BIGINT) AS kept,
+       |  CAST(coalesce(r.comp_id, -1) AS BIGINT) AS comp_id
+       |FROM documents d
+       |LEFT JOIN keep k ON d.doc_id = k.doc_id
+       |LEFT JOIN r ON d.doc_id = r.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "p01_training_pipeline" ->
       s"""WITH $DEDUP_CTES,
@@ -211,32 +325,23 @@ object Pipeline {
     // verbatim (q DESC, doc_id — the quality doubles are bit-identical
     // in both engines, d11's contract), and the verdict spine is two
     // left joins against the full corpus
-    "d12_cleaned_corpus" ->
-      s"""WITH RECURSIVE $DEDUP_CTES,
-         |edges AS (SELECT cand.a_id, cand.b_id FROM cand
-         |  JOIN jp ON cand.a_id = jp.a_id AND cand.b_id = jp.b_id
-         |  WHERE jp.jaccard >= 0.5),
-         |verts AS (SELECT a_id AS id FROM edges UNION SELECT b_id FROM edges),
-         |eb AS (SELECT a_id AS src, b_id AS dst FROM edges
-         |       UNION SELECT b_id, a_id FROM edges),
-         |comp(id, lbl) AS (
-         |  SELECT id, id FROM verts
-         |  UNION
-         |  SELECT eb.dst, comp.lbl FROM comp JOIN eb ON comp.id = eb.src),
-         |c AS (SELECT id AS doc_id, min(lbl) AS comp_id FROM comp GROUP BY 1),
-         |t AS (SELECT doc_id, $TOKS AS tk FROM d1),
-         |qs AS (SELECT doc_id, ${TextAnalysis.SCORE} AS q FROM t),
-         |r AS (SELECT c.comp_id, c.doc_id,
-         |    row_number() OVER (PARTITION BY c.comp_id ORDER BY qs.q DESC, c.doc_id) AS rn
-         |  FROM c JOIN qs USING (doc_id))
-         |SELECT d.doc_id,
-         |  CAST(CASE WHEN k.doc_id IS NULL THEN 0
-         |            WHEN r.rn > 1 THEN 0 ELSE 1 END AS BIGINT) AS kept,
-         |  CAST(coalesce(r.comp_id, -1) AS BIGINT) AS comp_id
+    "d12_cleaned_corpus" -> D12_SQL,
+
+    // the artifact read-back against the raw-corpus recompute of the
+    // survivor set + the portable content hash
+    "d13_corpus_artifact" ->
+      s"""WITH RECURSIVE $CANON_CTES
+         |SELECT d.doc_id, d.source, ${fp("d.text")} AS text_fp
          |FROM documents d
-         |LEFT JOIN keep k ON d.doc_id = k.doc_id
+         |JOIN keep k ON d.doc_id = k.doc_id
          |LEFT JOIN r ON d.doc_id = r.doc_id
+         |WHERE r.rn IS NULL OR r.rn = 1
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the incremental route is gated under d12's oracle VERBATIM —
+    // keep-first arrival + retro quality canonicalization must equal
+    // the batch quality-canonical verdicts exactly
+    "d13b_incremental_canonical" -> D12_SQL,
 
     // the incremental replay's final verdict store equals the order-free
     // batch formulation — the boundary-invariance contract the streaming
