@@ -1717,7 +1717,7 @@ object Similarity {
       val path = graft.SharedProjections.reuseArtifact("v12b_idx", dir) {
         val p = scratchPath("v12b", dir)
         buildIvfAdcIndex(s, dir, p, m = 16, k = 16, nlist = 16,
-          coarse = Some(ivfTrain(s, dir, nlist = 16)))
+          coarse = Some(trainedBook16(s, dir))) // one Lloyd per session, shared with v14
         p
       }
       val pq3 = ivfAdcServe(s, dir, path,
@@ -1816,8 +1816,108 @@ object Similarity {
           when(col("nh_t") >= lit(V13Floor), 1L).otherwise(0L).as("recall_ok"),
           when(col("nh_t") > col("nh_s"), 1L).otherwise(0L).as("trained_beats_seed"),
           when(col("nb_viol") === 0L, 1L).otherwise(0L).as("never_better"))
+    }),
+
+    // The MAINTENANCE LOOP, closed under one gate (r18, verdict ask
+    // #4): every lifecycle piece the index families carry — build,
+    // append, drift probe, reader-safe rebuild, retrain, serve — has
+    // its own spec; this gate proves the COMPOSITION a real
+    // maintenance job runs, as one driver-hashed lifecycle:
+    //
+    //   1. BUILD the IVF index at 60% of the corpus (seed book,
+    //      frozen stats);
+    //   2. APPEND the remaining 40% under the frozen book (the
+    //      stale-index serving contract);
+    //   3. the DRIFT PROBE fires (appended_frac 0.4 > the 0.25
+    //      threshold) — checked BOTH driver-side (the job's actual
+    //      decision, a loud require) and in-plan (probe_fired, which
+    //      the oracle recomputes from corpus arithmetic);
+    //   4. a PRE-REBUILD READER pins the current generation — probe
+    //      AND a full serving pass, whose file lists resolve here;
+    //   5. REBUILD THROUGH writeGen: retrain via the deterministic
+    //      Lloyd over the full corpus, publish as the next generation
+    //      — the pinned readers keep complete files (ManifestSpec's
+    //      property, now under the driver hash: pre_sum_micros is the
+    //      pinned reader's serving result, evaluated AFTER the swap,
+    //      and the oracle computes its exact value);
+    //   6. the probe CLEARS (appended_frac == 0.0 exactly — the
+    //      rebuild froze new stats), and post-rebuild serving from the
+    //      retrained artifacts meets the standing recall contract
+    //      against the exact ground truth (never_better = exact
+    //      re-rank can't beat the exact optimum). The recall floor is
+    //      the v02-tier dial's honest number, NOT v13's planted
+    //      regime: nprobe=2 of nlist=16 scans 12.5% of a
+    //      near-isotropic corpus, and measured trained-book hits are
+    //      8-13/30 across the SFs (V14Probe; seed measures 7-11 — on
+    //      isotropic data the books differ by routing noise, which is
+    //      exactly why the VALUE claim lives in v13's planted gate and
+    //      this gate claims only the LIFECYCLE).
+    "v14_maintenance_loop" -> ((s, dir) => {
+      val path = scratchPath("v14", dir)
+      val e = emb(s, dir)
+      val raw = graft.Tables(s, dir, "embeddings")
+      val maxId = raw.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId * 6 / 10
+      val eb = e.filter(col("vec_id") <= cut)
+      val book0 = centroids(eb, 16)
+      graft.sources.IvfIndex.writeWithCodebook(
+        assignTo(eb, book0).select("vec_id", "c_id", "v", "nrm"), book0, path)
+      appendToIvfIndex(s,
+        raw.filter(col("vec_id") > cut).select("vec_id", "label", "embedding"),
+        path)
+      // pre-rebuild readers: file lists resolve against the current
+      // generation HERE, before the rebuild publishes the next one
+      val preDrift = graft.sources.IvfIndex.driftProbe(s, path)
+      val qPred = col("vec_id") >= 100 && col("vec_id") < 110
+      val preServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
+        graft.sources.IvfIndex.read(s, path), qPred, 2)
+      // the maintenance decision, driver-side (what the real job does)
+      val frac = preDrift.select("appended_frac").head().getDouble(0)
+      require(frac > 0.25,
+        s"v14: drift probe must fire at 40% appended volume (got $frac)")
+      // rebuild = retrain + writeGen publish; the pinned readers above
+      // stay on the superseded generation, retained one cycle. The
+      // retrained book is the shared deterministic build (v12b's
+      // coarse book — bit-identical to an in-gate retrain, which is
+      // exactly what a standalone run does)
+      val trained = trainedBook16(s, dir)
+      graft.sources.IvfIndex.writeWithCodebook(
+        assignTo(e, trained).select("vec_id", "c_id", "v", "nrm"), trained, path)
+      val postDrift = graft.sources.IvfIndex.driftProbe(s, path)
+      val postServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
+        graft.sources.IvfIndex.read(s, path), qPred, 2)
+      val gt = exactTopKOver(e, qPred, 3)
+      val preFlag = preDrift.select(col("n_frozen"), col("n_now"),
+        when(col("appended_frac") > 0.25, 1L).otherwise(0L).as("probe_fired"))
+      val preAgg = preServe.agg(count(lit(1)).as("pre_rows"),
+        sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("pre_sum_micros"))
+      val postFlag = postDrift.select(
+        when(col("appended_frac") === 0.0, 1L).otherwise(0L).as("probe_cleared"))
+      val hits = gt.select("q_id", "neighbor_id")
+        .join(postServe.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+      val nb = gt.filter(col("rank") === 1)
+        .select(col("q_id"), col("cosine").as("opt_cos"))
+        .join(postServe.filter(col("rank") === 1)
+          .select(col("q_id"), col("cosine").as("tr_cos")), "q_id")
+        .agg(sum(when(col("tr_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
+      preFlag.crossJoin(preAgg).crossJoin(postFlag)
+        .crossJoin(hits).crossJoin(nb)
+        .select(col("n_frozen"), col("n_now"), col("probe_fired"),
+          col("pre_rows"), col("pre_sum_micros"), col("probe_cleared"),
+          when(col("nh") >= lit(V14Floor), 1L).otherwise(0L).as("post_recall_ok"),
+          when(col("nb_viol") === 0L, 1L).otherwise(0L).as("never_better"))
     })
   )
+
+  /** v14's post-rebuild recall floor — trained-book serving hits over
+    * the 10 queries' exact top-3 (measured 8-13/30 across the SFs at
+    * the nprobe=2/nlist=16 dial on the near-isotropic fixture;
+    * V14Probe), floored ~50% under the measured minimum, the house
+    * margin convention.
+    */
+  private[queries] val V14Floor = 4L
 
   /** v13's gated recall floor — trained-book hits over the 30
     * queries' exact top-3 on the planted mixture (measured 90/90/90 of
@@ -1879,6 +1979,15 @@ object Similarity {
   private[queries] def v13TrainedBook(s: SparkSession, dir: String): DataFrame =
     graft.SharedProjections.reuse("v13_trained_book", dir)(
       ivfTrainOver(s, v13Emb(s, dir), ClusterCount, 3))
+
+  /** The Lloyd-trained nlist=16 book over the RAW embeddings —
+    * deterministic given the corpus (r17's decimal-sum Lloyd), so
+    * v12b's coarse book and v14's retrain are one suite-session build
+    * (production caches trained books by corpus version for the same
+    * reason); standalone gates train inline.
+    */
+  private[queries] def trainedBook16(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("ivf_trained_book16", dir)(ivfTrain(s, dir, 16))
 
   private def v12SeedIndex(s: SparkSession, dir: String): String =
     graft.SharedProjections.reuseArtifact("ivfadc_seed_idx", dir) {
@@ -2346,6 +2455,45 @@ object Similarity {
          |  CAST(1 AS BIGINT) AS recall_ok,
          |  CAST(1 AS BIGINT) AS trained_beats_seed,
          |  CAST(1 AS BIGINT) AS never_better
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // the EXACT halves: the split counts and the probe_fired threshold
+    // from corpus arithmetic, and the PINNED PRE-REBUILD reader's full
+    // serving result (v02's seed-book plan over the whole corpus —
+    // build and appends route under the same frozen book, so the
+    // artifact's assignment is exactly the inline assign CTE); the
+    // trained post-rebuild halves are the v13-style flag contract
+    "v14_maintenance_loop" ->
+      s"""WITH e AS ($EMB),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+         |probes AS (SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM q, c) WHERE rn <= 2),
+         |cand AS (SELECT q.q_id, a.vec_id AS neighbor_id, q.qv, a.v
+         |  FROM q JOIN probes p ON q.q_id = p.q_id JOIN assign a ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> q.q_id),
+         |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+         |pre AS (SELECT CAST(count(*) AS BIGINT) AS pre_rows,
+         |    CAST(sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS BIGINT) AS pre_sum_micros
+         |  FROM r WHERE rank <= 3),
+         |cn AS (SELECT
+         |    CAST((SELECT count(*) FROM e
+         |      WHERE vec_id <= (SELECT (max(vec_id) * 6) // 10 FROM e)) AS BIGINT) AS n_frozen,
+         |    CAST((SELECT count(*) FROM e) AS BIGINT) AS n_now)
+         |SELECT cn.n_frozen, cn.n_now,
+         |  CAST(CASE WHEN CAST(cn.n_now - cn.n_frozen AS DOUBLE) / cn.n_now > 0.25
+         |    THEN 1 ELSE 0 END AS BIGINT) AS probe_fired,
+         |  pre.pre_rows, pre.pre_sum_micros,
+         |  CAST(1 AS BIGINT) AS probe_cleared,
+         |  CAST(1 AS BIGINT) AS post_recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM cn, pre""".stripMargin
   )
 }
