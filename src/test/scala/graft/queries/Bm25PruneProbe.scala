@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement main (test scope): max-score pruned batch BM25
+  * (r18, verdict ask #1) at the 100× replicas — matched-row reduction
+  * (the pivot's input volume, r16's measured 90% of batch cost) and
+  * wall-clock, pruned vs unpruned, across three workloads:
+  *
+  *   - mixed corpus-common (the Bm25BatchProbe sweep: every term in
+  *     ~90% of docs — near-flat dfs, the bound's WORST case);
+  *   - rare+common (the classic search shape: one selective term per
+  *     query plus common context terms — the bound's home regime);
+  *   - selective (rare term only — nothing to prune, prices overhead).
+  *
+  *   sbt "Test/runMain graft.queries.Bm25PruneProbe [dir]"
+  */
+object Bm25PruneProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf10salt")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val path = Similarity.scratchPath("bm25batchbench", dir)
+    if (!new java.io.File(path).exists()) {
+      println(f"[bm25pruneprobe] index build: ${
+        time(TextAnalysis.buildBm25Index(spark, dir, path))}%.1fs")
+    }
+
+    val vocab = Vector("spark", "window", "merge", "table", "column",
+      "vector", "stream", "value", "data", "small", "join", "filter",
+      "big", "group", "hash", "customer", "sort", "order", "slow",
+      "line", "part", "fast", "the", "row", "agg", "key", "query",
+      "scan", "batch", "dup")
+    def mixed(n: Int): Seq[(Long, Seq[String])] =
+      (0 until n).map { q =>
+        val m = 2 + q % 3
+        q.toLong -> (0 until m).map(i => vocab((q * 7 + i * 11) % vocab.size))
+          .distinct
+      }
+    def rareCommon(n: Int): Seq[(Long, Seq[String])] =
+      (0 until n).map { q =>
+        q.toLong -> (Seq("dup") ++
+          (0 until 2 + q % 2).map(i => vocab((q * 7 + i * 11) % (vocab.size - 1))))
+          .distinct
+      }
+    def selective(n: Int): Seq[(Long, Seq[String])] =
+      (0 until n).map(q => q.toLong -> Seq("dup"))
+
+    def matchedRows(qs: Seq[(Long, Seq[String])]): (Long, Long) = {
+      val qrel = qs.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+        .toDF("q_id", "ti", "term")
+      val allTerms = qs.flatMap(_._2).distinct
+      val bkts = allTerms.map(t => graft.sources.BmIndex.bucketOf(t).toInt).distinct
+      val post = graft.sources.BmIndex.postingsForBuckets(spark, path, bkts)
+        .filter(col("term").isin(allTerms: _*))
+      val matched0 = post.join(broadcast(qrel), Seq("term"))
+      val ess = TextAnalysis.bm25EssentialFor(spark, path, qs, k = 10)
+      val cand = post.join(broadcast(ess), Seq("term"))
+        .select("q_id", "doc_id").distinct()
+      (matched0.count(),
+        matched0.join(cand, Seq("q_id", "doc_id"), "left_semi").count())
+    }
+
+    for ((name, qs) <- Seq(
+        ("mixed-common", mixed(1000)),
+        ("rare+common", rareCommon(1000)),
+        ("selective", selective(1000)))) {
+      val (all, kept) = matchedRows(qs)
+      val tPlain = Seq.fill(2)(time(
+        TextAnalysis.bm25Batch(spark, path, qs, k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      val tPruned = Seq.fill(2)(time(
+        TextAnalysis.bm25BatchPruned(spark, path, qs, k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      println(f"[bm25pruneprobe] $name n_q=1000: matched $all%,d -> " +
+        f"$kept%,d (${100.0 * (all - kept) / math.max(all, 1)}%.1f%% pruned); " +
+        f"plain $tPlain%.1fs, pruned $tPruned%.1fs")
+    }
+    spark.stop()
+  }
+}
