@@ -229,7 +229,16 @@ object TextAnalysis {
     *    pruned buckets wholesale and the broadcast query-relation join
     *    restricts terms at runtime (documented trade: bucket
     *    directories are read fully, which is what a 10⁶-query batch
-    *    touching most of the vocabulary would force anyway).
+    *    touching most of the vocabulary would force anyway). The cap
+    *    default was 64 (a constant with no measured sweep) until r18's
+    *    IsinSweepProbe swept n_distinct_terms ∈ {16, 64, 256, 1024,
+    *    4096} on BOTH 100× replicas: the pushed literal WON at every
+    *    measured size on both (up to 4× at 1024 terms on sf10long —
+    *    without it the scan reads whole pruned buckets, including the
+    *    common-term lists the batch never asked for), and the
+    *    plan-bloat penalty never materialized through 4096 literals.
+    *    The default is now the measured boundary, 4096; beyond it is
+    *    unswept, so the runtime-join fallback stays.
     *
     * Output is bit-identical to [[bm25Batch]] over the same query set
     * (Bm25BatchSpec pins Seq-path == relation-path per row, scores
@@ -240,7 +249,7 @@ object TextAnalysis {
     * tf=0, df=0, contributing exactly +0.0 to the score fold.
     */
   def bm25BatchRel(s: SparkSession, path: String, queriesDf: DataFrame,
-      k: Int = 20, isinTermCap: Int = 64): DataFrame = {
+      k: Int = 20, isinTermCap: Int = 4096): DataFrame = {
     val qrel = queriesDf.select(col("q_id").cast("long").as("q_id"),
       col("ti").cast("int").as("ti"), col("term").cast("string").as("term"))
     // ONE one-row derivation job: pivot width + malformed-input guards
