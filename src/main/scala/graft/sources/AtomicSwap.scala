@@ -57,6 +57,14 @@ object AtomicSwap {
     * absent with a `.compact`/`.old` sibling on disk. Idempotent and
     * cheap (one exists() when healthy) — call before reading a
     * swappable artifact.
+    *
+    * REMOVAL HORIZON (r18): this and [[heal]]'s legacy branches exist
+    * only to migrate PRE-R17 artifacts (rename-swap siblings, flat
+    * layouts) on first touch. They are dead code the moment every
+    * artifact in a deployment has been touched once under r17+; keep
+    * them through one more migration-relevant release, then delete
+    * down to the manifest-only paths rather than accreting further
+    * generations of healing logic.
     */
   def recover(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
