@@ -184,6 +184,186 @@ object Multimodal {
     }
   }
 
+  // -------------------------------------------------------------------
+  // Media near-dup (m03, r19 verdict ask #3): the multimodal tier's
+  // first-class dedup operator — a 64-bit perceptual AVERAGE-HASH
+  // (aHash, the classic public perceptual-fingerprint: downsample to
+  // an 8×8 grid, threshold each cell's mean against the global mean)
+  // computed from REAL decoded BMP pixels, then d05's pigeonhole-exact
+  // banded hamming join (Dedup.simhashPairs' machinery at 64 bits:
+  // 4 × 16-bit bands; any pair within hamming ≤ 3 agrees on ≥ 1 band,
+  // so the band join loses nothing for the ≤ 3 predicate).
+  // -------------------------------------------------------------------
+
+  /** m03's planted image generator: the fixture corpus carries no real
+    * near-dup images, so — exactly like [[attachMedia]]'s closed-form
+    * pixel values make m01 oracle-checkable — the m03 images PAINT a
+    * deterministic 64-bit cell pattern that the DuckDB oracle can
+    * recompute with integer arithmetic, while the Spark side recovers
+    * it only by genuinely decoding the BMP (stride padding, BGR order,
+    * bottom-up rows) and running the real average-hash kernel.
+    *
+    * Image docs (doc_id % 3 == 0) group into runs of 8 (`group` =
+    * doc_id/24); each group has a pseudo-random base pattern
+    * `baseBit(group, j)` and member m = (doc_id%24)/3 flips cells
+    * j < m — so within a group, members' painted patterns differ by
+    * exactly |Δm| cells (the flip masks' symmetric difference), giving
+    * deterministic hamming-≤3 sibling pairs at every SF, while
+    * cross-group patterns differ pseudo-randomly (~32 of 64 bits).
+    * Cell (cy, cx) of the 8×8 grid paints all its pixels 200 (bit set)
+    * or 50 — uniform cells, so the average-hash recovers the painted
+    * bits exactly (the one degenerate case, all-64-set ⇒ mean = cell
+    * value ⇒ all hash bits 0, is mirrored in the oracle's n1 = 64
+    * branch and never occurs under the pseudo-random base).
+    *
+    * The mixer must genuinely WRAP its modulus or patterns degenerate:
+    * the first cut (`(g·48271 + j·40503) % 2³¹−1 % 2`) never exceeded
+    * the modulus at fixture group counts, so with both multipliers odd
+    * it collapsed to parity(g) XOR parity(j) — TWO distinct base
+    * patterns corpus-wide, which made cross-group hashes collide en
+    * masse (476 k pairs at sf0.1, the banded join degenerating toward
+    * all-pairs). The two-stage form below folds into a 20-bit prime
+    * first, then multiplies by a large odd constant mod 2³¹−1 — the
+    * products stay under 2⁵³ (Long- and DuckDB-BIGINT-safe at any
+    * replica doc_id) and the parity is pseudo-random (~32±4 set bits
+    * per group, measured; cross-group hamming ≤ 3 is negligible), so
+    * pair volume stays LINEAR in the corpus (~1 pair/doc, 5 k at
+    * sf0.1).
+    */
+  def baseBit(group: Long, j: Int): Int = {
+    val h0 = (group * 48271L + j * 40503L + 11L) % 1048573L
+    (((h0 * 2654435761L) % 2147483647L) % 2L).toInt
+  }
+
+  /** Painted bit of cell j for image doc `docId` (doc_id % 3 == 0). */
+  def paintedBit(docId: Long, j: Int): Int = {
+    val flip = if (j < (docId % 24) / 3) 1 else 0
+    baseBit(docId / 24, j) ^ flip
+  }
+
+  def attachMediaNearDup(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 0)
+      .as[Long].map { id =>
+        val w = 64 + (id % 8).toInt * 16
+        val h = 64
+        val (cw, ch) = (w / 8, h / 8)
+        val px = new Array[Int](w * h * 3)
+        var j = 0
+        while (j < 64) {
+          val v = if (paintedBit(id, j) == 1) 200 else 50
+          val (cy, cx) = (j / 8, j % 8)
+          var y = cy * ch
+          while (y < (cy + 1) * ch) {
+            var x = cx * cw
+            while (x < (cx + 1) * cw) {
+              val base = (y * w + x) * 3
+              px(base) = v; px(base + 1) = v; px(base + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+          j += 1
+        }
+        MediaRow(id, MediaCodec.encodeBmp(px, w, h),
+          MediaMeta("image", width = w, height = h, sampleRateHz = 0,
+            durationMs = 0L))
+      }
+  }
+
+  /** 64-bit average-hash of a decoded image: sum every channel value
+    * per 8×8 grid cell (ragged cell bounds when dims aren't multiples
+    * of 8 — exact integer arithmetic either way), set bit cy*8+cx iff
+    * the cell mean exceeds the global mean. The comparison is the
+    * cross-multiplied integer form cellSum·totCount > totSum·cellCount
+    * — no division, no doubles, so the oracle's closed-form recompute
+    * is equal by construction, not by rounding luck. (Bounds: cellSum
+    * ≤ 255·3·22·8 < 2¹⁸ and totCount ≤ 176·64·3 < 2¹⁶, so the products
+    * stay far under Long overflow.)
+    */
+  def avgHash(d: Decoded): Long = {
+    require(d.kind == "bmp", s"avgHash expects an image, got ${d.kind}")
+    val (w, h) = (d.width, d.height)
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 8 / w
+        val base = (y * w + x) * 3
+        val s = (d.values(base) + d.values(base + 1) + d.values(base + 2)).toLong
+        cellSum(cy * 8 + cx) += s
+        cellCnt(cy * 8 + cx) += 3
+        tot += s
+        x += 1
+      }
+      y += 1
+    }
+    val totCnt = w.toLong * h * 3
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (cellSum(j) * totCnt > tot * cellCnt(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual fingerprints through the REAL decode path
+    * (one decoder per partition, the batch contract): (doc_id, ph).
+    * Narrow — no shuffle; the hash is 8 bytes per image, the only
+    * thing the downstream join ever moves.
+    */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder: Array[Byte] => Decoded = MediaCodec.decode
+      rows.map(r => (r.doc_id, avgHash(decoder(r.content))))
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Hamming-≤`maxHamming` fingerprint pairs via the pigeonhole-exact
+    * banded join (d05's machinery — `Dedup.simhashPairs`,
+    * queries/Dedup.scala — at 64 bits): 4 × 16-bit bands; a pair
+    * within hamming ≤ 3 differs in ≤ 3 bands so agrees on ≥ 1, and
+    * the band join finds it — EXACT, no recall loss. Scale: the join
+    * key is (band index, band value) — candidate volume is Σ bucket²
+    * over 16-bit buckets, never all-pairs; only 8-byte hashes cross
+    * the shuffle. Columns: a_id, b_id, hamming.
+    */
+  def mediaNearDupPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("ph"),
+        explode(array((0 until 4).map(j =>
+          struct(lit(j).as("j"),
+            shiftright(col("ph"), j * 16).bitwiseAND(lit(65535L)).as("w"))): _*)).as("b"))
+      .select(col("doc_id"), col("ph"), col("b.j").as("j"), col("b.w").as("w"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.w") === col("y.w") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.ph").as("a_sig"),
+        col("y.doc_id").as("b_id"), col("y.ph").as("b_sig"))
+      .distinct()
+    cand.filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).cast("int").as("hamming"))
+  }
+
+  /** m03: the end-to-end media near-dup operator — planted BMPs →
+    * real decode → [[avgHash]] → banded hamming pairs. The oracle
+    * recomputes the painted pattern and the thresholded hash with
+    * closed-form integer arithmetic (it never sees a BMP byte), so
+    * agreement proves the whole Spark pipeline: codec round trip,
+    * grid/threshold kernel, and the banded join's exactness.
+    */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    mediaNearDupPairs(perceptualHashes(
+      attachMediaNearDup(graft.Tables(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism))))
+      .orderBy("a_id", "b_id")
+
   /** m02: the metadata half of the multimodal pipeline — attach →
     * [[resizeMeta]] → [[frameIndices]] row multiplication — with the
     * payload untouched. Everything here is pure arithmetic on
@@ -272,7 +452,10 @@ object Multimodal {
     "m01_media_features" -> ((s, dir) => featureSummary(s, dir)),
     // metadata path: fully oracle-gated (pure arithmetic on doc_id and
     // n_chars in both engines)
-    "m02_media_meta" -> ((s, dir) => metaTable(s, dir)))
+    "m02_media_meta" -> ((s, dir) => metaTable(s, dir)),
+    // media near-dup: real decode -> average-hash -> pigeonhole-banded
+    // hamming pairs, oracle-gated on the closed-form painted pattern
+    "m03_media_neardup" -> ((s, dir) => mediaNearDup(s, dir)))
 
   /** DuckDB mirrors. m02: [[attachMedia]] → [[resizeMeta]] (maxSide 96)
     * → [[frameIndices]] (k = 4) — same integer arithmetic, same double
@@ -314,5 +497,32 @@ object Multimodal {
         |  THEN range(0, 4) ELSE [CAST(0 AS BIGINT)] END) AS fi FROM r)
         |SELECT doc_id, media_type, width, height, sample_rate_hz, duration_ms,
         |  CAST(fi AS INT) AS frame_index
-        |FROM f ORDER BY doc_id, frame_index""".stripMargin)
+        |FROM f ORDER BY doc_id, frame_index""".stripMargin,
+    // m03: the painted 64-bit pattern recomputed closed-form (baseBit's
+    // integer LCG-parity mod a 31-bit prime, prefix flips per member),
+    // the average-hash threshold mirrored exactly (uniform 200/50 cells
+    // => bit = painted unless ALL 64 cells are 200, the n1 < 64 branch),
+    // and all-pairs hamming via bit_count(xor) — the SQL never touches
+    // a BMP byte, so agreement proves the decode+kernel+banding path
+    "m03_media_neardup" ->
+      """WITH img AS (SELECT doc_id, doc_id // 24 AS g, (doc_id % 24) // 3 AS m
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pb AS (SELECT doc_id, j,
+        |    ((((g * 48271 + j * 40503 + 11) % 1048573) * 2654435761)
+        |        % 2147483647 % 2
+        |      + CASE WHEN j < m THEN 1 ELSE 0 END) % 2 AS p
+        |  FROM img, (SELECT unnest(range(0, 64)) AS j)),
+        |n AS (SELECT doc_id, sum(p) AS n1 FROM pb GROUP BY 1),
+        |hb AS (SELECT pb.doc_id, pb.j,
+        |    CASE WHEN pb.p = 1 AND n.n1 < 64 THEN 1 ELSE 0 END AS hbit
+        |  FROM pb JOIN n USING (doc_id)),
+        |h AS (SELECT doc_id, CAST(sum(CASE WHEN hbit = 1 THEN
+        |    CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+        |         ELSE CAST(1 AS BIGINT) << j END
+        |    ELSE 0 END) AS BIGINT) AS ph FROM hb GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin)
 }

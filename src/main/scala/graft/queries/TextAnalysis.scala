@@ -250,6 +250,96 @@ object TextAnalysis {
     */
   def bm25BatchRel(s: SparkSession, path: String, queriesDf: DataFrame,
       k: Int = 20, isinTermCap: Int = 4096): DataFrame = {
+    val (qrel, m, isinTerms) = relDerive(queriesDf, isinTermCap)
+    bm25BatchCore(s, path, qrel, m, isinTerms, k)
+  }
+
+  /** The REGIME-ROUTED batch BM25 serving surface (r19, verdict ask
+    * #1): [[bm25BatchRel]]'s relation-native contract, with the
+    * plain-vs-pruned choice made PER BATCH from the frozen `_df`
+    * sibling — the production entry a batch search server calls when
+    * the workload mix is not known in advance. Output is identical
+    * either way (the prune is lossless — Bm25PruneSpec/t19's gate);
+    * the router can only change SPEED, which is exactly what makes it
+    * safe to automate.
+    *
+    * The statistic ([[bm25RouteStats]]): Σ_q df(seed_q) vs
+    * Σ_q Σ_t df(t) over the batch, both read from the same frozen dfs
+    * the max-score bound itself uses. Σ df is (up to appends) the
+    * unpruned pivot's matched-row volume — the measured 90% of batch
+    * cost; Σ df(seed) is the seed pass's posting volume, the pruned
+    * path's mandatory extra read. Their ratio is the df-SKEW of the
+    * batch, the quantity the whole prune regime hangs on
+    * (BENCHNOTES r18: pruned wins ~2× when queries pair a rare seed
+    * with common context terms, loses 1.4–2.2× at flat dfs and
+    * single-term where the seed pass is pure duplication — at
+    * single-term the ratio is exactly 1, at flat dfs ≈ the term
+    * count). The threshold [[Bm25RouteSkew]] sits between the
+    * measured regimes (Bm25PruneProbe r19 prints the ratio next to
+    * each workload's plain/pruned wall readings on both 100×
+    * replicas).
+    */
+  def bm25Serve(s: SparkSession, path: String, queriesDf: DataFrame,
+      k: Int = 20, isinTermCap: Int = 4096): DataFrame = {
+    val (qrel, m, isinTerms) = relDerive(queriesDf, isinTermCap)
+    val (tot, seed) = bm25RouteStats(s, path, qrel)
+    bm25BatchCore(s, path, qrel, m, isinTerms, k,
+      prune = routePruned(tot, seed))
+  }
+
+  /** Router threshold on the batch's df-skew ratio Σdf / Σdf(seed):
+    * choose the max-score-pruned path when the ratio is at least this.
+    * Measured regimes (Bm25PruneProbe, both 100× replicas, r19):
+    * single-term sits at exactly 1 and flat-df multi-term at ~2–7
+    * (both lose by 1.4–2.2×); rare-seed workloads, where pruned wins
+    * ~2×, measure ≥ 40. 16 splits the decades between the losing and
+    * winning clusters (geometric mid of ~6 and ~40), a decade of
+    * margin each side.
+    */
+  private[queries] val Bm25RouteSkew = 16.0
+
+  private def routePruned(totDf: Long, seedDf: Long): Boolean =
+    totDf.toDouble >= Bm25RouteSkew * math.max(seedDf, 1L).toDouble
+
+  /** The router's batch statistic, one tiny aggregation job over the
+    * query relation joined to the frozen df sibling (query-relation-
+    * sized — never corpus-sized): (Σ_q Σ_t df(t), Σ_q df(seed_q)),
+    * seed_q = the query's min-df term — the same rarest-term seed the
+    * prune's θ pass reads ([[bm25Essential]]'s highest-ub choice; ub
+    * is monotone decreasing in df, and a df=0 appended-vocabulary
+    * term gets the idf ceiling, so min df IS the seed). Exposed
+    * package-visible so the probe and spec can pin the decision
+    * against measured winners.
+    */
+  private[queries] def bm25RouteStats(s: SparkSession, path: String,
+      qrel: DataFrame): (Long, Long) = {
+    val r = qrel.join(graft.sources.BmIndex.dfRel(s, path), Seq("term"), "left")
+      .select(col("q_id"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("q_id").agg(sum(col("df")).as("tot"), min(col("df")).as("seed"))
+      .agg(sum(col("tot")).as("t"), sum(col("seed")).as("s"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[bm25Serve]]'s routing decision for a driver-side batch — the
+    * probe/spec entry.
+    */
+  private[queries] def bm25RoutedToPruned(s: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])]): Boolean = {
+    import s.implicits._
+    val qrel = queries
+      .flatMap { case (qid, ts) => ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+      .toDF("q_id", "ti", "term")
+    val (tot, seed) = bm25RouteStats(s, path, qrel)
+    routePruned(tot, seed)
+  }
+
+  /** The query-relation derivation [[bm25BatchRel]] and [[bm25Serve]]
+    * share: normalized (q_id, ti, term) columns, the pivot width, and
+    * the bounded term-isin push.
+    */
+  private def relDerive(queriesDf: DataFrame,
+      isinTermCap: Int): (DataFrame, Int, Option[Seq[String]]) = {
     val qrel = queriesDf.select(col("q_id").cast("long").as("q_id"),
       col("ti").cast("int").as("ti"), col("term").cast("string").as("term"))
     // ONE one-row derivation job: pivot width + malformed-input guards
@@ -275,7 +365,7 @@ object TextAnalysis {
         .collect().map(_.getString(0)).toSeq
       if (ts.size <= isinTermCap && ts.nonEmpty) Some(ts) else None
     }
-    bm25BatchCore(s, path, qrel, m, isinTerms, k)
+    (qrel, m, isinTerms)
   }
 
   /** MAX-SCORE pruning for exact batch BM25 top-k (r18, verdict ask
@@ -420,7 +510,7 @@ object TextAnalysis {
     * construction. `isinTerms` = the per-term pushed filter when the
     * batch's term list is bounded (None → bucket-prune only, term
     * restriction via the query-relation join). `prune` switches on the
-    * max-score candidate restriction ([[prunedMatched]], r18) — the
+    * max-score candidate restriction ([[prunedCandidates]], r18) — the
     * pivot then aggregates only (q, doc) pairs that can still enter
     * the top-k, with the top-k itself unchanged (lossless by the bound
     * argument documented there; Bm25PruneSpec pins bit-equality).
@@ -503,6 +593,17 @@ object TextAnalysis {
     1L -> Seq("merge", "sort"),
     2L -> Seq("stream", "batch", "window", "query"),
     3L -> Seq("hash", "zebra"))
+
+  /** t20's fixed batch: T16Batch's four queries plus the two shapes
+    * the router exists to tell apart — a single-term query (seed pass
+    * = pure duplication, plain must win) and a rare-seed + common-
+    * context query (the prune's home regime). The gate's point is the
+    * MIX: whatever the router decides for this batch, the output must
+    * equal the generated oracle — routing is a speed decision only.
+    */
+  private[graft] val T20Batch: Seq[(Long, Seq[String])] = T16Batch ++ Seq(
+    4L -> Seq("dup"),
+    5L -> Seq("dup", "data", "value", "table"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-document stats come from the compiled tokenStats kernel (one
@@ -865,6 +966,33 @@ object TextAnalysis {
       bm25BatchPruned(s, path, T16Batch, k = 10)
     }),
 
+    // batch BM25 through the REGIME ROUTER (r19, verdict ask #1 — the
+    // production serving entry): the mixed-regime batch [[T20Batch]]
+    // (T16Batch + a single-term query + a rare-seed/common-context
+    // query) is persisted as a query table and served through
+    // [[bm25Serve]], which picks plain vs max-score-pruned PER BATCH
+    // from the frozen df sibling's skew statistic. The gate hashes the
+    // generated oracle for the batch, so it is green WHICHEVER path
+    // the router picks — the router is a speed dial, provably unable
+    // to change answers (the prune's losslessness gate t19 + this).
+    // The router's four-workload decision-vs-measured-winner table is
+    // Bm25PruneProbe's (both 100× replicas); Bm25RouteSpec pins the
+    // decision direction on controlled skews.
+    "t20_bm25_routed" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25_idx", dir) {
+        val p = Similarity.scratchPath("bm25", dir)
+        buildBm25Index(s, dir, p)
+        p
+      }
+      val qp = Similarity.scratchPath("t20q", dir)
+      import s.implicits._
+      T20Batch
+        .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t) } }
+        .toDF("q_id", "ti", "term")
+        .repartition(1).write.mode("overwrite").parquet(qp)
+      bm25Serve(s, path, s.read.parquet(qp), k = 10)
+    }),
+
     // BM25 served from a STREAMING-BUILT index (r16, verdict stretch
     // #7 — the streaming-maintenance story itself under the driver's
     // hash): bootstrap the index on the deterministic lower half of
@@ -1004,8 +1132,14 @@ object TextAnalysis {
     * IEEE-identity contract), ranked over MATCHED docs only (any
     * tf > 0 — bm25Batch's production contract), UNION ALL'd.
     */
-  private def t16OracleSql(k: Int): String = {
-    val blocks = T16Batch.map { case (qid, terms) =>
+  private def t16OracleSql(k: Int): String = batchOracleSql(T16Batch, k)
+
+  /** The batch-BM25 oracle generator, single-sourced from the fixed
+    * batch constant each gate serves (t16/t18/t19 over [[T16Batch]],
+    * t20 over [[T20Batch]]).
+    */
+  private def batchOracleSql(batch: Seq[(Long, Seq[String])], k: Int): String = {
+    val blocks = batch.map { case (qid, terms) =>
       val tfDefs = terms.zipWithIndex.map { case (t, i) =>
         s"CAST(len([t for t in tk if t = '$t']) AS INT) AS tf$i" }.mkString(",\n  ")
       val dfDefs = terms.indices.map(i =>
@@ -1029,7 +1163,7 @@ object TextAnalysis {
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
          |  doc_id, score FROM s$qid)""".stripMargin
     }
-    val union = T16Batch.map { case (qid, _) => s"SELECT * FROM r$qid" }
+    val union = batch.map { case (qid, _) => s"SELECT * FROM r$qid" }
       .mkString("\n  UNION ALL ")
     s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
        |${blocks.mkString(",\n")}
@@ -1251,6 +1385,10 @@ object TextAnalysis {
     "t18_bm25_batch_rel" -> t16OracleSql(k = 10),
     // pruning is lossless by contract — t16's oracle applies verbatim
     "t19_bm25_batch_pruned" -> t16OracleSql(k = 10),
+    // the routed path serves T20Batch; the generated oracle covers the
+    // batch regardless of which path the router picks (routing is
+    // speed-only by the t19 losslessness contract)
+    "t20_bm25_routed" -> batchOracleSql(T20Batch, k = 10),
 
     // the frozen-stats serving contract, mirrored exactly: tf/dl over
     // the FULL corpus (every indexed doc is scorable), df/n_docs/avgdl

@@ -157,11 +157,22 @@ object AtomicSwap {
     // [[publish]] thins manifests after the new one is committed, so two
     // rapid publishes (compact then an append bump) can delete the
     // manifest a reader just LISTED between its listStatus and open
-    // (r17, ADVICE). The healthy-artifact fix is a re-list-and-reopen:
-    // by the time the first open threw, a newer manifest exists.
-    try once() catch {
-      case _: java.io.FileNotFoundException => once()
+    // (r17, ADVICE). The healthy-artifact fix is a re-list-and-reopen;
+    // BOUNDED retries, not one (r19, ADVICE): a second publish pair
+    // landing during the retry (compact immediately followed by an
+    // append bump — the documented trigger) would otherwise surface a
+    // raw FileNotFoundException from a healthy artifact. Each retry
+    // re-lists, so it only loops while publishes keep landing; after
+    // the attempts are exhausted the failure stays loud.
+    var attempts = 3
+    while (true) {
+      try return once() catch {
+        case e: java.io.FileNotFoundException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+      }
     }
+    None // unreachable
   }
 
   /** Publish `gen` as the current generation: write the next-numbered
@@ -293,13 +304,23 @@ object AtomicSwap {
     val rp = new Path(root)
     currentGen(fs, rp).foreach { g =>
       val cur = new Path(rp, g).toString
-      require(cur == wroteInto || wroteInto == root,
+      // no `wroteInto == root` escape (r19, ADVICE): dataDir only ever
+      // resolves to the bare root when the artifact is empty and
+      // unmanifested, and the one way a manifest can exist NOW after
+      // the append resolved root THEN is a concurrent first build —
+      // exactly the writer race this check exists to fail loudly on
+      // (the root-level flat files are invisible to manifest-resolving
+      // readers). A true legacy/no-manifest artifact never reaches
+      // this branch: currentGen is None there and the bump no-ops.
+      require(cur == wroteInto,
         s"AtomicSwap.commitAppend($root): the append wrote into " +
           s"$wroteInto but the current generation is $cur — a " +
-          "compact/rebuild ran concurrently with this append (writers " +
-          "must be serialized; only readers are compact-safe). The " +
-          "appended rows landed in a superseded generation and would " +
-          "be pruned: re-run the append against the current generation.")
+          "compact/rebuild ran concurrently with this append (or a " +
+          "first build raced an append into an empty root; writers " +
+          "must be serialized — only readers are compact-safe). The " +
+          "appended rows landed outside the current generation and " +
+          "would be pruned or stay invisible: re-run the append " +
+          "against the current generation.")
       publish(fs, rp, g)
     }
   }

@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   *
   *   - mixed corpus-common (the Bm25BatchProbe sweep: every term in
   *     ~90% of docs — near-flat dfs, the bound's WORST case);
+  *   - flat-pair (exactly two corpus-common terms per query — the
+  *     cleanest flat-df loser regime);
   *   - rare+common (the classic search shape: one selective term per
   *     query plus common context terms — the bound's home regime);
   *   - selective (rare term only — nothing to prune, prices overhead).
+  *
+  * r19 (verdict ask #1): each workload row also prints the ROUTER's
+  * df-skew ratio and decision ([[TextAnalysis.bm25RouteStats]] /
+  * Bm25RouteSkew) next to the measured winner — the table that backs
+  * the threshold constant.
   *
   *   sbt "Test/runMain graft.queries.Bm25PruneProbe [dir]"
   */
@@ -55,6 +62,11 @@ object Bm25PruneProbe {
       }
     def selective(n: Int): Seq[(Long, Seq[String])] =
       (0 until n).map(q => q.toLong -> Seq("dup"))
+    def flatPair(n: Int): Seq[(Long, Seq[String])] =
+      (0 until n).map { q =>
+        q.toLong -> Seq(vocab(q % (vocab.size - 1)),
+          vocab((q + 7) % (vocab.size - 1))).distinct
+      }
 
     def matchedRows(qs: Seq[(Long, Seq[String])]): (Long, Long) = {
       val qrel = qs.flatMap { case (qid, ts) =>
@@ -72,8 +84,18 @@ object Bm25PruneProbe {
         matched0.join(cand, Seq("q_id", "doc_id"), "left_semi").count())
     }
 
+    def routeRatio(qs: Seq[(Long, Seq[String])]): (Double, Boolean) = {
+      val qrel = qs.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+        .toDF("q_id", "ti", "term")
+      val (tot, seed) = TextAnalysis.bm25RouteStats(spark, path, qrel)
+      (tot.toDouble / math.max(seed, 1L),
+        TextAnalysis.bm25RoutedToPruned(spark, path, qs))
+    }
+
     for ((name, qs) <- Seq(
         ("mixed-common", mixed(1000)),
+        ("flat-pair", flatPair(1000)),
         ("rare+common", rareCommon(1000)),
         ("selective", selective(1000)))) {
       val (all, kept) = matchedRows(qs)
@@ -83,9 +105,14 @@ object Bm25PruneProbe {
       val tPruned = Seq.fill(2)(time(
         TextAnalysis.bm25BatchPruned(spark, path, qs, k = 10)
           .write.format("noop").mode("overwrite").save())).min
+      val (ratio, routed) = routeRatio(qs)
+      val winner = if (tPruned < tPlain) "pruned" else "plain"
+      val picked = if (routed) "pruned" else "plain"
       println(f"[bm25pruneprobe] $name n_q=1000: matched $all%,d -> " +
         f"$kept%,d (${100.0 * (all - kept) / math.max(all, 1)}%.1f%% pruned); " +
-        f"plain $tPlain%.1fs, pruned $tPruned%.1fs")
+        f"plain $tPlain%.1fs, pruned $tPruned%.1fs; " +
+        f"router ratio=$ratio%.1f -> $picked (winner $winner, " +
+        s"${if (picked == winner) "MATCH" else "MISS"})")
     }
     spark.stop()
   }

@@ -67,6 +67,27 @@ object PpLongProbe {
     val nPairs = Dedup.jaccardPairsIndexed(spark, table).count()
     println(f"[pplongprobe] serve: inline=$tInline%.1fs indexed=$tIdx%.1fs " +
       f"pairs=$nPairs%,d")
+
+    // verify-stage decomposition (r19, verdict ask #2 — only
+    // meaningful on a replica with a NONZERO qualifying-pair relation,
+    // i.e. sf10longsalt): candidate volume after prefix+length+
+    // positional, the counting join's input rows (base restricted to
+    // candidate docs), and the candidate-stage-only wall — verify cost
+    // = full serve minus this.
+    val cands = Dedup.prefixCands(base, 0.5, positional = true,
+      merge = true).distinct().localCheckpoint()
+    val tCand = Seq.fill(2)(time(
+      Dedup.prefixCands(base, 0.5, positional = true, merge = true)
+        .distinct()
+        .write.format("noop").mode("overwrite").save())).min
+    val nCand = cands.count()
+    val candDocs = cands.select(col("doc_id"))
+      .union(cands.select(col("doc_id2"))).distinct()
+    val nVerifyRows = base.join(candDocs, Seq("doc_id"), "left_semi").count()
+    println(f"[pplongprobe] verify decomposition: cand_pairs=$nCand%,d " +
+      f"cand_docs=${candDocs.count()}%,d verify_input_rows=$nVerifyRows%,d " +
+      f"cand_stage=$tCand%.1fs (verify ~= indexed - cand_stage = " +
+      f"${tIdx - tCand}%.1fs)")
     spark.stop()
   }
 }

@@ -151,6 +151,29 @@ class ManifestSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("commitAppend fails loudly when a FIRST build raced an append " +
+      "into an empty root") {
+    // r19, ADVICE: the old `wroteInto == root` escape silently accepted
+    // exactly this race — the appended flat files at root are invisible
+    // to manifest-resolving readers, so the bump must refuse.
+    val root = tmp("mfrace0")
+    fs.mkdirs(new Path(root))
+    val appendTarget = AtomicSwap.dataDir(spark, root) // empty root -> itself
+    assert(appendTarget === root)
+    // a concurrent first build publishes g0 before the append commits
+    AtomicSwap.writeGen(spark, root) { gen =>
+      Seq(1L).toDF("x").write.parquet(gen)
+    }
+    Seq(2L).toDF("x").write.mode("append").parquet(appendTarget)
+    val e = intercept[IllegalArgumentException] {
+      AtomicSwap.commitAppend(spark, root, appendTarget)
+    }
+    assert(e.getMessage.contains("first build raced"))
+    // readers resolve the committed generation, never the stray flat rows
+    assert(spark.read.parquet(AtomicSwap.dataDir(spark, root))
+      .as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("retention dial: retain=2 keeps a reader alive across two " +
       "compacts; past the horizon it fails LOUDLY, never wrongly") {
     // r18, verdict stretch #8 — the snapshot-expiry trade, dialable.

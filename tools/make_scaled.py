@@ -2,7 +2,7 @@
 """Synthesize a perf-only scaled replica of a driver fixture directory.
 
 Usage: python3 tools/make_scaled.py <srcDir> <dstDir> <copies> \
-           [salt[:MOD] | long[:MIN-MAX]] [onlyTable,...]
+           [salt[:MOD] | long[:MIN-MAX] | longsalt[:MOD]] [onlyTable,...]
 
 Replicates every table <copies> times with key columns shifted by a
 large per-copy offset so join integrity is preserved (facts reference
@@ -125,6 +125,64 @@ def long_documents(t, c):
                         pa.array(out, type=t.field("text").type))
 
 
+def make_tails(texts):
+    """COPY-INDEPENDENT Zipf tails for longsalt mode: one tail per
+    source row, reused by every copy — a keeper sibling (keep set) and
+    its copy-0 original share the same tail, so their shingle sets stay
+    nearly identical and J >= 0.5 SURVIVES at 600-token lengths (r19,
+    verdict ask #2: the long replica priced construction but had zero
+    qualifying pairs, so the verify stage ran on an empty candidate
+    set)."""
+    rng = np.random.default_rng(42_000_019)
+    ranks = np.arange(1, LONG_VOCAB + 1, dtype=np.float64)
+    p = ranks ** -LONG_ZIPF_S
+    p /= p.sum()
+    targets = rng.integers(LONG_MIN, LONG_MAX + 1, size=len(texts))
+    tails = []
+    for i, s in enumerate(texts):
+        if s is None:
+            tails.append(None)
+            continue
+        n0 = s.count(" ") + 1
+        extra = int(targets[i]) - n0
+        if extra <= 0:
+            tails.append("")
+            continue
+        tail = rng.choice(LONG_VOCAB, size=extra, p=p)
+        tails.append(" " + " ".join(f"zl{k}" for k in tail))
+    return tails
+
+
+def longsalt_documents(t, c, tails):
+    """long + salt composed (r19, verdict ask #2): every doc extends to
+    its fixed Zipf tail (same tail in every copy), then copy c > 0
+    plants salt's bounded near-dup rate — the keep set appends two
+    tokens to the SHARED long text (J ~ n/(n+2) vs the copy-0 long doc,
+    comfortably over 0.5), the rest get every 3rd token of the LONG
+    text replaced with doc-specific junk (no 3-gram survives)."""
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    keep = keep_neardup(ids, c)
+    out = []
+    for i, s in enumerate(texts):
+        if s is None:
+            out.append(None)
+        else:
+            base = s + tails[i]
+            if c == 0:
+                out.append(base)
+            elif keep[i]:
+                out.append(base + f" nd{c} copy")
+            else:
+                toks = base.split(" ")
+                for j in range(2, len(toks), 3):
+                    toks[j] = f"zq{c}d{ids[i] % 9973}t{j}"
+                out.append(" ".join(toks))
+    idx = t.schema.get_field_index("text")
+    return t.set_column(idx, t.field("text"),
+                        pa.array(out, type=t.field("text").type))
+
+
 def salt_embeddings(t, c):
     """Jitter vectors per copy: keep-set gets 2%-relative noise (cosine
     ~0.9998, stays over every gate); the rest 10x-relative noise
@@ -155,14 +213,17 @@ def salt_embeddings(t, c):
 
 def main():
     src, dst, copies = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    longsalt = len(sys.argv) > 4 and sys.argv[4].startswith("longsalt")
     salt = len(sys.argv) > 4 and sys.argv[4].startswith("salt")
-    long_mode = len(sys.argv) > 4 and sys.argv[4].startswith("long")
-    if salt and ":" in sys.argv[4]:
+    long_mode = (len(sys.argv) > 4 and sys.argv[4].startswith("long")
+                 and not longsalt)
+    if (salt or longsalt) and ":" in sys.argv[4]:
         global NEARDUP_MOD
         NEARDUP_MOD = int(sys.argv[4].split(":", 1)[1])
     if long_mode and ":" in sys.argv[4]:
         global LONG_MIN, LONG_MAX
         LONG_MIN, LONG_MAX = map(int, sys.argv[4].split(":", 1)[1].split("-"))
+    tails = None
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     import os
     os.makedirs(dst, exist_ok=True)
@@ -203,10 +264,14 @@ def main():
                     shifted.schema.get_field_index(k), shifted.field(k), newcol)
             if salt and c > 0 and table == "documents":
                 shifted = salt_documents(shifted, c)
-            if salt and c > 0 and table == "embeddings":
+            if (salt or longsalt) and c > 0 and table == "embeddings":
                 shifted = salt_embeddings(shifted, c)
             if long_mode and table == "documents":
                 shifted = long_documents(shifted, c)
+            if longsalt and table == "documents":
+                if tails is None:
+                    tails = make_tails(t.column("text").to_pylist())
+                shifted = longsalt_documents(shifted, c, tails)
             parts.append(shifted)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rg)
