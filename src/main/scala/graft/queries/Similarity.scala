@@ -337,6 +337,28 @@ object Similarity {
     graft.sources.AtomicSwap.commitAppend(s, path, intoDir)
   }
 
+  /** REBUILD the float IVF index from its own persisted state under a
+    * new codebook (r19, verdict stretch #8 — the retrain step a
+    * maintenance policy runs): reassign every stored vector against
+    * `book` and publish the result as the next generation (codebook +
+    * frozen stats refresh with it — the drift probe's baseline resets).
+    * Reads ONLY the artifact, never the raw corpus — the shape a
+    * streaming maintenance job needs, where the index IS the corpus of
+    * record. Safe to run while READERS are live (generation layout);
+    * WRITERS must be serialized, which [[graft.streaming.IvfIngest]]
+    * guarantees by running this inside `foreachBatch` (micro-batches
+    * are serial — SCALE.md's writer-serialization regime 1). The read
+    * snapshot resolves the current generation, which `writeGen`'s
+    * prune retains through this publish, so the source files outlive
+    * the write.
+    */
+  def rebuildIvfIndex(s: SparkSession, path: String, book: DataFrame): Unit = {
+    val store = graft.sources.IvfIndex.read(s, path)
+      .select("vec_id", "v", "nrm")
+    graft.sources.IvfIndex.writeWithCodebook(
+      assignTo(store, book).select("vec_id", "c_id", "v", "nrm"), book, path)
+  }
+
   /** TWO-LEVEL IVF assignment (r12 — the tier above the single
     * embedded codebook's ~51 MB / nlist≈1e5 ceiling, prototyped; cost
     * model in SCALE.md). Structure:
@@ -1167,6 +1189,20 @@ object Similarity {
       qPred: Column, k: Int): DataFrame =
     exactTopKOver(emb(s, dir), qPred, k)
 
+  /** The suite's ONE shared brute-force ground-truth pass (r19,
+    * verdict ask #5): exact top-3 over the v07 query union
+    * [100,110) ∪ [200,210) — v07 consumes both slices, v14's recall
+    * contract filters the [100,110) half (row-identical to a dedicated
+    * pass: the rank window partitions by q_id). Deterministic given
+    * the corpus, so suite sessions compute it once; standalone runs
+    * build inline.
+    */
+  private[queries] def sharedExactGt(s: SparkSession, dir: String): DataFrame =
+    graft.SharedProjections.reuse("exact_gt_v07_k3", dir)(
+      exactTopKWhere(s, dir,
+        (col("vec_id") >= 100 && col("vec_id") < 110) ||
+          (col("vec_id") >= 200 && col("vec_id") < 210), 3))
+
   /** [[exactTopKWhere]] over an explicit (vec_id, v, nrm) relation —
     * the clustered-mixture gate computes ground truth over its own
     * planted relation through this hook (r17).
@@ -1283,9 +1319,7 @@ object Similarity {
     * twice.
     */
   def annRecall(s: SparkSession, dir: String, ivfNprobe: Int = 2): DataFrame = {
-    val exact = exactTopKWhere(s, dir,
-      (col("vec_id") >= 100 && col("vec_id") < 110) ||
-        (col("vec_id") >= 200 && col("vec_id") < 210), 3)
+    val exact = sharedExactGt(s, dir)
     // the two ranges are disjoint, so one frame serves both variants
     val exIvf = exact.filter(col("q_id") < 110).select("q_id", "neighbor_id")
     val exLsh = exact.filter(col("q_id") >= 200).select("q_id", "neighbor_id")
@@ -1860,8 +1894,14 @@ object Similarity {
       val cut = maxId * 6 / 10
       val eb = e.filter(col("vec_id") <= cut)
       val book0 = centroids(eb, 16)
-      graft.sources.IvfIndex.writeWithCodebook(
-        assignTo(eb, book0).select("vec_id", "c_id", "v", "nrm"), book0, path)
+      // the 60% bootstrap ASSIGNMENT is deterministic given the corpus
+      // (seed book + the argmax kernel), so a suite session computes it
+      // once (r19, verdict ask #5) — bench passes re-run this gate 4×,
+      // and only the generation WRITE (the lifecycle under test) must
+      // repeat; standalone runs build inline as before
+      val bootAssign = graft.SharedProjections.reuse("v14_boot_assign", dir)(
+        assignTo(eb, book0).select("vec_id", "c_id", "v", "nrm"))
+      graft.sources.IvfIndex.writeWithCodebook(bootAssign, book0, path)
       appendToIvfIndex(s,
         raw.filter(col("vec_id") > cut).select("vec_id", "label", "embedding"),
         path)
@@ -1881,12 +1921,19 @@ object Similarity {
       // coarse book — bit-identical to an in-gate retrain, which is
       // exactly what a standalone run does)
       val trained = trainedBook16(s, dir)
-      graft.sources.IvfIndex.writeWithCodebook(
-        assignTo(e, trained).select("vec_id", "c_id", "v", "nrm"), trained, path)
+      // full-corpus trained assignment: deterministic (bit-stable Lloyd
+      // book + argmax kernel), shared like the bootstrap above
+      val trainedAssign = graft.SharedProjections.reuse(
+        "ivf_trained_assign16", dir)(
+        assignTo(e, trained).select("vec_id", "c_id", "v", "nrm"))
+      graft.sources.IvfIndex.writeWithCodebook(trainedAssign, trained, path)
       val postDrift = graft.sources.IvfIndex.driftProbe(s, path)
       val postServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
         graft.sources.IvfIndex.read(s, path), qPred, 2)
-      val gt = exactTopKOver(e, qPred, 3)
+      // ground truth shared with v07's brute-force pass (r19, verdict
+      // ask #5): the per-q_id rank window makes the union-predicate
+      // pass's [100,110) slice row-identical to a dedicated pass
+      val gt = sharedExactGt(s, dir).filter(col("q_id") < 110)
       val preFlag = preDrift.select(col("n_frozen"), col("n_now"),
         when(col("appended_frac") > 0.25, 1L).otherwise(0L).as("probe_fired"))
       val preAgg = preServe.agg(count(lit(1)).as("pre_rows"),
@@ -1906,6 +1953,104 @@ object Similarity {
         .crossJoin(hits).crossJoin(nb)
         .select(col("n_frozen"), col("n_now"), col("probe_fired"),
           col("pre_rows"), col("pre_sum_micros"), col("probe_cleared"),
+          when(col("nh") >= lit(V14Floor), 1L).otherwise(0L).as("post_recall_ok"),
+          when(col("nb_viol") === 0L, 1L).otherwise(0L).as("never_better"))
+    }),
+
+    // The STREAMING maintenance loop (r19, verdict stretch #8 — the
+    // last untested composition in the maintenance story): v14 proves
+    // the batch lifecycle; this gate runs it under LIVE ingest.
+    // Bootstrap the IVF index on the lower vec_id half (seed book,
+    // frozen stats), PIN a serving reader against that generation,
+    // then stream the upper half through [[graft.streaming.IvfIngest]]
+    // — whose foreachBatch appends each micro-batch AND runs the
+    // maintenance policy: drift probe, and past the 0.3 threshold a
+    // retrain-rebuild through writeGen WHILE THE STREAM KEEPS
+    // APPENDING (writers serialized by construction: the rebuild runs
+    // inside the serial micro-batch callback — SCALE.md regime 1).
+    // With ~equal thirds staged, the policy fires EXACTLY once, after
+    // batch 2 (batch 1 lands at frac ≈ 0.25 < 0.3, batch 2 at ≈ 0.4,
+    // batch 3 at ≈ 0.17 post-rebuild — margins ≥ 0.05 against split
+    // jitter), and the FINAL index content is batch-boundary-
+    // INDEPENDENT: the deterministic trained book reassigns everything
+    // at the rebuild, and post-rebuild appends assign under the same
+    // loaded book bit-identically — so the final artifact equals v14's
+    // post-rebuild state and the same recall floor applies. The gate
+    // hashes: bootstrap/final counts (oracle recomputes), the PINNED
+    // pre-stream reader's serving result evaluated AFTER the stream
+    // (appends only add files and the rebuild's generation publish
+    // retains the pinned one, so it serves exactly the bootstrap
+    // content — the oracle computes its exact value), the policy
+    // firing flags, the steady-state drift flag, and the standing
+    // recall/never-better contract against the exact ground truth.
+    "v15_streaming_maintenance" -> ((s, dir) => {
+      val path = scratchPath("v15", dir)
+      val stage = scratchPath("v15-stage", dir)
+      val ck = scratchPath("v15-ck", dir)
+      // mutable scratch → wipe: a leftover checkpoint would mark the
+      // staged files already-processed and skip the ingest
+      for (d <- Seq(stage, ck)) {
+        val hp = new org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }
+      val raw = graft.Tables(s, dir, "embeddings")
+      val maxId = raw.agg(max(col("vec_id"))).head().getLong(0)
+      val cut = maxId / 2
+      val e = emb(s, dir)
+      val eb = e.filter(col("vec_id") <= cut)
+      val book0 = centroids(eb, 16)
+      graft.sources.IvfIndex.writeWithCodebook(
+        graft.SharedProjections.reuse("v15_boot_assign", dir)(
+          assignTo(eb, book0).select("vec_id", "c_id", "v", "nrm")),
+        book0, path)
+      // pinned reader: file lists (index + codebook) resolve HERE
+      val qPred = col("vec_id") >= 100 && col("vec_id") < 110
+      val pinned = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
+        graft.sources.IvfIndex.read(s, path), qPred, 2)
+      val upper = raw.filter(col("vec_id") > cut)
+        .select("vec_id", "label", "embedding")
+      upper.repartition(3).write.mode("overwrite").parquet(stage)
+      val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = graft.streaming.IvfIngest.startMaintained(
+        s.readStream.schema(upper.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage),
+        path, threshold = 0.3,
+        retrain = ss => trainedBook16(ss, dir),
+        onRebuild = () => { rebuilds.incrementAndGet(); () },
+        checkpointDir = Some(ck))
+      q.processAllAvailable()
+      q.stop()
+      // the policy decision, driver-side (what the real job observes)
+      require(rebuilds.get() >= 1,
+        s"v15: the in-stream policy must fire (rebuilds=${rebuilds.get()})")
+      val postServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
+        graft.sources.IvfIndex.read(s, path), qPred, 2)
+      val finalDrift = graft.sources.IvfIndex.driftProbe(s, path)
+      val gt = sharedExactGt(s, dir).filter(col("q_id") < 110)
+      val preAgg = pinned.agg(count(lit(1)).as("pre_rows"),
+        sum(floor(col("cosine") * lit(1000000.0)).cast("long")).as("pre_sum_micros"))
+      val hits = gt.select("q_id", "neighbor_id")
+        .join(postServe.select("q_id", "neighbor_id"),
+          Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("nh"))
+      val nb = gt.filter(col("rank") === 1)
+        .select(col("q_id"), col("cosine").as("opt_cos"))
+        .join(postServe.filter(col("rank") === 1)
+          .select(col("q_id"), col("cosine").as("tr_cos")), "q_id")
+        .agg(sum(when(col("tr_cos") <= col("opt_cos"), 0L).otherwise(1L)).as("nb_viol"))
+      raw.agg(
+          sum(when(col("vec_id") <= cut, 1L).otherwise(0L)).as("n_bootstrap"),
+          count(lit(1)).as("n_final"))
+        .crossJoin(preAgg)
+        .crossJoin(finalDrift.select(
+          when(col("appended_frac") <= 0.3, 1L).otherwise(0L)
+            .as("steady_below_threshold")))
+        .crossJoin(hits).crossJoin(nb)
+        .select(col("n_bootstrap"), col("n_final"),
+          lit(if (rebuilds.get() >= 1) 1L else 0L).as("rebuild_fired"),
+          lit(if (rebuilds.get() == 1) 1L else 0L).as("one_rebuild"),
+          col("pre_rows"), col("pre_sum_micros"),
+          col("steady_below_threshold"),
           when(col("nh") >= lit(V14Floor), 1L).otherwise(0L).as("post_recall_ok"),
           when(col("nb_viol") === 0L, 1L).otherwise(0L).as("never_better"))
     })
@@ -2492,6 +2637,47 @@ object Similarity {
          |    THEN 1 ELSE 0 END AS BIGINT) AS probe_fired,
          |  pre.pre_rows, pre.pre_sum_micros,
          |  CAST(1 AS BIGINT) AS probe_cleared,
+         |  CAST(1 AS BIGINT) AS post_recall_ok,
+         |  CAST(1 AS BIGINT) AS never_better
+         |FROM cn, pre""".stripMargin,
+
+    // v15: the pinned pre-stream reader serves the BOOTSTRAP HALF under
+    // the seed book — the assign CTE restricts to vec_id <= cut (the
+    // one delta from v14's oracle, whose pinned reader resolved after
+    // the appends); every arithmetic step mirrors the Spark serving
+    // tree node for node. Policy/steady/recall flags are the oracle's
+    // literal 1s — a firing regression, a second rebuild, a steady-
+    // state drift excursion, or a recall-floor breach flips the Spark
+    // side and breaks the hash.
+    "v15_streaming_maintenance" ->
+      s"""WITH e AS ($EMB),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 16),
+         |ct AS (SELECT max(vec_id) // 2 AS cut FROM e),
+         |assign AS (SELECT vec_id, c_id, v FROM (
+         |    SELECT e.vec_id, c.c_id, e.v,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM e, c, ct WHERE e.vec_id <= ct.cut) WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id >= 100 AND vec_id < 110),
+         |probes AS (SELECT q_id, c_id FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id ORDER BY ${cosSql("q.qv", "c.cv")} DESC, c.c_id) AS rn
+         |    FROM q, c) WHERE rn <= 2),
+         |cand AS (SELECT q.q_id, a.vec_id AS neighbor_id, q.qv, a.v
+         |  FROM q JOIN probes p ON q.q_id = p.q_id JOIN assign a ON a.c_id = p.c_id
+         |  WHERE a.vec_id <> q.q_id),
+         |scored AS (SELECT q_id, neighbor_id, ${cosSql("cand.qv", "cand.v")} AS cosine FROM cand),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored),
+         |pre AS (SELECT CAST(count(*) AS BIGINT) AS pre_rows,
+         |    CAST(sum(CAST(floor(cosine * 1000000.0) AS BIGINT)) AS BIGINT) AS pre_sum_micros
+         |  FROM r WHERE rank <= 3),
+         |cn AS (SELECT
+         |    CAST((SELECT count(*) FROM e, ct WHERE vec_id <= ct.cut) AS BIGINT) AS n_bootstrap,
+         |    CAST((SELECT count(*) FROM e) AS BIGINT) AS n_final)
+         |SELECT cn.n_bootstrap, cn.n_final,
+         |  CAST(1 AS BIGINT) AS rebuild_fired,
+         |  CAST(1 AS BIGINT) AS one_rebuild,
+         |  pre.pre_rows, pre.pre_sum_micros,
+         |  CAST(1 AS BIGINT) AS steady_below_threshold,
          |  CAST(1 AS BIGINT) AS post_recall_ok,
          |  CAST(1 AS BIGINT) AS never_better
          |FROM cn, pre""".stripMargin

@@ -29,8 +29,8 @@ object IvfIndex {
     * is the commit, so readers resolve through [[AtomicSwap.dataDir]]
     * and survive concurrent compaction.
     */
-  def write(assign: DataFrame, path: String): Unit =
-    AtomicSwap.writeGen(assign.sparkSession, path) { gen =>
+  def write(assign: DataFrame, path: String, retain: Int = 1): Unit =
+    AtomicSwap.writeGen(assign.sparkSession, path, retain) { gen =>
       assign.write.mode("overwrite").partitionBy("c_id").parquet(gen)
     }
 
@@ -156,9 +156,9 @@ object IvfIndex {
     * compact prunes. [[AtomicSwap.commitAppend]] detects that race and
     * fails the append loudly (r18, ADVICE).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String, retain: Int = 1): Unit = {
     val src = spark.read.parquet(AtomicSwap.dataDir(spark, path))
-    AtomicSwap.writeGen(spark, path) { gen =>
+    AtomicSwap.writeGen(spark, path, retain) { gen =>
       src.repartition(col("c_id"))
         .write.mode("overwrite").partitionBy("c_id").parquet(gen)
     }

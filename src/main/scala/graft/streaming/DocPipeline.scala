@@ -58,6 +58,7 @@ object DocPipeline {
   private def docsPath(stateDir: String) = s"$stateDir/docs"
   private def bandsPath(stateDir: String) = s"$stateDir/bands"
   private def winfpsPath(stateDir: String) = s"$stateDir/winfps"
+  private def edgesPath(stateDir: String) = s"$stateDir/edges"
 
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -85,6 +86,22 @@ object DocPipeline {
     */
   private val winfpsSchema = StructType(Seq(StructField("wfp", LongType),
     StructField("doc_id", LongType), StructField("seq", LongType)))
+
+  /** The VERIFIED near-dup edge store (r19, verdict ask #4): every
+    * band-candidate pair that passed the exact-Jaccard verify, appended
+    * per batch. The batch-N pairs touch only history ∪ batch (the
+    * candidatesAgainst shape this pipeline already runs), and band keys
+    * are arrival-invariant, so under the enforced in-order contract the
+    * union over batches IS the full-corpus verified relation
+    * [[graft.queries.Dedup.lshVerifiedPairs]] recomputes from scratch —
+    * which made d13b's retro-canonicalization re-derive d02-class work
+    * on every run (8.7 s at 100×). With the edges persisted as state,
+    * retro-canonicalization is a READ. Crash replay appends duplicate
+    * pairs (index-state write order, like bands); consumers read
+    * through [[edgesStore]]'s distinct and [[compact]] sweeps them.
+    */
+  private val edgesSchema = StructType(Seq(
+    StructField("a_id", LongType), StructField("b_id", LongType)))
 
   /** Finish an interrupted [[compact]] swap, if one is detected. A crash
     * between `rename(p, old)` and `rename(tmp, p)` leaves the live path
@@ -225,11 +242,18 @@ object DocPipeline {
     val cand = graft.sources.BandIndex.candidatesAgainstDf(histBands, newBands)
     val corpusSh = store.select(col("doc_id"), col("sh"))
       .union(fresh.select(col("doc_id"), col("sh")))
-    val dropIds = cand
+    // verified PAIRS kept whole (r19): the drop verdict needs only
+    // b_id, but the pair relation itself is maintained state — the
+    // edge store below makes retro-canonicalization (d13b) a read
+    // instead of a full lshVerifiedPairs recompute
+    val verified = cand
       .join(corpusSh.select(col("doc_id").as("a_id"), col("sh").as("sha")), "a_id")
       .join(corpusSh.select(col("doc_id").as("b_id"), col("sh").as("shb")), "b_id")
       .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb"))) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(eager = false)
+    val dropIds = verified
       .select(col("b_id").as("doc_id")).distinct()
       .withColumn("hit", lit(true))
     // stage 2b (r14): SUBSTRING granularity — d10's overlapping-window
@@ -297,6 +321,13 @@ object DocPipeline {
       .select(col("wfp"), col("win.doc_id").as("doc_id"), col("win.seq").as("seq"))
       .write.mode("append").parquet(winfpsPath(stateDir))
     newBands.write.mode("append").parquet(bandsPath(stateDir))
+    // edges are index state like bands/winfps, so they too write BEFORE
+    // docs: a crash after this write leaves orphan pairs (endpoints not
+    // yet in docs), which replay re-appends identically — duplicates
+    // collapse in edgesStore's distinct and compact's sweep. Written
+    // every batch (even empty) so the directory's EXISTENCE marks the
+    // r19+ layout — see the loud guard in [[edgesStore]].
+    verified.write.mode("append").parquet(edgesPath(stateDir))
     marked.write.mode("append").parquet(docsPath(stateDir))
   }
 
@@ -318,7 +349,8 @@ object DocPipeline {
     // that replay re-appends — harmless to the candidate join (it
     // distincts) but worth sweeping here so they don't accrete
     Seq((docsPath(stateDir), docsSchema, false), (bandsPath(stateDir), bandsSchema, true),
-        (winfpsPath(stateDir), winfpsSchema, true))
+        (winfpsPath(stateDir), winfpsSchema, true),
+        (edgesPath(stateDir), edgesSchema, true))
       .foreach { case (path, schema, dedup) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -343,6 +375,55 @@ object DocPipeline {
     */
   def docsStore(spark: SparkSession, stateDir: String): DataFrame =
     readOrEmpty(spark, docsPath(stateDir), docsSchema)
+
+  /** The maintained verified-edge relation (a_id < b_id, exact Jaccard
+    * ≥ 0.5) over everything ingested so far — equal, under the
+    * enforced in-order contract, to recomputing
+    * [[graft.queries.Dedup.lshVerifiedPairs]] over the store's shingle
+    * state (DocPipelineSpec pins it, incl. across a crash replay); the
+    * d13b retro-canonicalization reads THIS instead of recomputing.
+    * distinct() absorbs crash-replay duplicate appends. Fails LOUDLY
+    * on a pre-r19 state dir (docs present, edges directory absent —
+    * the per-batch write creates the directory even for an empty
+    * batch, so absence means an old layout whose silent empty-edges
+    * read would canonicalize nothing): state is derived, re-ingest.
+    */
+  def edgesStore(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(edgesPath(stateDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, edgesPath(stateDir))
+    val docsExist = {
+      val dp = new org.apache.hadoop.fs.Path(docsPath(stateDir))
+      fs.exists(dp)
+    }
+    require(!docsExist || fs.exists(p),
+      s"DocPipeline state at $stateDir was written by a pre-edge-store " +
+        "layout (docs present, edges absent). Wipe the state dir and " +
+        "re-ingest (state is derived data).")
+    readOrEmpty(spark, edgesPath(stateDir), edgesSchema).distinct()
+  }
+
+  /** Cheap consistency probe for the edge artifact (r19 — the drift-
+    * probe convention the four index families carry, applied to the
+    * edge store): one row (n_edge_rows, n_edges, n_orphan_endpoints,
+    * n_inverted). Orphan endpoints (an edge naming a doc_id the docs
+    * store doesn't hold) appear only in the crash window between the
+    * edges and docs writes and are healed by the replay; inverted
+    * pairs (a_id >= b_id) should never exist. Reads only doc_id
+    * columns — never text or shingles.
+    */
+  def edgesProbe(spark: SparkSession, stateDir: String): DataFrame = {
+    val edges = readOrEmpty(spark, edgesPath(stateDir), edgesSchema)
+    val ids = docsStore(spark, stateDir).select("doc_id")
+    val ends = edges.select(col("a_id").as("doc_id"))
+      .union(edges.select(col("b_id")))
+    edges.agg(count(lit(1)).as("n_edge_rows"))
+      .crossJoin(edges.distinct().agg(count(lit(1)).as("n_edges")))
+      .crossJoin(ends.join(ids, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_endpoints")))
+      .crossJoin(edges.filter(col("a_id") >= col("b_id"))
+        .agg(count(lit(1)).as("n_inverted")))
+  }
 
   /** The pipeline result over everything ingested so far — identical
     * expressions to batch p01's stages 3-5 (language filter, quality

@@ -182,6 +182,48 @@ class DocPipelineSpec extends SparkSpec {
       spark.read.parquet(s"$dirA/bands").collect().map(_.toSeq).sortBy(_.toString).toSeq)
   }
 
+  test("the maintained edge store equals the lshVerifiedPairs recompute " +
+      "(r19, verdict ask #4), incl. across a crash replay; probe clean; " +
+      "pre-edge-store layouts fail loudly") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("docpipeedges").toString
+    def mkBatch(ids: Seq[Long]) = graft.Tables(spark, dir, "documents")
+      .filter($"doc_id".isin(ids: _*))
+      .select($"doc_id", $"text", $"lang", $"source",
+        org.apache.spark.sql.functions.md5($"text").as("text_hash"))
+    DocPipeline.processBatch(mkBatch(0L to 200L), stateDir)
+    val b2 = mkBatch(201L to 499L)
+    DocPipeline.processBatch(b2, stateDir)
+    DocPipeline.processBatch(b2, stateDir) // crash replay: dup appends
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val store = DocPipeline.docsStore(spark, stateDir).select("doc_id", "sh")
+    val expect = pairs(graft.queries.Dedup.lshVerifiedPairs(store))
+    val got = pairs(DocPipeline.edgesStore(spark, stateDir))
+    assert(got.nonEmpty, "the fixture corpus must yield verified edges")
+    assert(got === expect,
+      "the maintained edge store must equal the full recompute")
+    // probe: replay duplicates show as rows > distinct; no orphans, no
+    // inverted pairs
+    val p = DocPipeline.edgesProbe(spark, stateDir).head()
+    assert(p.getLong(0) >= p.getLong(1))
+    assert(p.getLong(1) === expect.size.toLong)
+    assert(p.getLong(2) === 0L, "no orphan endpoints after a clean replay")
+    assert(p.getLong(3) === 0L, "edges must be (a_id < b_id) oriented")
+    // compact sweeps the replay duplicates
+    DocPipeline.compact(spark, stateDir, targetFiles = 1)
+    val p2 = DocPipeline.edgesProbe(spark, stateDir).head()
+    assert(p2.getLong(0) === p2.getLong(1), "compact must sweep dup edges")
+    assert(pairs(DocPipeline.edgesStore(spark, stateDir)) === expect)
+    // a pre-r19 layout (docs present, edges absent) fails loudly
+    new scala.reflect.io.Directory(
+      new java.io.File(s"$stateDir/edges")).deleteRecursively()
+    val ex = intercept[IllegalArgumentException] {
+      DocPipeline.edgesStore(spark, stateDir)
+    }
+    assert(ex.getMessage.contains("pre-edge-store"))
+  }
+
   test("an out-of-order batch of genuinely new docs fails loudly; replays stay exempt") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("docpipeooo").toString
