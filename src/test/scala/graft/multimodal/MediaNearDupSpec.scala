@@ -77,5 +77,12 @@ class MediaNearDupSpec extends SparkSpec {
     } yield (a, b)
     assert(want.forall(p => banded.exists(t => (t._1, t._2) == p)),
       "a planted sibling pair is missing")
+    // the banded join is an equi-join on (band index, band value) —
+    // never an all-pairs product (d05's pinned property, re-asserted
+    // mechanically on the 64-bit media variant)
+    val plan = Multimodal.mediaNearDupPairs(sigs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"banded hamming must never plan a cartesian product:\n$plan")
   }
 }

@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * Bm25RouteSkew) next to the measured winner — the table that backs
   * the threshold constant.
   *
-  *   sbt "Test/runMain graft.queries.Bm25PruneProbe [dir]"
+  *   sbt "Test/runMain graft.queries.Bm25PruneProbe [dir] [workloads]"
+  *
+  * `workloads` = optional comma list to re-time a subset (e.g.
+  * "flat-pair"); `ratios` alone prints the router statistic/decision
+  * for ALL workloads without the timed runs (the decision columns are
+  * timing-independent — wall winners for unchanged workloads are the
+  * standing BENCHNOTES readings).
   */
 object Bm25PruneProbe {
   def main(args: Array[String]): Unit = {
@@ -93,26 +99,35 @@ object Bm25PruneProbe {
         TextAnalysis.bm25RoutedToPruned(spark, path, qs))
     }
 
+    val sel = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ratiosOnly = sel.exists(_.contains("ratios"))
     for ((name, qs) <- Seq(
         ("mixed-common", mixed(1000)),
         ("flat-pair", flatPair(1000)),
         ("rare+common", rareCommon(1000)),
-        ("selective", selective(1000)))) {
-      val (all, kept) = matchedRows(qs)
-      val tPlain = Seq.fill(2)(time(
-        TextAnalysis.bm25Batch(spark, path, qs, k = 10)
-          .write.format("noop").mode("overwrite").save())).min
-      val tPruned = Seq.fill(2)(time(
-        TextAnalysis.bm25BatchPruned(spark, path, qs, k = 10)
-          .write.format("noop").mode("overwrite").save())).min
+        ("selective", selective(1000)))
+        if ratiosOnly || sel.forall(_.contains(name))) {
       val (ratio, routed) = routeRatio(qs)
-      val winner = if (tPruned < tPlain) "pruned" else "plain"
       val picked = if (routed) "pruned" else "plain"
-      println(f"[bm25pruneprobe] $name n_q=1000: matched $all%,d -> " +
-        f"$kept%,d (${100.0 * (all - kept) / math.max(all, 1)}%.1f%% pruned); " +
-        f"plain $tPlain%.1fs, pruned $tPruned%.1fs; " +
-        f"router ratio=$ratio%.1f -> $picked (winner $winner, " +
-        s"${if (picked == winner) "MATCH" else "MISS"})")
+      if (ratiosOnly) {
+        println(f"[bm25pruneprobe] $name n_q=1000: " +
+          f"router ratio=$ratio%.1f -> $picked")
+      } else {
+        val (all, kept) = matchedRows(qs)
+        val tPlain = Seq.fill(2)(time(
+          TextAnalysis.bm25Batch(spark, path, qs, k = 10)
+            .write.format("noop").mode("overwrite").save())).min
+        val tPruned = Seq.fill(2)(time(
+          TextAnalysis.bm25BatchPruned(spark, path, qs, k = 10)
+            .write.format("noop").mode("overwrite").save())).min
+        val winner = if (tPruned < tPlain) "pruned" else "plain"
+        println(f"[bm25pruneprobe] $name n_q=1000: matched $all%,d -> " +
+          f"$kept%,d (${100.0 * (all - kept) / math.max(all, 1)}%.1f%% pruned); " +
+          f"plain $tPlain%.1fs, pruned $tPruned%.1fs; " +
+          f"router ratio=$ratio%.1f -> $picked (winner $winner, " +
+          s"${if (picked == winner) "MATCH" else "MISS"})")
+      }
     }
     spark.stop()
   }
