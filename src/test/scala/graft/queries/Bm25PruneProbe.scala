@@ -111,8 +111,16 @@ object Bm25PruneProbe {
       val (ratio, routed) = routeRatio(qs)
       val picked = if (routed) "pruned" else "plain"
       if (ratiosOnly) {
+        // the router's own cost: the bm25RouteStats aggregation alone
+        // (qrel ⋈ frozen df sibling → two sums), min of 2 — the number
+        // behind "invisible next to the serving jobs it steers"
+        val qrel = qs.flatMap { case (qid, ts) =>
+          ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+          .toDF("q_id", "ti", "term")
+        val tStats = Seq.fill(2)(time(
+          TextAnalysis.bm25RouteStats(spark, path, qrel))).min
         println(f"[bm25pruneprobe] $name n_q=1000: " +
-          f"router ratio=$ratio%.1f -> $picked")
+          f"router ratio=$ratio%.1f -> $picked (stats wall $tStats%.2fs)")
       } else {
         val (all, kept) = matchedRows(qs)
         val tPlain = Seq.fill(2)(time(
