@@ -222,17 +222,33 @@ object Multimodal {
     * it collapsed to parity(g) XOR parity(j) — TWO distinct base
     * patterns corpus-wide, which made cross-group hashes collide en
     * masse (476 k pairs at sf0.1, the banded join degenerating toward
-    * all-pairs). The two-stage form below folds into a 20-bit prime
-    * first, then multiplies by a large odd constant mod 2³¹−1 — the
-    * products stay under 2⁵³ (Long- and DuckDB-BIGINT-safe at any
-    * replica doc_id) and the parity is pseudo-random (~32±4 set bits
-    * per group, measured; cross-group hamming ≤ 3 is negligible), so
-    * pair volume stays LINEAR in the corpus (~1 pair/doc, 5 k at
-    * sf0.1).
+    * all-pairs). And multiply-mod rounds on PRIME moduli are not
+    * enough either (r19, measured): fold-then-multiply parity
+    * decomposes as parity(h0) XOR parity(⌊h0·C/M⌋) — h0's parity is
+    * linear in (g, j), so the output bits keep a linear component and
+    * patterns correlate across groups. At the gate SFs (≤ ~200
+    * groups) that is invisible, but at the 100× replica's 20.9 k
+    * groups the 64-bit patterns collapsed to 3,548 distinct values
+    * and the pair relation exploded to 31.5 M rows (~190 pairs/image
+    * — MediaNearDupProbe, BENCHNOTES r19); a second round still left
+    * a ~180 k cross-group remnant. The fix is a genuine AVALANCHE
+    * mixer — the xorshift-multiply round (h ^= h>>16; h = h·C masked
+    * to 31 bits, twice, final xorshift; Wang-style integer hash),
+    * which has no modular-linear structure: at the full 20.9 k-group
+    * replica scale every base pattern is distinct, sampled min
+    * cross-group distance ≈ 15 bits (so prefix flips of ≤ 7 bits can
+    * never pull a cross pair under the hamming-3 threshold), popcount
+    * balanced 32 ± 4. Pair volume is EXACTLY the within-group planted
+    * relation at every scale. 31-bit lanes keep every product under
+    * 2⁵⁸ — Long- and DuckDB-BIGINT-safe at any replica doc_id — and
+    * `&`/`>>`/xor all exist on BIGINT in the oracle dialect.
     */
   def baseBit(group: Long, j: Int): Int = {
-    val h0 = (group * 48271L + j * 40503L + 11L) % 1048573L
-    (((h0 * 2654435761L) % 2147483647L) % 2L).toInt
+    var h = (group * 64L + j) & 2147483647L
+    h ^= h >> 16; h = (h * 73244475L) & 2147483647L
+    h ^= h >> 16; h = (h * 73244475L) & 2147483647L
+    h ^= h >> 16
+    (h & 1L).toInt
   }
 
   /** Painted bit of cell j for image doc `docId` (doc_id % 3 == 0). */
@@ -507,11 +523,16 @@ object Multimodal {
     "m03_media_neardup" ->
       """WITH img AS (SELECT doc_id, doc_id // 24 AS g, (doc_id % 24) // 3 AS m
         |  FROM documents WHERE doc_id % 3 = 0),
-        |pb AS (SELECT doc_id, j,
-        |    ((((g * 48271 + j * 40503 + 11) % 1048573) * 2654435761)
-        |        % 2147483647 % 2
-        |      + CASE WHEN j < m THEN 1 ELSE 0 END) % 2 AS p
+        |h0 AS (SELECT doc_id, j, m, (g * 64 + j) & 2147483647 AS v
         |  FROM img, (SELECT unnest(range(0, 64)) AS j)),
+        |h1 AS (SELECT doc_id, j, m,
+        |    (xor(v, v >> 16) * 73244475) & 2147483647 AS v FROM h0),
+        |h2 AS (SELECT doc_id, j, m,
+        |    (xor(v, v >> 16) * 73244475) & 2147483647 AS v FROM h1),
+        |pb AS (SELECT doc_id, j,
+        |    ((xor(v, v >> 16) & 1)
+        |      + CASE WHEN j < m THEN 1 ELSE 0 END) % 2 AS p
+        |  FROM h2),
         |n AS (SELECT doc_id, sum(p) AS n1 FROM pb GROUP BY 1),
         |hb AS (SELECT pb.doc_id, pb.j,
         |    CASE WHEN pb.p = 1 AND n.n1 < 64 THEN 1 ELSE 0 END AS hbit
