@@ -53,7 +53,8 @@ object AtomicSwap {
     require(fs.rename(src, dst),
       s"AtomicSwap: rename($src, $dst) returned false — swap aborted")
 
-  /** Heal an interrupted [[swapIn]], if one is detected: the live path
+  /** Heal an interrupted pre-r17 `swapIn` rename swap (the operation
+    * itself is gone — see the note below [[recover]]): the live path
     * absent with a `.compact`/`.old` sibling on disk. Idempotent and
     * cheap (one exists() when healthy) — call before reading a
     * swappable artifact.
