@@ -380,6 +380,121 @@ object Multimodal {
         .repartition(spark.sparkContext.defaultParallelism))))
       .orderBy("a_id", "b_id")
 
+  /** Audio base pattern for m04 — [[baseBit]]'s avalanche mixer with
+    * an independent multiplier (2246822519, xxhash's prime2 truncated
+    * to 31 bits of product headroom: h < 2³¹ so h·C < 2⁶² — Long- and
+    * DuckDB-BIGINT-safe), giving the audio modality its own pattern
+    * family. Scale-checked like the image mixer (r19 lesson): all
+    * 20,900 base patterns distinct at the 100× replica's group count,
+    * sampled min cross-group distance 14 bits — prefix flips of ≤ 7
+    * bits can never create a cross-group pair at hamming ≤ 3, so the
+    * m04 pair relation is exactly the planted within-group rows.
+    */
+  def audioBaseBit(group: Long, j: Int): Int = {
+    var h = (group * 64L + j) & 2147483647L
+    h ^= h >> 16; h = (h * 2246822519L) & 2147483647L
+    h ^= h >> 16; h = (h * 2246822519L) & 2147483647L
+    h ^= h >> 16
+    (h & 1L).toInt
+  }
+
+  /** Painted bit of window j for audio doc `docId` (doc_id % 3 == 1) —
+    * the same prefix-flip sibling structure as the image fixture:
+    * docs ≡ 1 (mod 3) inside a 24-id group carry member indices
+    * m = (doc_id % 24) / 3 ∈ 0..7, and member m flips the first m
+    * window bits of the group's base pattern, so within-group hamming
+    * is exactly |Δm|.
+    */
+  def audioPaintedBit(docId: Long, j: Int): Int = {
+    val flip = if (j < (docId % 24) / 3) 1 else 0
+    audioBaseBit(docId / 24, j) ^ flip
+  }
+
+  /** m04's audio fixture: every doc_id ≡ 1 (mod 3) gets a mono PCM16
+    * WAV of 64 uniform-amplitude windows — window j's samples are all
+    * 12000 when [[audioPaintedBit]] is set, 3000 otherwise (both
+    * positive, so window MEANS recover the bits; PCM16 is lossless,
+    * so the real encode→decode round trip preserves them exactly).
+    * Window width varies with the doc (32 + (id % 8)·8 samples) the
+    * way the image fixture varies width — ragged window bounds on the
+    * decode side are exercised, not just the aligned case.
+    */
+  def attachAudioNearDup(documents: DataFrame): Dataset[MediaRow] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).filter(col("doc_id") % 3 === 1)
+      .as[Long].map { id =>
+        val w = 32 + (id % 8).toInt * 8
+        val samples = new Array[Int](64 * w)
+        var j = 0
+        while (j < 64) {
+          val v = if (audioPaintedBit(id, j) == 1) 12000 else 3000
+          var i = j * w
+          while (i < (j + 1) * w) { samples(i) = v; i += 1 }
+          j += 1
+        }
+        MediaRow(id, MediaCodec.encodeWav(samples, 16000),
+          MediaMeta("audio", width = 0, height = 0, sampleRateHz = 16000,
+            durationMs = samples.length * 1000L / 16000))
+      }
+  }
+
+  /** 64-bit fingerprint of a decoded audio clip — [[avgHash]]'s exact
+    * integer form on the time axis: sum the samples of each of 64
+    * ragged windows (window of sample i = i·64/n), set bit j iff the
+    * window mean exceeds the global mean via the cross-multiplied
+    * compare winSum·n > totSum·winCnt. Bounds: |winSum| ≤ 32767·89
+    * < 2²², n < 2¹³, totSum < 2²⁸ — every product far under Long
+    * overflow, and the oracle never needs the arithmetic at all (the
+    * closed-form painted bits ARE the hash bits, all-set degenerate
+    * case aside, mirrored in the n1 = 64 branch like m03).
+    */
+  def audioHash(d: Decoded): Long = {
+    require(d.kind == "wav", s"audioHash expects audio, got ${d.kind}")
+    val n = d.values.length
+    val winSum = new Array[Long](64)
+    val winCnt = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val j = (i.toLong * 64 / n).toInt
+      winSum(j) += d.values(i)
+      winCnt(j) += 1
+      tot += d.values(i)
+      i += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (winSum(j) * n > tot * winCnt(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  /** Per-clip audio fingerprints through the REAL decode path — the
+    * audio twin of [[perceptualHashes]]: narrow, no shuffle, 8 bytes
+    * per clip downstream.
+    */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder: Array[Byte] => Decoded = MediaCodec.decode
+      rows.map(r => (r.doc_id, audioHash(decoder(r.content))))
+    }.toDF("doc_id", "ph")
+  }
+
+  /** m04: near-dup detection over the AUDIO modality — planted WAVs →
+    * real RIFF decode → [[audioHash]] → the SAME banded hamming join
+    * as m03 ([[mediaNearDupPairs]] is fingerprint-generic). With m03
+    * this closes the multimodal dedup story: one pigeonhole-exact
+    * pair machinery, two real codecs feeding it.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    mediaNearDupPairs(audioHashes(
+      attachAudioNearDup(graft.Tables(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism))))
+      .orderBy("a_id", "b_id")
+
   /** m02: the metadata half of the multimodal pipeline — attach →
     * [[resizeMeta]] → [[frameIndices]] row multiplication — with the
     * payload untouched. Everything here is pure arithmetic on
@@ -471,7 +586,9 @@ object Multimodal {
     "m02_media_meta" -> ((s, dir) => metaTable(s, dir)),
     // media near-dup: real decode -> average-hash -> pigeonhole-banded
     // hamming pairs, oracle-gated on the closed-form painted pattern
-    "m03_media_neardup" -> ((s, dir) => mediaNearDup(s, dir)))
+    "m03_media_neardup" -> ((s, dir) => mediaNearDup(s, dir)),
+    // audio near-dup: real WAV decode feeding the same banded join
+    "m04_audio_neardup" -> ((s, dir) => audioNearDup(s, dir)))
 
   /** DuckDB mirrors. m02: [[attachMedia]] → [[resizeMeta]] (maxSide 96)
     * → [[frameIndices]] (k = 4) — same integer arithmetic, same double
@@ -529,6 +646,38 @@ object Multimodal {
         |    (xor(v, v >> 16) * 73244475) & 2147483647 AS v FROM h0),
         |h2 AS (SELECT doc_id, j, m,
         |    (xor(v, v >> 16) * 73244475) & 2147483647 AS v FROM h1),
+        |pb AS (SELECT doc_id, j,
+        |    ((xor(v, v >> 16) & 1)
+        |      + CASE WHEN j < m THEN 1 ELSE 0 END) % 2 AS p
+        |  FROM h2),
+        |n AS (SELECT doc_id, sum(p) AS n1 FROM pb GROUP BY 1),
+        |hb AS (SELECT pb.doc_id, pb.j,
+        |    CASE WHEN pb.p = 1 AND n.n1 < 64 THEN 1 ELSE 0 END AS hbit
+        |  FROM pb JOIN n USING (doc_id)),
+        |h AS (SELECT doc_id, CAST(sum(CASE WHEN hbit = 1 THEN
+        |    CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+        |         ELSE CAST(1 AS BIGINT) << j END
+        |    ELSE 0 END) AS BIGINT) AS ph FROM hb GROUP BY 1)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // m04: m03's oracle shape over the audio family — doc_id ≡ 1
+    // (mod 3), the audio mixer constant, the same all-set degenerate
+    // branch (every window mean == global mean ⇒ strict > gives hash
+    // 0). The painted bits ARE the hash bits, so the oracle proves
+    // the whole WAV encode→decode→window-threshold pipeline.
+    "m04_audio_neardup" ->
+      """WITH aud AS (SELECT doc_id, doc_id // 24 AS g, (doc_id % 24) // 3 AS m
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |h0 AS (SELECT doc_id, j, m, (g * 64 + j) & 2147483647 AS v
+        |  FROM aud, (SELECT unnest(range(0, 64)) AS j)),
+        |h1 AS (SELECT doc_id, j, m,
+        |    (xor(v, v >> 16) * 2246822519) & 2147483647 AS v FROM h0),
+        |h2 AS (SELECT doc_id, j, m,
+        |    (xor(v, v >> 16) * 2246822519) & 2147483647 AS v FROM h1),
         |pb AS (SELECT doc_id, j,
         |    ((xor(v, v >> 16) & 1)
         |      + CASE WHEN j < m THEN 1 ELSE 0 END) % 2 AS p
