@@ -321,6 +321,65 @@ object TextAnalysis {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Per-QUERY regime routing (r19 — the refinement past
+    * [[bm25Serve]]'s per-batch decision): a production batch MIXES
+    * regimes, and one batch-level statistic averages them — a 50/50
+    * skewed/flat batch routes whole to one path and the wrong half
+    * pays the measured 1.4–2.2× (Bm25PruneProbe). Here every query
+    * routes itself: the same qrel ⋈ frozen-df aggregation, kept
+    * per-q_id (n_q rows back — query-relation-sized, the contract
+    * every serving entry already carries), splits the relation with a
+    * broadcast semi-join per half, and each NON-EMPTY half runs
+    * [[bm25BatchCore]] with its OWN term pushdown (the halves'
+    * vocabularies differ by construction in exactly the mixed regimes
+    * the split exists for — the pruned half's rare seeds never bloat
+    * the plain half's scan). The union re-sorts to the standing
+    * (q_id, rank) total order. Equality with the unrouted paths is
+    * structural: the pivot width m is the BATCH's (so each half's
+    * rows are bit-identical to the unrouted full-batch output for
+    * those q_ids — t19's losslessness per query), and the halves
+    * partition the batch. One side empty ⇒ exactly one core call —
+    * the split degrades to [[bm25Serve]]'s shape with the same
+    * decision and no union. Bm25SplitSpec pins split == unrouted at
+    * raw-bits granularity on a corpus where the decisions genuinely
+    * diverge, plus both degenerate-side cases.
+    */
+  def bm25ServeSplit(s: SparkSession, path: String, queriesDf: DataFrame,
+      k: Int = 20, isinTermCap: Int = 4096): DataFrame = {
+    import s.implicits._
+    val (qrel, m, _) = relDerive(queriesDf, isinTermCap)
+    val perQ = perQueryRoutes(s, path, qrel)
+    val prunedIds = perQ.collect { case (q, true) => q }
+    val plainIds = perQ.collect { case (q, false) => q }
+    def half(ids: Seq[Long], prune: Boolean): DataFrame = {
+      val rel = qrel.join(broadcast(ids.toDF("q_id")), Seq("q_id"), "left_semi")
+      // per-half term push, the relDerive pattern (bounded limit-collect)
+      val ts = rel.select("term").distinct().limit(isinTermCap + 1)
+        .collect().map(_.getString(0)).toSeq
+      val isin = if (ts.nonEmpty && ts.size <= isinTermCap) Some(ts) else None
+      bm25BatchCore(s, path, rel, m, isin, k, prune = prune)
+    }
+    if (prunedIds.isEmpty) half(plainIds, prune = false)
+    else if (plainIds.isEmpty) half(prunedIds, prune = true)
+    else half(prunedIds, prune = true)
+      .unionByName(half(plainIds, prune = false))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The per-query routing decisions for a normalized query relation:
+    * (q_id, routed-to-pruned) pairs, one aggregation job, n_q rows
+    * collected. Package-visible so Bm25SplitSpec and the probe can
+    * pin the split against the decisions it actually made.
+    */
+  private[queries] def perQueryRoutes(s: SparkSession, path: String,
+      qrel: DataFrame): Seq[(Long, Boolean)] =
+    qrel.join(graft.sources.BmIndex.dfRel(s, path), Seq("term"), "left")
+      .select(col("q_id"), coalesce(col("df"), lit(0L)).as("df"))
+      .groupBy("q_id").agg(sum(col("df")).as("tot"), min(col("df")).as("seed"))
+      .collect()
+      .map(r => r.getLong(0) -> routePruned(r.getLong(1), r.getLong(2)))
+      .toSeq
+
   /** [[bm25Serve]]'s routing decision for a driver-side batch — the
     * probe/spec entry.
     */
@@ -993,6 +1052,29 @@ object TextAnalysis {
       bm25Serve(s, path, s.read.parquet(qp), k = 10)
     }),
 
+    // PER-QUERY routing over the same mixed batch (r19 — the split
+    // refinement): every query routes itself off the frozen dfs, the
+    // halves run their own cores with their own term pushes, and the
+    // union must STILL equal the generated oracle — green whichever
+    // way each query routes, because per-query routing composes t19's
+    // losslessness query by query. Bm25SplitSpec pins raw-bits
+    // equality (and that the decisions genuinely diverge) on a
+    // controlled corpus.
+    "t21_bm25_split" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25_idx", dir) {
+        val p = Similarity.scratchPath("bm25", dir)
+        buildBm25Index(s, dir, p)
+        p
+      }
+      val qp = Similarity.scratchPath("t21q", dir)
+      import s.implicits._
+      T20Batch
+        .flatMap { case (q, ts) => ts.zipWithIndex.map { case (t, i) => (q, i, t) } }
+        .toDF("q_id", "ti", "term")
+        .repartition(1).write.mode("overwrite").parquet(qp)
+      bm25ServeSplit(s, path, s.read.parquet(qp), k = 10)
+    }),
+
     // BM25 served from a STREAMING-BUILT index (r16, verdict stretch
     // #7 — the streaming-maintenance story itself under the driver's
     // hash): bootstrap the index on the deterministic lower half of
@@ -1389,6 +1471,10 @@ object TextAnalysis {
     // batch regardless of which path the router picks (routing is
     // speed-only by the t19 losslessness contract)
     "t20_bm25_routed" -> batchOracleSql(T20Batch, k = 10),
+    // t21 serves the same mixed batch through the per-query split —
+    // the oracle is the batch's generated reference, identical to
+    // t20's: equality proves per-query routing cannot change answers
+    "t21_bm25_split" -> batchOracleSql(T20Batch, k = 10),
 
     // the frozen-stats serving contract, mirrored exactly: tf/dl over
     // the FULL corpus (every indexed doc is scorable), df/n_docs/avgdl

@@ -137,6 +137,35 @@ object Bm25PruneProbe {
           s"${if (picked == winner) "MATCH" else "MISS"})")
       }
     }
+
+    // --- split5050: the per-query router's money measurement (r19) ---
+    // A 50/50 mix of the winning regime (rare+common) and a losing one
+    // (flat-pair): the BATCH router must pick one path for everyone and
+    // the wrong half pays; bm25ServeSplit routes each query itself.
+    // Expect split ≈ the sum of each half served by its own winner.
+    if (sel.exists(_.contains("split5050"))) {
+      val qs = rareCommon(500) ++
+        flatPair(500).map { case (q, ts) => (q + 500L) -> ts }
+      val qrel = qs.flatMap { case (qid, ts) =>
+        ts.zipWithIndex.map { case (t, i) => (qid, i, t) } }
+        .toDF("q_id", "ti", "term")
+      val routes = TextAnalysis.perQueryRoutes(spark, path, qrel)
+      val nPruned = routes.count(_._2)
+      val (ratio, routed) = routeRatio(qs)
+      val tPlain = Seq.fill(2)(time(
+        TextAnalysis.bm25Batch(spark, path, qs, k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      val tPruned = Seq.fill(2)(time(
+        TextAnalysis.bm25BatchPruned(spark, path, qs, k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      val tSplit = Seq.fill(2)(time(
+        TextAnalysis.bm25ServeSplit(spark, path, qrel, k = 10)
+          .write.format("noop").mode("overwrite").save())).min
+      println(f"[bm25pruneprobe] split5050 n_q=1000 " +
+        f"(per-query routes: $nPruned pruned / ${routes.size - nPruned} plain; " +
+        f"batch ratio=$ratio%.1f -> ${if (routed) "pruned" else "plain"}): " +
+        f"plain $tPlain%.1fs, pruned $tPruned%.1fs, SPLIT $tSplit%.1fs")
+    }
     spark.stop()
   }
 }
