@@ -300,6 +300,14 @@ object Multimodal {
   def avgHash(d: Decoded): Long = {
     require(d.kind == "bmp", s"avgHash expects an image, got ${d.kind}")
     val (w, h) = (d.width, d.height)
+    // overflow guard (r20, ADVICE): the cross-multiplied compare's
+    // products are bounded by 2295·(w·h)², which stays under 2⁶³ only
+    // for w·h < ~6.3e7 pixels — far above any fixture, but the BMP
+    // decoder's 2 GB bound admits larger; fail loudly rather than
+    // silently wrap
+    require(w.toLong * h <= 63000000L,
+      s"avgHash: image ${w}x$h exceeds the exact-integer compare bound " +
+        "(w*h must be <= 6.3e7); downsample before hashing")
     val cellSum = new Array[Long](64)
     val cellCnt = new Array[Long](64)
     var tot = 0L
@@ -451,6 +459,12 @@ object Multimodal {
   def audioHash(d: Decoded): Long = {
     require(d.kind == "wav", s"audioHash expects audio, got ${d.kind}")
     val n = d.values.length
+    // overflow guard (r20, ADVICE): |winSum·n| and |tot·winCnt| are
+    // bounded by 32768·n², under 2⁶³ only for n < 2²⁴ samples (~17 min
+    // at 16 kHz); the WAV decoder admits longer clips — fail loudly
+    require(n < (1 << 24),
+      s"audioHash: clip of $n samples exceeds the exact-integer compare " +
+        "bound (n must be < 2^24); window-chunk before hashing")
     val winSum = new Array[Long](64)
     val winCnt = new Array[Long](64)
     var tot = 0L
@@ -632,7 +646,8 @@ object Multimodal {
         |  CAST(fi AS INT) AS frame_index
         |FROM f ORDER BY doc_id, frame_index""".stripMargin,
     // m03: the painted 64-bit pattern recomputed closed-form (baseBit's
-    // integer LCG-parity mod a 31-bit prime, prefix flips per member),
+    // avalanche mixer — two xorshift-multiply rounds masked to 31 bits,
+    // final xorshift, parity bit — prefix flips per member),
     // the average-hash threshold mirrored exactly (uniform 200/50 cells
     // => bit = painted unless ALL 64 cells are 200, the n1 < 64 branch),
     // and all-pairs hamming via bit_count(xor) — the SQL never touches

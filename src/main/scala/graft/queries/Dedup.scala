@@ -374,7 +374,11 @@ object Dedup {
     *    keeps its rare rank, so it stays in prefixes and its posting
     *    list grows — candidates rise (cost), results don't change
     *    (the verify is exact). Measured decay on the 25%-dup replica:
-    *    BENCHNOTES r15. Rebuild when it drifts past budget.
+    *    BENCHNOTES r15. Rebuild when it drifts past budget — WHEN is
+    *    [[ppArtifactProbe]]'s one-row reading (r20): threshold
+    *    `appended_frac` / `crossed_mass_frac` the way
+    *    [[graft.streaming.BmIngest.startMaintained]] thresholds the
+    *    BmIndex probe.
     *
     * Appended files keep the bucket layout (same bucketBy spec), so
     * the candidate self-join stays EXCHANGE-free; with >1 file per
@@ -427,6 +431,18 @@ object Dedup {
     * and the divergence budget. Reads only the index base (count per
     * fp), never the corpus.
     */
+  /** The artifact-level staleness reading for a persisted PPJoin index
+    * (r20, verdict ask #3): [[graft.sources.PpIndex.driftProbe]] bound
+    * to the engine's df cap — appended row mass vs the build (the
+    * frozen `_df` sibling recovers the build-time base size), the
+    * never-seen-at-build vocabulary sliver, the cap's corpus-shaped
+    * build-time coverage, and the row MASS in cap-crossing posting
+    * lists (the per-fingerprint crossing count is [[ppIndexDrift]]).
+    * The d02c/d02d maintenance story's rebuild trigger.
+    */
+  def ppArtifactProbe(s: SparkSession, table: String): DataFrame =
+    graft.sources.PpIndex.driftProbe(s, table, MaxDf.toLong)
+
   def ppIndexDrift(s: SparkSession, table: String): DataFrame = {
     graft.sources.PpIndex.read(s, table)
       .groupBy("s").agg(count(lit(1)).as("df_now"))
@@ -619,7 +635,10 @@ object Dedup {
     // is exact under ANY consistent frozen total order (the
     // PpAppendSpec contract — append == rebuild). The post-append plan
     // keeps the zero-exchange candidate self-join (bucket membership
-    // is a function of s alone; PpAppendSpec pins it).
+    // is a function of s alone; PpAppendSpec pins it). WHEN to rebuild
+    // instead of keep appending is ppArtifactProbe's reading (r20):
+    // crossed_mass_frac > 0 is exactly where append != rebuild, and
+    // appended_frac prices the filter-power decay.
     "d02c_jaccard_appended" -> ((s, dir) => {
       val table = graft.SharedProjections.reuseArtifact("pp_idx_app", dir) {
         val t = "ppjoin_idxa_" + java.lang.Integer.toHexString(dir.hashCode)
@@ -646,10 +665,13 @@ object Dedup {
     // total order (unseen fps at df 0), so any file→batch split
     // produces the same rows — and the fixtures sit far below the df
     // cap (d02c's verified precondition), so the assembled index
-    // serves d02's oracle VERBATIM. Mutable scratch (stage dir,
-    // stream checkpoint) is wiped at gate start — a leftover
-    // checkpoint would mark the staged files processed and silently
-    // skip the ingest.
+    // serves d02's oracle VERBATIM. A production ingest turns this
+    // into the maintained loop by thresholding ppArtifactProbe per
+    // batch (the BmIngest.startMaintained shape; rebuild =
+    // buildPpIndexOver, reader-safe through the pointer generations).
+    // Mutable scratch (stage dir, stream checkpoint) is wiped at gate
+    // start — a leftover checkpoint would mark the staged files
+    // processed and silently skip the ingest.
     "d02d_jaccard_streamed" -> ((s, dir) => {
       val table = graft.SharedProjections.reuseArtifact("pp_idx_str", dir) {
         val t = "ppjoin_idxs_" + java.lang.Integer.toHexString(dir.hashCode)

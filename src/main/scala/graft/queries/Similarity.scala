@@ -352,11 +352,13 @@ object Similarity {
     * prune retains through this publish, so the source files outlive
     * the write.
     */
-  def rebuildIvfIndex(s: SparkSession, path: String, book: DataFrame): Unit = {
+  def rebuildIvfIndex(s: SparkSession, path: String, book: DataFrame,
+      retain: Int = 1): Unit = {
     val store = graft.sources.IvfIndex.read(s, path)
       .select("vec_id", "v", "nrm")
     graft.sources.IvfIndex.writeWithCodebook(
-      assignTo(store, book).select("vec_id", "c_id", "v", "nrm"), book, path)
+      assignTo(store, book).select("vec_id", "c_id", "v", "nrm"), book, path,
+      retain)
   }
 
   /** TWO-LEVEL IVF assignment (r12 — the tier above the single

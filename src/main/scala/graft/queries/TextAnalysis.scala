@@ -67,6 +67,37 @@ object TextAnalysis {
     graft.sources.BmIndex.append(postings, doclens, path)
   }
 
+  /** REBUILD the BM25 index from its own persisted state with REFRESHED
+    * ranking statistics (r20, verdict ask #1 — the retrain step of the
+    * search family's maintenance loop, [[Similarity.rebuildIvfIndex]]'s
+    * shape): re-derive `_df` from every stored posting row and
+    * `_stats` from the doclens relation, and publish all four siblings
+    * as the next generation. Reads ONLY the artifact — never the raw
+    * corpus (the index IS the corpus of record for a streaming
+    * maintenance job); since [[appendToBm25Index]] derives postings
+    * per-doc independently, the rebuilt artifact's CONTENT equals a
+    * fresh [[buildBm25Index]] over the same documents, so post-rebuild
+    * serving scores are bit-identical to a full-corpus build's
+    * (BmIngestMaintainedSpec pins it — the refreshed stats ARE the
+    * full-corpus stats). Crash-window duplicate posting rows (see
+    * [[graft.sources.BmIndex.append]]) are collapsed by the per-
+    * (term, doc) max — the consumers' convention, applied once at the
+    * rebuild so `_df` never counts a doc twice. Safe under live
+    * READERS (generation layout, `retain` = the snapshot-expiry dial);
+    * WRITERS must be serialized, which [[graft.streaming.BmIngest
+    * .startMaintained]] guarantees by running this inside
+    * `foreachBatch` (SCALE.md's writer-serialization regime 1).
+    */
+  def rebuildBm25Index(s: SparkSession, path: String,
+      retain: Int = 1): Unit = {
+    val postings = graft.sources.BmIndex.postingsAll(s, path)
+      .groupBy("term", "doc_id").agg(max(col("tf")).as("tf"))
+      .localCheckpoint(eager = false)
+    val doclens = graft.sources.BmIndex.doclens(s, path)
+      .localCheckpoint(eager = false)
+    graft.sources.BmIndex.write(postings, doclens, path, retain)
+  }
+
   /** BM25 top-`k` served from a persisted [[graft.sources.BmIndex]] —
     * row-identical to the in-query t14 over the indexed corpus
     * (Bm25IndexSpec pins it; the t15 gate hashes it against t14's
@@ -304,18 +335,24 @@ object TextAnalysis {
   /** The router's batch statistic, one tiny aggregation job over the
     * query relation joined to the frozen df sibling (query-relation-
     * sized — never corpus-sized): (Σ_q Σ_t df(t), Σ_q df(seed_q)),
-    * seed_q = the query's min-df term — the same rarest-term seed the
-    * prune's θ pass reads ([[bm25Essential]]'s highest-ub choice; ub
-    * is monotone decreasing in df, and a df=0 appended-vocabulary
-    * term gets the idf ceiling, so min df IS the seed). Exposed
-    * package-visible so the probe and spec can pin the decision
-    * against measured winners.
+    * seed_q = the query's min-df term AMONG df > 0 terms (r20, ADVICE:
+    * an out-of-vocabulary term has df = 0 — its seed pass reads empty
+    * postings, so counting it as the seed inflates the skew ratio to
+    * tot/1 and routes flat-df batches with one OOV term to the pruned
+    * path against the measured plain-wins regime; a query whose terms
+    * are ALL OOV contributes 0 to both sums, which is right — it
+    * matches nothing on either path). For in-vocab seeds this is the
+    * same rarest-term seed the prune's θ pass reads
+    * ([[bm25Essential]]'s highest-ub choice; ub is monotone
+    * decreasing in df). Exposed package-visible so the probe and spec
+    * can pin the decision against measured winners.
     */
   private[queries] def bm25RouteStats(s: SparkSession, path: String,
       qrel: DataFrame): (Long, Long) = {
     val r = qrel.join(graft.sources.BmIndex.dfRel(s, path), Seq("term"), "left")
       .select(col("q_id"), coalesce(col("df"), lit(0L)).as("df"))
-      .groupBy("q_id").agg(sum(col("df")).as("tot"), min(col("df")).as("seed"))
+      .groupBy("q_id").agg(sum(col("df")).as("tot"),
+        coalesce(min(when(col("df") > 0, col("df"))), lit(0L)).as("seed"))
       .agg(sum(col("tot")).as("t"), sum(col("seed")).as("s"))
       .head()
     (r.getLong(0), r.getLong(1))
@@ -375,7 +412,9 @@ object TextAnalysis {
       qrel: DataFrame): Seq[(Long, Boolean)] =
     qrel.join(graft.sources.BmIndex.dfRel(s, path), Seq("term"), "left")
       .select(col("q_id"), coalesce(col("df"), lit(0L)).as("df"))
-      .groupBy("q_id").agg(sum(col("df")).as("tot"), min(col("df")).as("seed"))
+      .groupBy("q_id").agg(sum(col("df")).as("tot"),
+        // df>0-only seed, the bm25RouteStats OOV rule (r20, ADVICE)
+        coalesce(min(when(col("df") > 0, col("df"))), lit(0L)).as("seed"))
       .collect()
       .map(r => r.getLong(0) -> routePruned(r.getLong(1), r.getLong(2)))
       .toSeq
@@ -1075,6 +1114,71 @@ object TextAnalysis {
       bm25ServeSplit(s, path, s.read.parquet(qp), k = 10)
     }),
 
+    // BM25 served from a STREAMING-MAINTAINED index (r20, verdict ask
+    // #1 — the maintenance LOOP closed for the search family, v15's
+    // shape): bootstrap on the deterministic lower half (freezing
+    // df/n_docs/avgdl there), pin a reader on the bootstrap
+    // generation, then ingest the upper half through a REAL Structured
+    // Streaming file source (one file per micro-batch) via
+    // [[graft.streaming.BmIngest.startMaintained]] — each batch
+    // appends under the frozen stats, reads the drift probe, and when
+    // appended_frac crosses 0.45 REBUILDS the index with REFRESHED
+    // statistics inside foreachBatch. The threshold is sized so the
+    // policy fires exactly at the final batch's cumulative 0.5
+    // regardless of file order (2-batch cumulative ≈ 0.4 — batch
+    // boundaries are repartition(3)'s near-equal split), making the
+    // final artifact deterministic: a full-corpus rebuild. The ORACLE
+    // is therefore t14's EXACT full-corpus SQL — the refreshed stats
+    // ARE the full-corpus stats, which is precisely what
+    // distinguishes this gate from t17's frozen-stats serving (same
+    // stream, no maintenance, bootstrap-stats oracle). In-gate
+    // requires: the policy fired (driver-observed), and the PINNED
+    // pre-stream reader still serves the bootstrap content
+    // bit-for-bit after the rebuild swap (generation retention — its
+    // resolved file snapshot outlives the publish). Ranking-visible
+    // staleness (frozen top-k ≠ refreshed top-k on a planted df
+    // shift) is BmMaintainedSpec's pin on a controlled corpus.
+    "t22_bm25_maintained" -> ((s, dir) => {
+      val path = graft.SharedProjections.reuseArtifact("bm25m_idx", dir) {
+        val p = Similarity.scratchPath("bm25m", dir)
+        val stage = Similarity.scratchPath("bm25m-stage", dir)
+        val ck = Similarity.scratchPath("bm25m-ck", dir)
+        for (d <- Seq(stage, ck)) {
+          val hp = new org.apache.hadoop.fs.Path(d)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        }
+        val docs = Tables(s, dir, "documents").select("doc_id", "text")
+        val cut = docs.agg(expr("percentile(doc_id, 0.5)"))
+          .head().getDouble(0).toLong
+        buildBm25IndexOver(s, docs.filter(col("doc_id") <= cut), p)
+        // pinned reader: file lists (all four siblings) resolve HERE —
+        // raw score bits collected pre-stream are the expectation
+        val pinned = bm25Indexed(s, p, Seq("dup", "vector", "spark"))
+        def bits(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+          (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+            java.lang.Double.doubleToRawLongBits(r.getDouble(4)))).toSeq
+        val preBits = bits(pinned.collect())
+        docs.filter(col("doc_id") > cut).repartition(3)
+          .write.mode("overwrite").parquet(stage)
+        val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+        val q = graft.streaming.BmIngest.startMaintained(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage),
+          p, threshold = 0.45,
+          onRebuild = () => { rebuilds.incrementAndGet(); () },
+          checkpointDir = Some(ck))
+        q.processAllAvailable()
+        q.stop()
+        require(rebuilds.get() >= 1,
+          s"t22: the in-stream policy must fire (rebuilds=${rebuilds.get()})")
+        require(bits(pinned.collect()) == preBits,
+          "t22: the pinned pre-stream reader must keep serving the " +
+            "bootstrap content bit-for-bit across the rebuild swap")
+        p
+      }
+      bm25Indexed(s, path, Seq("dup", "vector", "spark"))
+    }),
+
     // BM25 served from a STREAMING-BUILT index (r16, verdict stretch
     // #7 — the streaming-maintenance story itself under the driver's
     // hash): bootstrap the index on the deterministic lower half of
@@ -1206,6 +1310,38 @@ object TextAnalysis {
 
   /** Datasketches-HLL relative standard deviation at lgConfigK=12. */
   private[graft] val HllRsd: Double = 1.04 / math.sqrt((1 << 12).toDouble)
+
+  /** The full-corpus t14 BM25 oracle for the fixed (dup, vector,
+    * spark) query — every arithmetic step mirrors the Spark tree node
+    * for node (the IEEE-identity contract). Shared by t14 (in-query),
+    * t15 (served from the persisted index — same values by the index
+    * round-trip), and t22 (served post-maintenance-rebuild — same
+    * values because the refreshed statistics are the full-corpus
+    * statistics).
+    */
+  private def fullCorpusBm25Sql: String =
+    s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
+       |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
+       |  CAST(len([t for t in tk if t = 'dup']) AS INT) AS tf0,
+       |  CAST(len([t for t in tk if t = 'vector']) AS INT) AS tf1,
+       |  CAST(len([t for t in tk if t = 'spark']) AS INT) AS tf2 FROM d),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+       |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b),
+       |j AS (SELECT b.*, st.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM b, st)
+       |SELECT doc_id, tf0 AS tf_dup, tf1 AS tf_vector, tf2 AS tf_spark,
+       |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+       |    * (CAST(tf0 AS DOUBLE) * 2.2)
+       |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+       |    * (CAST(tf1 AS DOUBLE) * 2.2)
+       |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+       |    * (CAST(tf2 AS DOUBLE) * 2.2)
+       |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       |  AS score
+       |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** t16's oracle, GENERATED from [[T16Batch]] so the gate's query set
     * is single-sourced: one WITH block per query computing t14's exact
@@ -1435,29 +1571,13 @@ object TextAnalysis {
     // is bit-identical and the hash compare holds
     // the indexed path is row-identical to t14 by construction (same
     // expression tree over the loaded relations) — t14's oracle verbatim
-    "t15_bm25_indexed" ->
-      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
-         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
-         |  CAST(len([t for t in tk if t = 'dup']) AS INT) AS tf0,
-         |  CAST(len([t for t in tk if t = 'vector']) AS INT) AS tf1,
-         |  CAST(len([t for t in tk if t = 'spark']) AS INT) AS tf2 FROM d),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b),
-         |j AS (SELECT b.*, st.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM b, st)
-         |SELECT doc_id, tf0 AS tf_dup, tf1 AS tf_vector, tf2 AS tf_spark,
-         |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
-         |    * (CAST(tf0 AS DOUBLE) * 2.2)
-         |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
-         |    * (CAST(tf1 AS DOUBLE) * 2.2)
-         |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
-         |    * (CAST(tf2 AS DOUBLE) * 2.2)
-         |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  AS score
-         |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t15_bm25_indexed" -> fullCorpusBm25Sql,
+
+    // the maintained index's final state IS a full-corpus build (the
+    // in-stream rebuild refreshed df/n_docs/avgdl over everything
+    // ingested — that refresh is the whole point of the gate), so
+    // t14's exact full-corpus oracle applies verbatim
+    "t22_bm25_maintained" -> fullCorpusBm25Sql,
 
     "t16_bm25_batch" -> t16OracleSql(k = 10),
 
@@ -1508,29 +1628,7 @@ object TextAnalysis {
          |  AS score
          |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
-    "t14_bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, $TOKS AS tk FROM documents),
-         |b AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl,
-         |  CAST(len([t for t in tk if t = 'dup']) AS INT) AS tf0,
-         |  CAST(len([t for t in tk if t = 'vector']) AS INT) AS tf1,
-         |  CAST(len([t for t in tk if t = 'spark']) AS INT) AS tf2 FROM d),
-         |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
-         |  CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         |  CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         |  CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM b),
-         |j AS (SELECT b.*, st.*, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM b, st)
-         |SELECT doc_id, tf0 AS tf_dup, tf1 AS tf_vector, tf2 AS tf_spark,
-         |  (CAST(n_docs - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
-         |    * (CAST(tf0 AS DOUBLE) * 2.2)
-         |    / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  + (CAST(n_docs - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
-         |    * (CAST(tf1 AS DOUBLE) * 2.2)
-         |    / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  + (CAST(n_docs - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
-         |    * (CAST(tf2 AS DOUBLE) * 2.2)
-         |    / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
-         |  AS score
-         |FROM j ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "t14_bm25_search" -> fullCorpusBm25Sql,
 
     // per-source + merged-ALL exact distincts with the literal flag —
     // the x01-x04 pattern: the Spark side derives within_bound from the

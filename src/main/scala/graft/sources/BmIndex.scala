@@ -50,20 +50,24 @@ object BmIndex {
     if (m < 0) m + Buckets else m
   }
 
-  def write(postings: DataFrame, doclens: DataFrame, path: String): Unit = {
+  def write(postings: DataFrame, doclens: DataFrame, path: String,
+      retain: Int = 1): Unit = {
     val spark = postings.sparkSession
     // repartition on the partition column first — partitionBy alone
     // fans every task into every directory (the PqIndex 5120-file trap).
     // Generation-manifest layout (r17): the postings and doclens land
     // as generation g0 under their roots and the manifest publish is
-    // the commit — see [[AtomicSwap.writeGen]].
-    AtomicSwap.writeGen(spark, path) { gen =>
+    // the commit — see [[AtomicSwap.writeGen]]. `retain` (r20) is the
+    // snapshot-expiry dial a REBUILD-over-live plumbs through: a
+    // reader pinned before rebuild N survives until its generation
+    // falls off the retain horizon, all four siblings aging together.
+    AtomicSwap.writeGen(spark, path, retain) { gen =>
       postings.select(col("term"), col("doc_id"), col("tf"),
           pmod(Text.charFp(col("term")), lit(Buckets.toLong)).as("pbkt"))
         .repartition(col("pbkt"))
         .write.mode("overwrite").partitionBy("pbkt").parquet(gen)
     }
-    AtomicSwap.writeGen(spark, path + "_doclens") { gen =>
+    AtomicSwap.writeGen(spark, path + "_doclens", retain) { gen =>
       doclens.select("doc_id", "dl")
         .write.mode("overwrite").parquet(gen)
     }
@@ -71,11 +75,11 @@ object BmIndex {
     // (r17): a REBUILD-over-live would otherwise overwrite them in
     // place under an open reader — with generations, rebuild is as
     // reader-safe as compact
-    AtomicSwap.writeGen(spark, path + "_df") { gen =>
+    AtomicSwap.writeGen(spark, path + "_df", retain) { gen =>
       postings.groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(gen)
     }
-    AtomicSwap.writeGen(spark, path + "_stats") { gen =>
+    AtomicSwap.writeGen(spark, path + "_stats", retain) { gen =>
       doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .repartition(1)
         .write.mode("overwrite").parquet(gen)
@@ -111,6 +115,17 @@ object BmIndex {
       .filter(col("pbkt").isin(bkts: _*))
       .select("term", "doc_id", "tf")
   }
+
+  /** The FULL posting relation (term, doc_id, tf) — the rebuild path's
+    * source (r20): a statistics refresh re-derives `_df` from every
+    * posting row, so unlike the serving entries it reads all bucket
+    * directories. Crash-window duplicate rows (see [[append]]) are NOT
+    * collapsed here — the caller dedups per (term, doc_id), the same
+    * max() convention every consumer applies.
+    */
+  def postingsAll(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(AtomicSwap.dataDir(spark, path))
+      .select("term", "doc_id", "tf")
 
   def doclens(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(AtomicSwap.dataDir(spark, path + "_doclens"))

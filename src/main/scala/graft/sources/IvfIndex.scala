@@ -43,17 +43,20 @@ object IvfIndex {
     * direct read (Hadoop hidden-path filter), and a non-`c_id=` child
     * would break the scan's partition discovery.
     */
-  def writeWithCodebook(assign: DataFrame, cents: DataFrame, path: String): Unit = {
-    write(assign, path)
+  def writeWithCodebook(assign: DataFrame, cents: DataFrame, path: String,
+      retain: Int = 1): Unit = {
+    write(assign, path, retain)
     // generation layer for the codebook too (r17): rebuild-over-live
-    // must not overwrite it under an open reader
-    AtomicSwap.writeGen(assign.sparkSession, path + "_codebook") { gen =>
+    // must not overwrite it under an open reader. retain plumbs through
+    // to every sibling (r20, ADVICE): a reader pinned before rebuild N
+    // must keep its codebook and stats as long as its data files.
+    AtomicSwap.writeGen(assign.sparkSession, path + "_codebook", retain) { gen =>
       cents.select("c_id", "cv", "cn").repartition(1)
         .write.mode("overwrite").parquet(gen)
     }
     // one-row FROZEN corpus count (r17) — the [[driftProbe]] baseline;
     // appends never rewrite it (the BmIndex `_stats` convention)
-    AtomicSwap.writeGen(assign.sparkSession, path + "_stats") { gen =>
+    AtomicSwap.writeGen(assign.sparkSession, path + "_stats", retain) { gen =>
       assign.agg(count(lit(1)).as("n_vecs")).repartition(1)
         .write.mode("overwrite").parquet(gen)
     }

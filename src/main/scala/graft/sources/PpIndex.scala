@@ -191,6 +191,77 @@ object PpIndex {
       case None => spark.table(table + "_df")
     }
 
+  /** Staleness probe for a maintained PPJoin index (r20, verdict ask
+    * #3 — the one-row health reading every other persisted family
+    * carries, [[BmIndex.driftProbe]]'s shape for the catalog tier):
+    * one row a maintenance job can threshold for WHEN "rebuild when
+    * filter power drifts past budget" fires ([[graft.queries.Dedup
+    * .appendToPpIndex]] documents the decay; the d02c/d02d gates name
+    * this probe as their rebuild trigger). Columns:
+    *
+    *  - `n_rows_frozen` / `n_rows_now` / `appended_frac` — appended
+    *    shingle MASS vs the build: the build-time base size is
+    *    recoverable from the frozen `_df` sibling alone
+    *    (Σ df over df ≤ `maxDf` — exactly the rows the capped build
+    *    wrote), so the volume reading needs no build-time snapshot.
+    *  - `new_fp_frac` — the fraction of current base rows whose
+    *    fingerprint the BUILD NEVER SAW (ranked at the df=0 rarest
+    *    slot, always in prefixes): appended-vocabulary drift, the
+    *    sliver where the frozen order is blindest.
+    *  - `dropped_mass_frac_frozen` — the df-cap's BUILD-time coverage:
+    *    Σ df over df > `maxDf` / Σ df, from the frozen sibling. Cap
+    *    behavior is corpus-shaped (measured 1.0% of shingle mass
+    *    dropped on the synthetic-dup corpus vs 30.9% on 600-token
+    *    Zipf text — BENCHNOTES r19 longsalt), so the probe reports it
+    *    rather than assuming it.
+    *  - `crossed_mass_frac` / `max_df_now` — the MASS of current base
+    *    rows in posting lists whose CURRENT df exceeds the cap: these
+    *    lists grew past the cap through appends, so they are both the
+    *    candidate-cost hot spot (filter-power decay) and exactly the
+    *    rows where append != rebuild (the divergence budget —
+    *    [[graft.queries.Dedup.ppIndexDrift]] counts the same crossing
+    *    per-FINGERPRINT; this is the row-mass view).
+    *
+    * Reads only the base's `s` column (one aggregation) and the
+    * two-column `_df` sibling — never shingles, never the corpus.
+    */
+  def driftProbe(spark: SparkSession, table: String, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frozen = readDf(spark, table)
+    val frozenAgg = frozen.agg(
+      sum(when(col("df") <= maxDf, col("df")).otherwise(0L)).as("n_rows_frozen"),
+      sum(col("df")).as("mass_frozen"),
+      sum(when(col("df") > maxDf, col("df")).otherwise(0L)).as("dropped_frozen"))
+    val nowPer = read(spark, table).groupBy("s")
+      .agg(count(lit(1)).as("df_now"))
+      .join(frozen.select(col("s"), lit(1).as("seen")), Seq("s"), "left")
+    val nowAgg = nowPer.agg(
+      sum(col("df_now")).as("n_rows_now"),
+      sum(when(col("seen").isNull, col("df_now")).otherwise(0L)).as("new_fp_rows"),
+      sum(when(col("df_now") > maxDf, col("df_now")).otherwise(0L)).as("crossed_rows"),
+      max(col("df_now")).as("max_df_now"))
+    // empty guards (the ppIndexDrift r17 lesson): sums over an empty
+    // relation are NULL, and a maintenance job thresholding a NULL
+    // fraction would silently never fire
+    frozenAgg.crossJoin(nowAgg).select(
+      coalesce(col("n_rows_frozen"), lit(0L)).as("n_rows_frozen"),
+      coalesce(col("n_rows_now"), lit(0L)).as("n_rows_now"),
+      when(coalesce(col("n_rows_now"), lit(0L)) > 0,
+        (col("n_rows_now") - coalesce(col("n_rows_frozen"), lit(0L)))
+          .cast("double") / col("n_rows_now"))
+        .otherwise(lit(0.0)).as("appended_frac"),
+      when(coalesce(col("n_rows_now"), lit(0L)) > 0,
+        coalesce(col("new_fp_rows"), lit(0L)).cast("double") / col("n_rows_now"))
+        .otherwise(lit(0.0)).as("new_fp_frac"),
+      when(coalesce(col("mass_frozen"), lit(0L)) > 0,
+        coalesce(col("dropped_frozen"), lit(0L)).cast("double") / col("mass_frozen"))
+        .otherwise(lit(0.0)).as("dropped_mass_frac_frozen"),
+      when(coalesce(col("n_rows_now"), lit(0L)) > 0,
+        coalesce(col("crossed_rows"), lit(0L)).cast("double") / col("n_rows_now"))
+        .otherwise(lit(0.0)).as("crossed_mass_frac"),
+      coalesce(col("max_df_now"), lit(0L)).as("max_df_now"))
+  }
+
   /** Append pre-ranked base rows into the live generation with the
     * SAME bucket spec as [[write]] — each append adds one file per
     * touched bucket, then bumps the pointer (the durable record that

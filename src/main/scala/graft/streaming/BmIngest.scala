@@ -47,4 +47,57 @@ object BmIngest {
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
   }
+
+  /** Start the MAINTAINED ingest (r20, verdict ask #1 — the
+    * [[IvfIngest.startMaintained]] pattern applied to the search
+    * family): append per micro-batch under the frozen statistics, run
+    * [[graft.sources.BmIndex.driftProbe]], and when `appended_frac`
+    * exceeds `threshold` OR `avgdl_drift` exceeds `avgdlThreshold`,
+    * REBUILD the index with REFRESHED `_df`/`_stats` through
+    * [[TextAnalysis.rebuildBm25Index]] — inside `foreachBatch`, so
+    * append and rebuild are serialized by construction (SCALE.md's
+    * writer-serialization regime 1). The two dials cover the two ways
+    * frozen stats go stale: volume (idf's N lags reality) and shape
+    * (appended docs' lengths move the true avgdl off the frozen
+    * normalizer even at modest volume). The index at `indexPath` must
+    * already exist (bootstrap with [[TextAnalysis.buildBm25Index]]).
+    *
+    * Readers need nothing: a serving plan pinned before (or during)
+    * the rebuild keeps its resolved generation for a full retention
+    * cycle; `retain` ≥ 2 lets long-lived readers span consecutive
+    * in-stream rebuilds (the IvfIngest r20 dial). `onRebuild` is the
+    * driver-side policy-firing hook the t22 gate counts through.
+    *
+    * Crash safety (at-least-once `foreachBatch`): the append half is
+    * the standing replay-absorbing anti-join. The rebuild half is
+    * idempotent either side of a crash — after the rebuild the
+    * refreshed `_stats` put the probe below threshold, so the replayed
+    * batch (whose rows anti-join away) does not re-fire it; before,
+    * the replay fires it as the original run would have, and the
+    * rebuild re-derives the same artifact from whatever the store
+    * holds (the per-(term, doc) max collapses the crash window's
+    * duplicate posting rows).
+    */
+  def startMaintained(stream: DataFrame, indexPath: String,
+      threshold: Double,
+      avgdlThreshold: Double = Double.MaxValue,
+      onRebuild: () => Unit = () => (),
+      checkpointDir: Option[String] = None,
+      retain: Int = 1): StreamingQuery = {
+    val w = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, indexPath)
+        val s = batch.sparkSession
+        val probe = BmIndex.driftProbe(s, indexPath)
+          .select("appended_frac", "avgdl_drift").head()
+        if (probe.getDouble(0) > threshold ||
+            probe.getDouble(1) > avgdlThreshold) {
+          TextAnalysis.rebuildBm25Index(s, indexPath, retain)
+          onRebuild()
+        }
+      }
+    checkpointDir.foreach(d => w.option("checkpointLocation", d))
+    w.start()
+  }
 }

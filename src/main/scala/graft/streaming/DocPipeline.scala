@@ -389,18 +389,25 @@ object DocPipeline {
     * read would canonicalize nothing): state is derived, re-ingest.
     */
   def edgesStore(spark: SparkSession, stateDir: String): DataFrame = {
+    edgesLayoutGuard(spark, stateDir)
+    readOrEmpty(spark, edgesPath(stateDir), edgesSchema).distinct()
+  }
+
+  /** Heal a crashed compact swap on the edges path, then fail loudly on
+    * a pre-r19 layout (docs present, edges absent) — shared by
+    * [[edgesStore]] and [[edgesProbe]] (r20, ADVICE: the probe used to
+    * skip the guard and would report an all-zero artifact over a state
+    * dir the store itself refuses to read).
+    */
+  private def edgesLayoutGuard(spark: SparkSession, stateDir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(edgesPath(stateDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, edgesPath(stateDir))
-    val docsExist = {
-      val dp = new org.apache.hadoop.fs.Path(docsPath(stateDir))
-      fs.exists(dp)
-    }
+    val docsExist = fs.exists(new org.apache.hadoop.fs.Path(docsPath(stateDir)))
     require(!docsExist || fs.exists(p),
       s"DocPipeline state at $stateDir was written by a pre-edge-store " +
         "layout (docs present, edges absent). Wipe the state dir and " +
         "re-ingest (state is derived data).")
-    readOrEmpty(spark, edgesPath(stateDir), edgesSchema).distinct()
   }
 
   /** Cheap consistency probe for the edge artifact (r19 — the drift-
@@ -413,6 +420,7 @@ object DocPipeline {
     * columns — never text or shingles.
     */
   def edgesProbe(spark: SparkSession, stateDir: String): DataFrame = {
+    edgesLayoutGuard(spark, stateDir)
     val edges = readOrEmpty(spark, edgesPath(stateDir), edgesSchema)
     val ids = docsStore(spark, stateDir).select("doc_id")
     val ends = edges.select(col("a_id").as("doc_id"))

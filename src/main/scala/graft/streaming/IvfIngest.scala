@@ -56,13 +56,18 @@ object IvfIngest {
     * of where the micro-batch boundaries fell, since appended
     * placement under a loaded book is bit-reproducible. `onRebuild`
     * is a driver-side hook (the v15 gate counts policy firings
-    * through it).
+    * through it). `retain` plumbs the snapshot-expiry dial through to
+    * every rebuild's writeGen (r20, ADVICE): with the default 1 a
+    * reader pinned before rebuild N fails loudly as soon as rebuild
+    * N+1 fires under live ingest — retain ≥ 2 is what lets long-lived
+    * readers span consecutive in-stream rebuilds.
     */
   def startMaintained(stream: DataFrame, indexPath: String,
       threshold: Double,
       retrain: org.apache.spark.sql.SparkSession => DataFrame,
       onRebuild: () => Unit = () => (),
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      retain: Int = 1): StreamingQuery = {
     val w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -71,7 +76,7 @@ object IvfIngest {
         val frac = IvfIndex.driftProbe(s, indexPath)
           .select("appended_frac").head().getDouble(0)
         if (frac > threshold) {
-          Similarity.rebuildIvfIndex(s, indexPath, retrain(s))
+          Similarity.rebuildIvfIndex(s, indexPath, retrain(s), retain)
           onRebuild()
         }
       }

@@ -69,12 +69,27 @@ class Bm25RouteSpec extends SparkSpec {
       "a flat-dominated batch must route plain (the statistic sums)")
   }
 
-  test("out-of-vocabulary terms: df coalesces to 0, the seed stays the " +
-      "min-df term, and serving stays bit-equal either way") {
+  test("out-of-vocabulary terms: df=0 is excluded from the seed, so a " +
+      "flat-df batch with one OOV term still routes plain, and serving " +
+      "stays bit-equal either way") {
     val path = skewIndex()
-    // OOV seed (df = 0) drives the ratio through max(seed, 1): the
-    // batch still routes somewhere, and whichever path runs, the
-    // output must match the plain relation path exactly
+    // r20 (ADVICE): pre-fix, the OOV term's df=0 masqueraded as a rare
+    // seed (ratio tot/1 = 606 >> threshold) and routed this flat-df
+    // batch pruned against the measured plain-wins regime. With df>0
+    // seeds the ratio is 606/303 = 2 — plain.
+    assert(!TextAnalysis.bm25RoutedToPruned(spark, path,
+      Seq(0L -> Seq("ghostterm", "alpha", "beta"))),
+      "an OOV term must not masquerade as a rare seed in the router")
+    // a genuinely rare in-vocab seed still routes pruned with the OOV
+    // term along for the ride
+    assert(TextAnalysis.bm25RoutedToPruned(spark, path,
+      Seq(0L -> Seq("ghostterm", "signalterm", "alpha", "beta"))),
+      "an in-vocab rare seed must still route pruned despite an OOV term")
+    // all-OOV: both sums are 0, ratio 0 — plain (matches nothing anyway)
+    assert(!TextAnalysis.bm25RoutedToPruned(spark, path,
+      Seq(0L -> Seq("ghostterm", "phantomterm"))),
+      "an all-OOV query contributes nothing and must route plain")
+    // and whichever path runs, output == the plain relation path exactly
     val qrel = Seq((0L, 0, "ghostterm"), (0L, 1, "alpha"), (0L, 2, "beta"))
       .toDF("q_id", "ti", "term")
     assert(bits(TextAnalysis.bm25Serve(spark, path, qrel, k = 3))
