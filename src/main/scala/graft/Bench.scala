@@ -32,8 +32,14 @@ object Bench {
     // not one-time JVM cold-start (observed 10-60s of first-run noise).
     // The noop sink materializes EVERY output column (a bare count() would
     // let Catalyst prune the expensive expressions out of the plan).
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String): Unit =
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    // Job labels (optimization guide §1.5): the event log / UI can then
+    // attribute every job to its query. Thread-local, cleared after.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame, dir: String,
+        label: String = null): Unit = {
+      if (label != null) spark.sparkContext.setJobDescription(label)
+      try fn(spark, dir).write.format("noop").mode("overwrite").save()
+      finally if (label != null) spark.sparkContext.setJobDescription(null)
+    }
     // optional comma-separated name filter for local iteration on a few
     // queries (the driver sets no filter and measures everything)
     val filter = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -99,7 +105,7 @@ object Bench {
     val errs = scala.collection.mutable.Map.empty[String, String]
     for (_ <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name), sfDir) catch { case e: Throwable =>
+      try run(SparkEntry.queries(name), sfDir, name) catch { case e: Throwable =>
         errs(name) = e.getClass.getSimpleName
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
