@@ -103,9 +103,11 @@ object Bench {
     // analysis failure reads as 0 s): record the error class per query,
     // surface it in the JSON line and on stderr.
     val errs = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to passes; name <- names) {
+    for (pass <- 1 to passes; name <- names) {
       val t0 = System.nanoTime()
-      try run(SparkEntry.queries(name), sfDir, name) catch { case e: Throwable =>
+      // pass-tagged label: profiling runs separate pass-1 shared-build
+      // cost from the steady state the min-of-passes actually measures
+      try run(SparkEntry.queries(name), sfDir, s"p$pass:$name") catch { case e: Throwable =>
         errs(name) = e.getClass.getSimpleName
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }

@@ -170,14 +170,26 @@ object Similarity {
     * strictly-greater wins reproduce the oracle's
     * `ORDER BY cos DESC, c_id` tie-break exactly.
     */
-  private[queries] def assignTo(e: DataFrame, cents: DataFrame): DataFrame = {
-    val book = cents.select(col("c_id"), col("cv"), col("cn"))
+  private[queries] def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
+    assignToBook(e, collectBook(cents))
+
+  /** The nlist-row driver-side collect of a codebook relation — the
+    * k-means/IVF codebook sync every implementation pays, factored out
+    * (r20) so callers that assign repeatedly under an UNCHANGED book
+    * (the streaming maintenance loop appends under a frozen book every
+    * micro-batch) pay it once instead of once per call.
+    */
+  private[graft] def collectBook(cents: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    cents.select(col("c_id"), col("cv"), col("cn"))
       .orderBy("c_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+
+  /** [[assignTo]] against an already-collected book. */
+  private[graft] def assignToBook(e: DataFrame,
+      book: Seq[(Long, Seq[Double], Double)]): DataFrame =
     e.withColumn("nc", nearestCentroid(col("v"), col("nrm"), book))
       .select(col("vec_id"), col("nc.c_id").as("c_id"), col("v"), col("nrm"),
         col("nc.c_cos").as("c_cos"))
-  }
 
   /** Lloyd-trained IVF centroids: start from the deterministic
     * first-`nlist` seed and run `iters` refinement steps, each one
@@ -322,13 +334,29 @@ object Similarity {
       .limit(1).collect()
     require(dup.isEmpty, s"appendToIvfIndex: vec_id ${dup.headOption.map(_.get(0)).getOrElse("")} " +
       s"is already indexed at $path — appended ids must be disjoint; rebuild instead")
+    appendToIvfIndexPreChecked(s, newVecs, path,
+      collectBook(graft.sources.IvfIndex.codebook(s, path)))
+  }
+
+  /** [[appendToIvfIndex]]'s write half for rows the CALLER already
+    * proved disjoint from the store (r20, optimization: the streaming
+    * maintenance loop anti-joins every micro-batch against the store
+    * before appending, so re-probing disjointness here was a second
+    * full-store join per batch). `book` is the pre-collected codebook
+    * — callers appending under an unchanged frozen book across many
+    * batches collect it once; assignment is bit-identical either way
+    * (same rows, same argmax kernel).
+    */
+  private[graft] def appendToIvfIndexPreChecked(s: SparkSession,
+      newVecs: DataFrame, path: String,
+      book: Seq[(Long, Seq[Double], Double)]): Unit = {
     val e = newVecs
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     // generation resolved ONCE; commitAppend fails loudly if a compact
     // raced the append (r18, ADVICE: writers serialized, readers safe)
     val intoDir = graft.sources.AtomicSwap.dataDir(s, path)
-    assignTo(e, graft.sources.IvfIndex.codebook(s, path))
+    assignToBook(e, book)
       .select("vec_id", "c_id", "v", "nrm")
       .repartition(col("c_id"))
       .write.mode("append").partitionBy("c_id")
@@ -945,9 +973,6 @@ object Similarity {
     */
   def appendToIvfAdcIndex(s: SparkSession, newVecs: DataFrame,
       path: String): Unit = {
-    val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
-    require(centsFlat.nonEmpty,
-      s"appendToIvfAdcIndex: $path is a flat PQ index, not IVFADC")
     // loud-failure guard (r15, ADVICE): the serving path relies on
     // "each vector lives in exactly one list" — a duplicate vec_id
     // would silently serve duplicate neighbors. One semi-join probe of
@@ -959,21 +984,48 @@ object Similarity {
     require(dup.isEmpty, s"appendToIvfAdcIndex: vec_id ${dup.head.get(0)} " +
       s"is already indexed at $path — appended ids must be disjoint " +
       "(a duplicate would serve twice; rebuild instead)")
-    val rawBook = s.read.parquet(
-      graft.sources.AtomicSwap.dataDir(s, path + "_coarse"))
+    appendToIvfAdcPreChecked(s, newVecs, path, adcAppendState(s, path))
+  }
+
+  /** The append's FROZEN inputs — PQ codebook, coarse routing book —
+    * collected once (r20, optimization): a streaming ingest appends
+    * under an unchanged artifact every micro-batch, so the per-batch
+    * driver collects of both books were pure overhead. */
+  private[graft] final case class AdcAppendState(cb: Array[Double], m: Int,
+      k: Int, centsFlat: Array[Double], cids: Array[Long],
+      coarse: Seq[(Long, Seq[Double], Double)])
+
+  private[graft] def adcAppendState(s: SparkSession,
+      path: String): AdcAppendState = {
+    val (cb, m, k, centsFlat, cids) = graft.sources.PqIndex.codebook(s, path)
+    require(centsFlat.nonEmpty,
+      s"appendToIvfAdcIndex: $path is a flat PQ index, not IVFADC")
+    AdcAppendState(cb, m, k, centsFlat, cids,
+      collectBook(s.read.parquet(
+        graft.sources.AtomicSwap.dataDir(s, path + "_coarse"))))
+  }
+
+  /** [[appendToIvfAdcIndex]]'s write half for rows the CALLER already
+    * proved disjoint from the store (the streaming ingest anti-joins
+    * every micro-batch — r20, the appendToIvfIndexPreChecked shape).
+    * Encoding/placement is bit-identical to the checked path: same
+    * rows, same books, same kernels.
+    */
+  private[graft] def appendToIvfAdcPreChecked(s: SparkSession,
+      newVecs: DataFrame, path: String, st: AdcAppendState): Unit = {
     val e = newVecs
       .select(col("vec_id"), col("label"), toDoubleVec(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val assign = assignTo(e, rawBook).select("vec_id", "c_id", "v", "nrm")
+    val assign = assignToBook(e, st.coarse).select("vec_id", "c_id", "v", "nrm")
     import s.implicits._
-    val cIdxDf = broadcast(cids.zipWithIndex.toSeq.toDF("c_id", "c_idx"))
+    val cIdxDf = broadcast(st.cids.zipWithIndex.toSeq.toDF("c_id", "c_idx"))
     // generation resolved ONCE; commitAppend fails loudly if a compact
     // raced the append (r18, ADVICE: writers serialized, readers safe)
     val intoDir = graft.sources.AtomicSwap.dataDir(s, path)
     assign.join(cIdxDf, "c_id")
       .select(col("vec_id"), col("c_id"),
         pqEncodeResidual(col("v"), col("nrm"), col("c_idx"),
-          cb, centsFlat, m, k).as("pq"))
+          st.cb, st.centsFlat, st.m, st.k).as("pq"))
       .repartition(col("c_id"))
       .write.mode("append").partitionBy("c_id")
       .parquet(intoDir)

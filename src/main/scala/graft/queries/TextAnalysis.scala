@@ -67,6 +67,30 @@ object TextAnalysis {
     graft.sources.BmIndex.append(postings, doclens, path)
   }
 
+  /** Append a batch's GENUINELY-NEW docs — anti-join replay absorption
+    * fused with the append (r20, optimization: the streaming ingest
+    * path ran an emptiness probe, a redundant disjointness probe, and
+    * a full-store drift scan per micro-batch; the anti-join here IS
+    * the disjointness guarantee). Returns the appended `(n_docs,
+    * sum_dl)` — exact longs the maintained ingest's policy state
+    * tracks instead of re-scanning the store every batch. Tokenization
+    * still runs once (bm25Derive's checkpointed base feeds the count,
+    * both writes, and the length sum).
+    */
+  private[graft] def appendFreshToBm25Index(s: SparkSession, path: String,
+      batch: DataFrame): (Long, Long) = {
+    val fresh = batch.select("doc_id", "text")
+      .join(graft.sources.BmIndex.doclens(s, path).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val (postings, doclens) = bm25Derive(fresh)
+    val r = doclens.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl")), lit(0L)).as("s")).head()
+    val n = r.getLong(0)
+    if (n > 0) graft.sources.BmIndex.append(postings, doclens, path)
+    (n, if (n > 0) r.getLong(1) else 0L)
+  }
+
   /** REBUILD the BM25 index from its own persisted state with REFRESHED
     * ranking statistics (r20, verdict ask #1 — the retrain step of the
     * search family's maintenance loop, [[Similarity.rebuildIvfIndex]]'s

@@ -84,16 +84,45 @@ object BmIngest {
       onRebuild: () => Unit = () => (),
       checkpointDir: Option[String] = None,
       retain: Int = 1): StreamingQuery = {
+    // Policy state held driver-side across micro-batches (r20,
+    // optimization — the IvfIngest treatment): the probe's inputs are
+    // exact longs the append itself already counts, so track (n,
+    // sum_dl) for the frozen baseline and the live store and evaluate
+    // the probe's own double expressions on them — bit-identical
+    // decisions without re-scanning the whole doclens relation every
+    // batch. State is derived FROM THE STORE at the first batch after
+    // any (re)start (the store is the truth), so the at-least-once
+    // story is unchanged: replayed rows anti-join away (append counts
+    // 0) and a crashed run's committed appends are picked up by the
+    // re-read. driftProbe remains the read-side health probe.
+    var nFrozen = -1L; var sumDlFrozen = 0L
+    var nNow = 0L; var sumDlNow = 0L
     val w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexPath)
         val s = batch.sparkSession
-        val probe = BmIndex.driftProbe(s, indexPath)
-          .select("appended_frac", "avgdl_drift").head()
-        if (probe.getDouble(0) > threshold ||
-            probe.getDouble(1) > avgdlThreshold) {
+        if (nFrozen < 0) {
+          val st = BmIndex.stats(s, indexPath)
+            .select("n_docs", "sum_dl").head()
+          nFrozen = st.getLong(0); sumDlFrozen = st.getLong(1)
+          val cur = BmIndex.doclens(s, indexPath)
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+              org.apache.spark.sql.functions.sum("dl")).head()
+          nNow = cur.getLong(0); sumDlNow = cur.getLong(1)
+        }
+        val (n, sdl) = TextAnalysis.appendFreshToBm25Index(s, indexPath, batch)
+        nNow += n; sumDlNow += sdl
+        // the probe's expressions verbatim: (n_now−n_frozen)/n_now and
+        // |avgdl_now/avgdl_frozen − 1| in the same IEEE double ops
+        val frac = (nNow - nFrozen).toDouble / nNow
+        val drift = math.abs((sumDlNow.toDouble / nNow) /
+          (sumDlFrozen.toDouble / nFrozen) - 1.0)
+        if (frac > threshold || drift > avgdlThreshold) {
           TextAnalysis.rebuildBm25Index(s, indexPath, retain)
+          // the rebuild refreshed _stats: the frozen baseline is now
+          // exactly the live store
+          nFrozen = nNow; sumDlFrozen = sumDlNow
           onRebuild()
         }
       }

@@ -24,13 +24,16 @@ import graft.sources.IvfIndex
   *
   * Crash safety (at-least-once `foreachBatch`): the append half is
   * VecIngest's replay-absorbing anti-join. The rebuild half is
-  * idempotent across replays the cheap way — a crash AFTER the rebuild
-  * leaves the probe below threshold, so the replayed batch (whose rows
-  * anti-join away) does not re-fire it; a crash BEFORE leaves the
-  * probe above threshold and the replay fires it as the original run
-  * would have. Either way the post-recovery artifact serves the same
-  * rows (the rebuild reassigns whatever the store holds, and appended
-  * placement is codebook-deterministic).
+  * idempotent across replays the cheap way — the policy state is
+  * re-derived FROM THE STORE at the first batch after any (re)start
+  * (the store is the truth; a restart reads exactly what the crashed
+  * run committed), so a crash AFTER the rebuild restarts below
+  * threshold and the replayed batch (whose rows anti-join away) does
+  * not re-fire it; a crash BEFORE restarts above threshold and the
+  * replay fires it as the original run would have. Either way the
+  * post-recovery artifact serves the same rows (the rebuild reassigns
+  * whatever the store holds, and appended placement is
+  * codebook-deterministic).
   */
 object IvfIngest {
 
@@ -68,15 +71,50 @@ object IvfIngest {
       onRebuild: () => Unit = () => (),
       checkpointDir: Option[String] = None,
       retain: Int = 1): StreamingQuery = {
+    // Maintenance state held driver-side across micro-batches (r20,
+    // optimization guide §1/§2 — the per-batch loop ran ~7 driver
+    // actions where 2 suffice): the policy needs only appended_frac,
+    // and the append already counts the genuinely-new rows, so track
+    // (frozen, appended) arithmetically — (n_now−n_frozen)/n_now ==
+    // appended/(frozen+appended) exactly — instead of re-scanning the
+    // whole index with the drift probe every batch. State is derived
+    // from the STORE at the first batch after any (re)start, so the
+    // at-least-once story is unchanged: the store is the truth, a
+    // crashed run's committed appends are picked up by the re-read,
+    // and replayed rows anti-join away (appended += 0). The frozen
+    // codebook is collected once and reused until a rebuild replaces
+    // it — appended placement under an unchanged book is bit-identical
+    // to the per-batch re-collect it replaces.
+    var frozen = -1L
+    var appended = 0L
+    var book: Seq[(Long, Seq[Double], Double)] = null
     val w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexPath)
         val s = batch.sparkSession
-        val frac = IvfIndex.driftProbe(s, indexPath)
-          .select("appended_frac").head().getDouble(0)
-        if (frac > threshold) {
+        if (frozen < 0) {
+          val d = IvfIndex.driftProbe(s, indexPath)
+            .select("n_frozen", "n_now").head()
+          frozen = d.getLong(0)
+          appended = d.getLong(1) - d.getLong(0)
+          book = Similarity.collectBook(IvfIndex.codebook(s, indexPath))
+        }
+        val fresh = batch
+          .join(IvfIndex.read(s, indexPath).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint(eager = false)
+        val n = fresh.count()
+        if (n > 0) {
+          Similarity.appendToIvfIndexPreChecked(s, fresh, indexPath, book)
+          appended += n
+        }
+        if (appended.toDouble / (frozen + appended) > threshold) {
           Similarity.rebuildIvfIndex(s, indexPath, retrain(s), retain)
+          // the rebuild reassigned everything and froze NEW stats
+          // (n_frozen = all stored rows) under the retrained codebook
+          frozen += appended
+          appended = 0L
+          book = Similarity.collectBook(IvfIndex.codebook(s, indexPath))
           onRebuild()
         }
       }

@@ -47,15 +47,33 @@ object VecIngest {
     * [[Similarity.buildIvfAdcIndex]] — the codebook is frozen there).
     * Pass `checkpointDir` to make the query restartable; a killed
     * stream resumed from the same checkpoint re-reads exactly the
-    * unprocessed offsets plus at most one replayed batch, which
-    * [[processBatch]] absorbs.
+    * unprocessed offsets plus at most one replayed batch, which the
+    * anti-join absorbs.
+    *
+    * r20 (optimization): the append's frozen inputs — PQ codebook and
+    * coarse routing book — are collected ONCE at the first batch and
+    * reused for the life of the stream (they cannot change under a
+    * running ingest: writers are serialized and this stream is the
+    * writer), and the anti-join doubles as the disjointness proof, so
+    * the per-batch loop runs two actions (count, append-write) instead
+    * of five. Placement is bit-identical (same rows, same books, same
+    * kernels — VecIngestSpec pins stream == batch content).
     */
   def start(stream: DataFrame, indexPath: String,
       checkpointDir: Option[String] = None): StreamingQuery = {
+    var st: Similarity.AdcAppendState = null
     val w = stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, indexPath) }
+        val s = batch.sparkSession
+        if (st == null) st = Similarity.adcAppendState(s, indexPath)
+        val fresh = batch
+          .join(PqIndex.read(s, indexPath).select("vec_id"),
+            Seq("vec_id"), "left_anti")
+          .localCheckpoint(eager = false)
+        if (fresh.count() > 0)
+          Similarity.appendToIvfAdcPreChecked(s, fresh, indexPath, st)
+      }
     checkpointDir.foreach(d => w.option("checkpointLocation", d))
     w.start()
   }

@@ -62,6 +62,21 @@ with open(path) as f:
             out = m.get("Output Metrics") or {}
             st["output_b"] += out.get("Bytes Written", 0)
 
+# Bench runs queries sequentially, so a job not carrying a bench label
+# ("p<pass>:<query>") belongs to the most recent bench-labeled job's
+# query: streaming foreachBatch jobs carry multi-line "id = <uuid>"
+# descriptions, broadcast/subquery jobs submitted from the SQL execution
+# thread pool carry call-site descriptions — both run strictly inside
+# their gate's bracket of labeled jobs.
+import bisect, re
+is_bench = lambda d: re.match(r"p\d+:", d or "") is not None
+labeled = sorted((j["t0"], j["desc"]) for j in jobs.values()
+                 if is_bench(j["desc"]))
+for j in jobs.values():
+    if not is_bench(j["desc"]):
+        i = bisect.bisect_right(labeled, (j["t0"], chr(0x10FFFF))) - 1
+        j["desc"] = labeled[i][1] if i >= 0 else "<warmup>"
+
 groups = collections.defaultdict(collections.Counter)
 for jid, j in jobs.items():
     g = groups[j["desc"] or "<unlabeled>"]
