@@ -500,12 +500,19 @@ object Dedup {
     var iter = 0
     while (!converged && iter < 20) {
       val prop = eb.join(labels, eb("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = cp(labels.select("id", "lbl").union(prop)
-        .groupBy("id").agg(min(col("lbl")).as("lbl")))
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels = next
+        .select(col("dst").as("id"), col("lbl"), lit(null).cast("long").as("old"))
+      // carry each id's PREVIOUS label through the same aggregate (r20,
+      // optimization): min ignores the propagated rows' null `old`, and
+      // every id has exactly one labels row, so `old` is its prior
+      // label — the convergence check is then one scan of the fresh
+      // checkpoint (which it also materializes) instead of a separate
+      // join-against-previous action per iteration. Labels are
+      // unchanged: min(lbl) over the same multiset.
+      val next = cp(labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .union(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), min(col("old")).as("old")))
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      labels = next.select("id", "lbl")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -541,7 +548,6 @@ object Dedup {
       .select(greatest(col("a_id"), col("b_id")).as("hi"),
         least(col("a_id"), col("b_id")).as("lo"))
       .filter(col("hi") =!= col("lo")).distinct())
-    var edgeCount = edges.count()
     var converged = false
     var iter = 0
     while (!converged && iter < 30) {
@@ -565,16 +571,19 @@ object Dedup {
         .filter(col("h") =!= col("m"))
         .select(col("h").as("hi"), col("m").as("lo")).distinct()
       val next = cp(ss)
-      // convergence = edge-set stability. The cheap count (one scan of
-      // the fresh checkpoint, which it also materializes) gates the
-      // exact symmetric-difference check: rounds that change the edge
-      // count — most of them — pay one light action; only
-      // count-stable rounds pay the except shuffles, and the final
-      // verdict is always the EXACT set equality, never the count.
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.exceptAll(edges).union(edges.exceptAll(next)).isEmpty
-      edgeCount = nextCount
+      // convergence = edge-set stability, as ONE action per round (r20,
+      // optimization — was a count plus, on count-stable rounds, two
+      // exceptAll shuffles and an isEmpty): both sides are distinct
+      // (hi, lo) sets, so the exact symmetric difference is a full-outer
+      // join with presence markers; the single aggregate also
+      // materializes the fresh checkpoint. The verdict is still EXACT
+      // set equality, never a count.
+      val d = next.select(col("hi"), col("lo"), lit(1).as("l"))
+        .join(edges.select(col("hi"), col("lo"), lit(1).as("r")),
+          Seq("hi", "lo"), "full_outer")
+        .agg(count(when(col("l").isNull || col("r").isNull, 1)).as("ndiff"))
+        .head()
+      converged = d.getLong(0) == 0L
       edges = next
       iter += 1
     }

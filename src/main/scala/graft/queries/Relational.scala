@@ -67,6 +67,44 @@ object Relational {
   private def revenue: Column =
     dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount")))
 
+  /** `sum(revenue)` cast to double, computed in exact INTEGER CENTS
+    * (r20, optimization guide §1.2 step 2 — the per-task work): the
+    * decimal path allocates a BigDecimal per row inside the hash
+    * aggregate; money columns are exact 2-decimal values
+    * (CentsExactnessSpec pins it), so `round(x·100)` recovers the exact
+    * cents long, the per-item product price_e2 · (100 − disc_e2) is an
+    * exact e4-units long, and the group sum stays far below 2^53 —
+    * whence `sum_e4.toDouble / 1e4` is the SAME correctly-rounded
+    * double the decimal sum's final cast yields (one rounding either
+    * way, of the same exact rational). SqlParitySpec + the oracle gate
+    * pin bit-equality; the oracle SQL keeps the decimal form.
+    */
+  private def revenueSumE4: Column =
+    sum(round(col("l_extendedprice") * lit(100)).cast("long") *
+      (lit(100L) - round(col("l_discount") * lit(100)).cast("long")))
+
+  private def out4E4(c: Column): Column = c.cast("double") / lit(10000.0)
+
+  /** A money column as exact integer cents: fixture money columns are
+    * exact 2-decimal values (CentsExactnessSpec pins every column these
+    * rewrites touch), so `round(x·100)` IS dec2(x)'s unscaled value.
+    */
+  private def centsE2(c: Column): Column = round(c * lit(100)).cast("long")
+
+  /** `out2(sum(dec2(c)))` in exact integer cents (r20 — see
+    * [[revenueSumE4]]): bit-identical while the group's |Σcents| stays
+    * below 2^53 (≈ $9·10¹³ per group — four decades above the largest
+    * group any measured replica produces; CentsExactnessSpec pins the
+    * per-column premise, SqlParitySpec + the oracle gates the output).
+    */
+  private def sumE2(c: Column): Column =
+    sum(centsE2(c)).cast("double") / lit(100.0)
+
+  /** [[sumE2]] over a window — the running-aggregate form. */
+  private def sumE2Over(c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(centsE2(c)).over(w).cast("double") / lit(100.0)
+
   private val REV_SQL =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
 
@@ -111,8 +149,8 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2000-01-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
-          out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+          sumE2(col("l_quantity")).as("sum_qty"),
+          sumE2(col("l_extendedprice")).as("sum_base_price"),
           out4(sum(revenue)).as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -123,7 +161,7 @@ object Relational {
     "q02_topk_order_revenue" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(out4(sum(revenue)).as("order_revenue"), count(lit(1)).as("n_items"))
+        .agg(out4E4(revenueSumE4).as("order_revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("order_revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }),
@@ -190,7 +228,7 @@ object Relational {
       Tables(s, dir, "orders")
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          out2(sum(dec2(col("o_totalprice"))).over(w)).as("running_spend"))
+          sumE2Over(col("o_totalprice"), w).as("running_spend"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
@@ -226,7 +264,7 @@ object Relational {
         .agg(
           countDistinct(col("o_custkey")).as("n_active_customers"),
           count(lit(1)).as("n_orders"),
-          out2(sum(dec2(col("o_totalprice")))).as("total_spend"))
+          sumE2(col("o_totalprice")).as("total_spend"))
         .orderBy("n_name")
     }),
 
@@ -238,7 +276,7 @@ object Relational {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), out2(sum(dec2(col("c_acctbal")))).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), sumE2(col("c_acctbal")).as("sum_acctbal"))
         .select(
           coalesce(col("r_name"), lit("ALL")).as("region_name"),
           coalesce(col("n_name"), lit("ALL")).as("nation_name"),
@@ -283,7 +321,7 @@ object Relational {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
-          out2(sum(dec2(col("value")))).as("sum_value"))
+          sumE2(col("value")).as("sum_value"))
         .select(
           col("window.start").as("hour_start"),
           col("event_type"), col("n_events"), col("sum_value"),
@@ -360,7 +398,7 @@ object Relational {
         .groupBy(
           year(col("o_orderdate")).as("o_year"),
           quarter(col("o_orderdate")).as("o_quarter"))
-        .agg(count(lit(1)).as("n_orders"), out2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), sumE2(col("o_totalprice")).as("sum_price"))
         .orderBy("o_year", "o_quarter")
     }),
 
@@ -403,7 +441,7 @@ object Relational {
       Tables(s, dir, "orders")
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .cube(col("c_mktsegment"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_orders"), out2(sum(dec2(col("o_totalprice")))).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"), sumE2(col("o_totalprice")).as("sum_price"))
         .select(
           coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -540,7 +578,7 @@ object Relational {
           col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"),
-          out2(sum(dec2(col("s_acctbal")))).as("sum_acctbal"),
+          sumE2(col("s_acctbal")).as("sum_acctbal"),
           sum(when(col("s_acctbal") < 0, 1L).otherwise(0L)).as("n_negative"))
         .orderBy("n_name")
     }),
@@ -624,7 +662,7 @@ object Relational {
         .agg(
           count(lit(1)).as("n_events"),
           (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
-          out2(sum(dec2(col("value")))).as("sum_value"))
+          sumE2(col("value")).as("sum_value"))
         .orderBy("user_id", "session_seq")
     }),
 
@@ -638,7 +676,7 @@ object Relational {
       Tables(s, dir, "events")
         .groupBy(col("user_id"), session_window(col("ts"), "15 minutes"))
         .agg(count(lit(1)).as("n_events"),
-          out2(sum(dec2(col("value")))).as("sum_value"))
+          sumE2(col("value")).as("sum_value"))
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("session_window.end").as("session_end"),
@@ -656,7 +694,7 @@ object Relational {
       Tables(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          out2(sum(dec2(col("value")))).as("sum_value"))
+          sumE2(col("value")).as("sum_value"))
         .select(col("window.start").as("window_start"),
           col("window.end").as("window_end"),
           col("event_type"), col("n_events"), col("sum_value"))

@@ -1953,18 +1953,30 @@ object Similarity {
       // once (r19, verdict ask #5) — bench passes re-run this gate 4×,
       // and only the generation WRITE (the lifecycle under test) must
       // repeat; standalone runs build inline as before
+      // the collected 16-row book, once per suite session (r20: the
+      // append assigns under book0 every gate re-run; collecting it
+      // from the scan each time was a repeated driver action)
+      val book0Rows = graft.SharedProjections.reuseArtifact(
+        "v14_book0_rows", dir)(collectBook(book0))
       val bootAssign = graft.SharedProjections.reuse("v14_boot_assign", dir)(
-        assignTo(eb, book0).select("vec_id", "c_id", "v", "nrm"))
+        assignToBook(eb, book0Rows).select("vec_id", "c_id", "v", "nrm"))
       graft.sources.IvfIndex.writeWithCodebook(bootAssign, book0, path)
-      appendToIvfIndex(s,
+      // appended ids (> cut) are disjoint from the bootstrap (<= cut)
+      // BY CONSTRUCTION — the prechecked append skips the probe (r20)
+      appendToIvfIndexPreChecked(s,
         raw.filter(col("vec_id") > cut).select("vec_id", "label", "embedding"),
-        path)
+        path, book0Rows)
       // pre-rebuild readers: file lists resolve against the current
       // generation HERE, before the rebuild publishes the next one
       val preDrift = graft.sources.IvfIndex.driftProbe(s, path)
       val qPred = col("vec_id") >= 100 && col("vec_id") < 110
+      // LAZY checkpoint (r20): the serving relation is ≤ q×k rows but
+      // its subtree re-executes once per consumer in the final plan;
+      // eager=false keeps evaluation at output time — AFTER the swap —
+      // which is exactly the pinned-reader property under test
       val preServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
         graft.sources.IvfIndex.read(s, path), qPred, 2)
+        .localCheckpoint(eager = false)
       // the maintenance decision, driver-side (what the real job does)
       val frac = preDrift.select("appended_frac").head().getDouble(0)
       require(frac > 0.25,
@@ -1982,8 +1994,10 @@ object Similarity {
         assignTo(e, trained).select("vec_id", "c_id", "v", "nrm"))
       graft.sources.IvfIndex.writeWithCodebook(trainedAssign, trained, path)
       val postDrift = graft.sources.IvfIndex.driftProbe(s, path)
+      // lazy checkpoint: consumed twice below (hits, nb) — see preServe
       val postServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
         graft.sources.IvfIndex.read(s, path), qPred, 2)
+        .localCheckpoint(eager = false)
       // ground truth shared with v07's brute-force pass (r19, verdict
       // ask #5): the per-q_id rank window makes the union-predicate
       // pass's [100,110) slice row-identical to a dedicated pass
@@ -2039,12 +2053,14 @@ object Similarity {
     // recall/never-better contract against the exact ground truth.
     "v15_streaming_maintenance" -> ((s, dir) => {
       val path = scratchPath("v15", dir)
-      val stage = scratchPath("v15-stage", dir)
       val ck = scratchPath("v15-ck", dir)
       // mutable scratch → wipe: a leftover checkpoint would mark the
-      // staged files already-processed and skip the ingest
-      for (d <- Seq(stage, ck)) {
-        val hp = new org.apache.hadoop.fs.Path(d)
+      // staged files already-processed and skip the ingest. (The STAGED
+      // INPUT files are deterministic given the corpus — input prep,
+      // not lifecycle — so a suite session writes them once, r20; the
+      // checkpoint wipe is what makes every pass re-ingest them.)
+      locally {
+        val hp = new org.apache.hadoop.fs.Path(ck)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       }
       val raw = graft.Tables(s, dir, "embeddings")
@@ -2063,7 +2079,13 @@ object Similarity {
         graft.sources.IvfIndex.read(s, path), qPred, 2)
       val upper = raw.filter(col("vec_id") > cut)
         .select("vec_id", "label", "embedding")
-      upper.repartition(3).write.mode("overwrite").parquet(stage)
+      val stage = graft.SharedProjections.reuseArtifact("v15_stage", dir) {
+        val d = scratchPath("v15-stage", dir)
+        val hp = new org.apache.hadoop.fs.Path(d)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        upper.repartition(3).write.mode("overwrite").parquet(d)
+        d
+      }
       val rebuilds = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = graft.streaming.IvfIngest.startMaintained(
         s.readStream.schema(upper.schema)
@@ -2077,8 +2099,10 @@ object Similarity {
       // the policy decision, driver-side (what the real job observes)
       require(rebuilds.get() >= 1,
         s"v15: the in-stream policy must fire (rebuilds=${rebuilds.get()})")
+      // lazy checkpoint (r20): consumed twice below (hits, nb)
       val postServe = knnIvfOver(e, graft.sources.IvfIndex.codebook(s, path),
         graft.sources.IvfIndex.read(s, path), qPred, 2)
+        .localCheckpoint(eager = false)
       val finalDrift = graft.sources.IvfIndex.driftProbe(s, path)
       val gt = sharedExactGt(s, dir).filter(col("q_id") < 110)
       val preAgg = pinned.agg(count(lit(1)).as("pre_rows"),

@@ -552,9 +552,16 @@ object TextAnalysis {
       .crossJoin(stats)
       .withColumn("ub", idfCol(col("df"), col("n_docs")) * lit(2.2))
       .select("q_id", "ti", "term", "df", "ub")
-    val wSeed = Window.partitionBy("q_id").orderBy(col("ub").desc, col("ti"))
-    val seed = ubRel.withColumn("rn", row_number().over(wSeed))
-      .filter(col("rn") === 1).select("q_id", "term", "df")
+    // the per-query highest-ub seed as ONE partial-aggregating max
+    // (r20, optimization — was a row_number window: shuffle + sort +
+    // rank over the same rows; a lexicographic struct max reproduces
+    // the (ub DESC, ti ASC) choice exactly, (q_id, ti) is unique so the
+    // trailing fields never tie-break, and the aggregate combines
+    // map-side before the exchange, guide §2.3)
+    val seed = ubRel
+      .groupBy("q_id").agg(max(struct(col("ub"), (-col("ti")).as("nti"),
+        col("term"), col("df"))).as("s"))
+      .select(col("q_id"), col("s.term").as("term"), col("s.df").as("df"))
     // one-term partial scores over the seed lists, duplicate postings
     // collapsed exactly as the pivot collapses them
     val seedSc = post.join(broadcast(seed), Seq("term"))

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Bucketed-table layout for co-located joins — the third co-location
   * tool next to broadcast (small dims) and pre-partitioning: persist
@@ -23,7 +24,17 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int = 8): Unit =
-    df.write.mode("overwrite").format("parquet")
+    // repartition on the bucket key first (r20, optimization guide §6 —
+    // the Iceberg write.distribution-mode=hash story): bucket id and
+    // repartition both hash with Murmur3, so each bucket's rows land in
+    // exactly one write task → ONE well-formed file per bucket at any
+    // input partitioning. Without it every input partition opens a
+    // writer per bucket it touches (input-partitions × buckets tiny
+    // files), which both bloats the scan and forfeits the claimed
+    // per-bucket sort (Spark only claims sortedness for single-file
+    // buckets).
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 

@@ -121,7 +121,16 @@ object IvfIndex {
   def writeTwoLevel(fine: DataFrame, supers: DataFrame, path: String): Unit = {
     val spark = fine.sparkSession
     AtomicSwap.writeGen(spark, path + "_fine") { gen =>
-      fine.select("c_id", "cv", "cn", "s_id").write.mode("overwrite")
+      // ONE file per shard directory (r20, optimization guide §6): the
+      // fine codebook is nlist rows — without the repartition every
+      // input partition opened a dynamic-partition writer per shard it
+      // touched (input-partitions × shards tiny files; profiled as the
+      // dominant stage of the two-level gates, 32 tasks of file-commit
+      // wait for a 16-row relation). Probes read whole shards, so one
+      // sorted file per `s_id=` directory is the layout they want at
+      // any scale.
+      fine.select("c_id", "cv", "cn", "s_id").repartition(col("s_id"))
+        .write.mode("overwrite")
         .partitionBy("s_id").parquet(gen)
     }
     AtomicSwap.writeGen(spark, path + "_supers") { gen =>

@@ -110,14 +110,37 @@ object PpIndex {
     * dropped by the NEXT write/compact, so migration has a uniform
     * reader contract.
     */
-  def write(base: DataFrame, table: String, buckets: Int = 8): Unit = {
+  /** Bucket count for a NEW layout (build, or a resizing compact):
+    * the session's shuffle-partition dial (r20, optimization guide §2
+    * — partitioning derives from the parameterized dial, not a frozen
+    * constant: `bucketBy(8)` capped the zero-exchange candidate
+    * self-join at 8 tasks REGARDLESS of cluster width; production sets
+    * `spark.sql.shuffle.partitions` to cluster width and gets a
+    * matching bucket count, the bench runner sets it to
+    * `$SPARK_GRAFT_CPUS`). Appends and layout-preserving compacts
+    * never choose — they read the LIVE table's recorded spec
+    * ([[liveBuckets]]), so a mixed layout is unconstructible.
+    */
+  private def sessionBuckets(spark: SparkSession): Int =
+    spark.sessionState.conf.numShufflePartitions
+
+  /** The live generation's recorded bucket count, if any. */
+  private def liveBuckets(spark: SparkSession, name: String): Option[Int] =
+    if (spark.catalog.tableExists(name))
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .bucketSpec.map(_.numBuckets)
+    else None
+
+  def write(base: DataFrame, table: String, buckets: Int = 0): Unit = {
     val spark = base.sparkSession
+    val n = if (buckets > 0) buckets else sessionBuckets(spark)
     val prev = currentTable(spark, table)
     val k = nextGen(spark, table)
     val gt = s"${table}_g$k"
     resetTable(spark, gt) // stray from a crashed build
     Bucketing.writeBucketed(base.select("doc_id", "s", "rk", "n"),
-      gt, "s", buckets)
+      gt, "s", n)
     publish(spark, table, gt)
     pruneGens(spark, table, Set(k) ++ prev.flatMap(genNum(table, _)))
     // a legacy flat table is only dropped once it is 2+ cycles old
@@ -273,10 +296,15 @@ object PpIndex {
     * (PpAppendSpec).
     */
   def append(rows: DataFrame, spark: SparkSession, table: String,
-      buckets: Int = 8): Unit = {
+      buckets: Int = 0): Unit = {
     val live = currentTable(spark, table).getOrElse(table)
+    // the LIVE layout's count wins (r20): an append must match the
+    // build's spec whatever dial the build ran under — the parameter
+    // survives only as a test hook / legacy fallback
+    val n = liveBuckets(spark, live)
+      .getOrElse(if (buckets > 0) buckets else sessionBuckets(spark))
     rows.select("doc_id", "s", "rk", "n").write.mode("append")
-      .format("parquet").bucketBy(buckets, "s").sortBy("s")
+      .format("parquet").bucketBy(n, "s").sortBy("s")
       .saveAsTable(live)
     // the pointer bump commits against the generation the append wrote
     // into — a compact that raced this append would have snapshotted
@@ -311,15 +339,20 @@ object PpIndex {
     * generation" for one cycle and is dropped by the next write or
     * compact.
     */
-  def compact(spark: SparkSession, table: String, buckets: Int = 8): Unit = {
+  def compact(spark: SparkSession, table: String, buckets: Int = 0): Unit = {
     val prev = currentTable(spark, table)
     val srcName = prev.getOrElse { recoverSwap(spark, table); table }
+    // layout-preserving by default ("restores the build-time plan");
+    // pass an explicit count to RESIZE — compact is the one safe
+    // resizing point (a new generation, readers keep the old layout)
+    val n = if (buckets > 0) buckets
+      else liveBuckets(spark, srcName).getOrElse(sessionBuckets(spark))
     val k = nextGen(spark, table)
     val gt = s"${table}_g$k"
     resetTable(spark, gt) // stray from a crashed compact
     Bucketing.writeBucketed(
       spark.table(srcName).select("doc_id", "s", "rk", "n"),
-      gt, "s", buckets)
+      gt, "s", n)
     publish(spark, table, gt)
     pruneGens(spark, table, Set(k) ++ prev.flatMap(genNum(table, _)))
     // a legacy flat table that is no longer the source is 2+ cycles

@@ -36,10 +36,13 @@ class SqlParitySpec extends SparkSpec {
   }
 
   test("q01 pricing summary: SQL twin has the same optimized plan and rows") {
+    // the e2 sums mirror the r20 integer-cents rewrite (Relational.sumE2
+    // — bit-identical to the decimal form per CentsExactnessSpec); the
+    // e4 revenue product stays decimal, as in the engine
     assertParity("q01_pricing_summary",
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
@@ -184,7 +187,7 @@ class SqlParitySpec extends SparkSpec {
       """SELECT user_id, session_window.start AS session_start,
         |  session_window.end AS session_end, n_events, sum_value
         |FROM (SELECT user_id, session_window, count(1) AS n_events,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |  FROM events GROUP BY user_id, session_window(ts, '15 minutes'))
         |ORDER BY user_id, session_start""".stripMargin,
       Seq("events"))
