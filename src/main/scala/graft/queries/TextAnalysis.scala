@@ -422,9 +422,22 @@ object TextAnalysis {
     }
     if (prunedIds.isEmpty) half(plainIds, prune = false)
     else if (plainIds.isEmpty) half(prunedIds, prune = true)
-    else half(prunedIds, prune = true)
-      .unionByName(half(plainIds, prune = false))
-      .orderBy("q_id", "rank")
+    else {
+      // the two halves are independent plans over disjoint q_ids; their
+      // bounded term-collects are the serial driver cost here, so run
+      // them on two threads (optimization guide §2.6 — overlap
+      // independent jobs; job groups/descriptions are thread-local and
+      // DataFrame construction is thread-safe). Same two actions, same
+      // results — they just no longer wait on each other.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fPruned = Future(half(prunedIds, prune = true))
+      val fPlain = Future(half(plainIds, prune = false))
+      Await.result(fPruned, Duration.Inf)
+        .unionByName(Await.result(fPlain, Duration.Inf))
+        .orderBy("q_id", "rank")
+    }
   }
 
   /** The per-query routing decisions for a normalized query relation:

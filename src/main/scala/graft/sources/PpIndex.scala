@@ -303,7 +303,12 @@ object PpIndex {
     // survives only as a test hook / legacy fallback
     val n = liveBuckets(spark, live)
       .getOrElse(if (buckets > 0) buckets else sessionBuckets(spark))
-    rows.select("doc_id", "s", "rk", "n").write.mode("append")
+    // repartition on the bucket key (r20, the writeBucketed argument):
+    // one file per TOUCHED bucket per append, instead of one per
+    // (input partition × touched bucket)
+    rows.select("doc_id", "s", "rk", "n")
+      .repartition(n, org.apache.spark.sql.functions.col("s"))
+      .write.mode("append")
       .format("parquet").bucketBy(n, "s").sortBy("s")
       .saveAsTable(live)
     // the pointer bump commits against the generation the append wrote
