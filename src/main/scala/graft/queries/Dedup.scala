@@ -337,8 +337,19 @@ object Dedup {
   def buildPpIndexOver(s: SparkSession, docs: DataFrame, table: String): Unit = {
     val ex = cp(ppExplode(docs))
     val dfAll = ppDf(ex)
-    graft.sources.PpIndex.write(ppRank(ex, dfAll), table)
+    // _df first: the base's exact row count is Σ df over df ≤ MaxDf
+    // (exactly the rows the capped ppRank writes), so one aggregate
+    // over the just-persisted two-column sibling sizes the bucketed
+    // layout from the DATA (r21, r20 ADVICE — adaptiveBuckets clamps
+    // the session dial so fixture-scale builds don't splinter into
+    // `shuffle.partitions` near-empty buckets) with zero extra passes
+    // over the heavy exploded relation.
     graft.sources.PpIndex.writeDf(dfAll, table)
+    val kept = graft.sources.PpIndex.readDf(s, table)
+      .filter(col("df") <= MaxDf)
+      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+    graft.sources.PpIndex.write(ppRank(ex, dfAll), table,
+      buckets = graft.sources.PpIndex.adaptiveBuckets(s, kept))
   }
 
   /** INCREMENTAL maintenance of a persisted PPJoin base (r15, verdict
@@ -623,9 +634,13 @@ object Dedup {
     "d02b_jaccard_indexed" -> ((s, dir) => {
       val table = graft.SharedProjections.reuseArtifact("pp_idx", dir) {
         val t = "ppjoin_idx_" + java.lang.Integer.toHexString(dir.hashCode)
-        graft.sources.PpIndex.write(
-          jaccardBaseAndCands(shingleDocs(s, dir), 0.5,
-            positional = true, reuseDir = Some(dir))._1, t)
+        val base = jaccardBaseAndCands(shingleDocs(s, dir), 0.5,
+          positional = true, reuseDir = Some(dir))._1
+        // the base is lazy-checkpointed, so this count materializes the
+        // blocks the bucketed write then reads — the exact row count for
+        // the adaptive layout costs no extra pass (r21)
+        graft.sources.PpIndex.write(base, t,
+          buckets = graft.sources.PpIndex.adaptiveBuckets(s, base.count()))
         t
       }
       jaccardPairsIndexed(s, table).orderBy("a_id", "b_id")

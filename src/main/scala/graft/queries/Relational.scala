@@ -96,6 +96,16 @@ object Relational {
     * below 2^53 (≈ $9·10¹³ per group — four decades above the largest
     * group any measured replica produces; CentsExactnessSpec pins the
     * per-column premise, SqlParitySpec + the oracle gates the output).
+    *
+    * Scale bound (r21, r20 ADVICE): the worst consumer is a near-global
+    * group of an e4-unit sum — q01's per-(returnflag, linestatus) Σ of
+    * price·(100−disc) holds ~1/6 of lineitem. At SF1000 (~6·10⁹ rows,
+    * ~3.7·10⁶ e4-units/row) that group reaches ~3.7·10¹⁵ ≈ 2^51.7, a
+    * ~2.5x margin; SF ≳ 2500 would cross 2^53 and the rewrite must
+    * revert to decimal for near-global e4 groups. CentsExactnessSpec's
+    * headroom test (table-total e4 < 2^53/8 at every checked SF,
+    * including `$SPARK_GRAFT_SF_DIR`) turns a violation into a legible
+    * failure instead of an opaque oracle hash mismatch.
     */
   private def sumE2(c: Column): Column =
     sum(centsE2(c)).cast("double") / lit(100.0)

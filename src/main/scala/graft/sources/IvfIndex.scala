@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * (16–4096) so one directory per centroid stays healthy at any data
   * scale — each directory just holds more files — and `bucketBy` would
   * additionally require a metastore table. At 100 TB, rebuilding the
-  * index is one shuffle-free `partitionBy` write of the assignment
-  * relation; incremental adds append into the matching directories.
+  * index is one hash-distributed `partitionBy` write of the assignment
+  * relation (one shuffle on `c_id`, bought deliberately: it is paid
+  * once at build, where the bare write's input-partitions × nlist file
+  * splinter would be paid by every probe forever); incremental adds
+  * append into the matching directories.
   */
 object IvfIndex {
 
@@ -31,7 +34,17 @@ object IvfIndex {
     */
   def write(assign: DataFrame, path: String, retain: Int = 1): Unit =
     AtomicSwap.writeGen(assign.sparkSession, path, retain) { gen =>
-      assign.write.mode("overwrite").partitionBy("c_id").parquet(gen)
+      // repartition on the partition column first (r21 — the one
+      // partitionBy write the r20 fan-out sweep missed; BmIndex/
+      // PqIndex/compact/appendToIvfIndex* all already do this): bare
+      // partitionBy opens a writer in every task for every c_id it
+      // touches — input-partitions × nlist tiny files that EVERY later
+      // probe, drift scan, and ingest anti-join re-lists and re-opens.
+      // One shuffle of the assignment at build time (the Iceberg
+      // write.distribution-mode=hash story, guide §6) leaves one
+      // well-formed file per list directory.
+      assign.repartition(col("c_id"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(gen)
     }
 
   /** Persist an assignment relation TOGETHER with the codebook that

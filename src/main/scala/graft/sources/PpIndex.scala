@@ -124,6 +124,28 @@ object PpIndex {
   private def sessionBuckets(spark: SparkSession): Int =
     spark.sessionState.conf.numShufflePartitions
 
+  /** Rows per bucket below which extra buckets are pure overhead: the
+    * bucket count doubles as the candidate self-join's parallelism, so
+    * at scale it should track cluster width (the session dial) — but an
+    * untuned session (Spark's default 200 partitions) building a small
+    * corpus would otherwise produce hundreds of near-empty bucket files
+    * and a 200-task merge join over them (r20 ADVICE). A base row is
+    * ~24 bytes; 256k rows ≈ a few MB parquet, the floor where a bucket
+    * stops being worth its per-file + per-task cost.
+    */
+  private val RowsPerBucket = 64L << 10
+
+  /** Scale-adaptive bucket count for a NEW layout when the builder
+    * knows the base row count: cluster width (the parameterized dial)
+    * clamped so no bucket falls below [[RowsPerBucket]] — at 100 TB the
+    * row term is astronomically larger than any dial and the width
+    * wins; at fixture scale the clamp keeps the layout a handful of
+    * well-formed files instead of `shuffle.partitions` splinters.
+    */
+  def adaptiveBuckets(spark: SparkSession, rows: Long): Int =
+    math.max(1L, math.min(sessionBuckets(spark).toLong,
+      (rows + RowsPerBucket - 1) / RowsPerBucket)).toInt
+
   /** The live generation's recorded bucket count, if any. */
   private def liveBuckets(spark: SparkSession, name: String): Option[Int] =
     if (spark.catalog.tableExists(name))
@@ -351,7 +373,11 @@ object PpIndex {
     // pass an explicit count to RESIZE — compact is the one safe
     // resizing point (a new generation, readers keep the old layout)
     val n = if (buckets > 0) buckets
-      else liveBuckets(spark, srcName).getOrElse(sessionBuckets(spark))
+      else liveBuckets(spark, srcName).getOrElse(
+        // no recorded spec (legacy flat table): derive from the data —
+        // a parquet count is metadata-cheap — instead of trusting an
+        // untuned session dial (r20 ADVICE)
+        adaptiveBuckets(spark, spark.table(srcName).count()))
     val k = nextGen(spark, table)
     val gt = s"${table}_g$k"
     resetTable(spark, gt) // stray from a crashed compact

@@ -110,6 +110,15 @@ object BmIngest {
               org.apache.spark.sql.functions.lit(1)),
               org.apache.spark.sql.functions.sum("dl")).head()
           nNow = cur.getLong(0); sumDlNow = cur.getLong(1)
+          // fail FAST on an empty bootstrap (r20 ADVICE): nFrozen = 0
+          // makes the drift ratio NaN and every threshold comparison
+          // silently false — the rebuild would never fire. An index
+          // this loop can maintain must have a non-empty baseline.
+          require(nFrozen > 0,
+            s"BmIngest.startMaintained($indexPath): frozen stats record " +
+              s"n_docs=$nFrozen — bootstrap the index with at least one " +
+              "document before maintaining it (drift arithmetic needs a " +
+              "non-empty baseline)")
         }
         val (n, sdl) = TextAnalysis.appendFreshToBm25Index(s, indexPath, batch)
         nNow += n; sumDlNow += sdl

@@ -98,6 +98,14 @@ object IvfIngest {
           frozen = d.getLong(0)
           appended = d.getLong(1) - d.getLong(0)
           book = Similarity.collectBook(IvfIndex.codebook(s, indexPath))
+          // fail FAST on an empty bootstrap (r20 ADVICE): frozen = 0
+          // with an empty store makes appended/(frozen+appended) NaN
+          // and the rebuild threshold silently never fires.
+          require(frozen > 0,
+            s"IvfIngest.startMaintained($indexPath): frozen store is " +
+              "empty — bootstrap the index with at least one vector " +
+              "before maintaining it (the drift fraction needs a " +
+              "non-empty baseline)")
         }
         val fresh = batch
           .join(IvfIndex.read(s, indexPath).select("vec_id"),

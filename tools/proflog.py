@@ -36,6 +36,11 @@ with open(path) as f:
                 jobs[jid]["t1"] = e["Completion Time"]
         elif ev == "SparkListenerStageCompleted":
             si = e["Stage Info"]
+            # StageCompleted fires once per stage ATTEMPT (r20 ADVICE):
+            # counting attempt > 0 double-counts retried stages. Attempt 0
+            # alone keeps per-query numbers comparable across retry noise.
+            if si.get("Stage Attempt ID", 0) != 0:
+                continue
             sid = si["Stage ID"]
             st = stages.setdefault(sid, collections.Counter())
             st["n_tasks"] += si.get("Number of Tasks", 0)
@@ -44,6 +49,11 @@ with open(path) as f:
             if sub and com:
                 st["stage_ms"] += com - sub
         elif ev == "SparkListenerTaskEnd":
+            if e.get("Stage Attempt ID", 0) != 0:
+                continue
+            reason = (e.get("Task End Reason") or {}).get("Reason")
+            if reason is not None and reason != "Success":
+                continue  # failed/killed task metrics would skew task_ms
             sid = e["Stage ID"]
             st = stages.setdefault(sid, collections.Counter())
             m = e.get("Task Metrics") or {}
